@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.{Op, Tables}
+import graft.par._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics: the batch half of the engine's stream surface
+  * (graft.streaming holds the Structured Streaming equivalents).
+  *
+  * Oracle parity: all time math is done on integral epoch seconds
+  * (`ts div 1e9` in Spark == `epoch_ns(ts) // 1e9` in DuckDB), so no
+  * float time arithmetic can diverge.
+  *
+  * Scale notes: sessionization is a window over (user_id) — shuffles
+  * once on user_id and stays partitioned for the session aggregation;
+  * at 100 TB user_id is high-cardinality so partitions stay balanced.
+  */
+object Events {
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark refuses;
+    * read it as a raw nanosecond long and keep all time math integral
+    * (`ts div 1e9` == DuckDB `epoch_ns(ts) // 1e9`).
+    */
+  private[graft] def withEpoch(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(s, dir, "events").withColumn("es", expr("ts div 1000000000"))
+  }
+
+  /** 30-minute-gap sessionization via lag + running sum of boundaries. */
+  private def e01(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    withEpoch(s, dir)
+      .withColumn("prev_es", lag(col("es"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_es").isNull || col("es") - col("prev_es") > 1800, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("es")).as("start_es"),
+        max(col("es")).as("end_es"),
+        dsum(col("value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  private val e01Sql = s"""
+    WITH ev AS (
+      SELECT event_id, user_id, value, (epoch_ns(ts) // 1000000000) AS es
+      FROM events),
+    flagged AS (
+      SELECT *, CAST(CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+          THEN 1 ELSE 0 END AS BIGINT) AS new_session
+      FROM (SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_es
+            FROM ev)),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx, count(*) AS n_events,
+      min(es) AS start_es, max(es) AS end_es,
+      ${dsumSql("value", 2)} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx"""
+
+  /** Hourly tumbling-window aggregate (batch analog of streaming agg). */
+  private def e02(s: SparkSession, dir: String): DataFrame =
+    withEpoch(s, dir)
+      .withColumn("hour_start", (floor(col("es") / 3600) * 3600).cast("long"))
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value"), 2).as("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  private val e02Sql = s"""
+    SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000) / 3600) * 3600 AS BIGINT) AS hour_start,
+      event_type, count(*) AS n_events,
+      count(DISTINCT user_id) AS n_users,
+      ${dsumSql("value", 2)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type"""
+
+  /** Day-over-day retention: users active on day d AND d+1. */
+  private def e03(s: SparkSession, dir: String): DataFrame = {
+    val days = withEpoch(s, dir)
+      .select(col("user_id"), floor(col("es") / 86400).cast("long").as("day"))
+      .distinct()
+    val next = days.select(col("user_id").as("user_id2"), (col("day") - 1).as("day2"))
+    days.join(next, col("user_id") === col("user_id2") && col("day") === col("day2"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+        count(col("user_id2")).as("retained_users"))
+      .withColumn("retention_rate",
+        col("retained_users").cast("double") / col("active_users").cast("double"))
+      .orderBy(col("day"))
+  }
+
+  private val e03Sql = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(FLOOR((epoch_ns(ts) // 1000000000) / 86400) AS BIGINT) AS day
+      FROM events)
+    SELECT d.day, count(*) AS active_users,
+      count(n.user_id) AS retained_users,
+      CAST(count(n.user_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS retention_rate
+    FROM days d
+    LEFT JOIN days n ON n.user_id = d.user_id AND n.day = d.day + 1
+    GROUP BY d.day
+    ORDER BY d.day"""
+
+  val ops: Seq[Op] = Seq(
+    Op("e01_sessionize", e01, Some(e01Sql)),
+    Op("e02_tumbling_window", e02, Some(e02Sql)),
+    Op("e03_retention", e03, Some(e03Sql)))
+}

@@ -1,0 +1,239 @@
+package graft.ops
+
+import graft.{Op, Tables}
+import graft.par._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OLAP substrate: scan / filter / aggregate / join / window / rollup /
+  * semi-join / top-N — the query shapes the reference's clients would
+  * run against a relational view of the graph store, expressed
+  * declaratively so Catalyst handles pushdown, join strategy (broadcast
+  * for the dims), and whole-stage codegen.
+  *
+  * Scale notes (100 TB): every query starts from a pruned parquet scan
+  * (predicates + ReadSchema reach the scan), dimension joins
+  * (region/nation/supplier) are broadcast, fact-fact joins shuffle on
+  * the join key and rely on AQE for skew; aggregates are partial
+  * (map-side combine) by construction.
+  */
+object Olap {
+
+  /** TPC-H Q1 shape: full-scan grouped aggregation with exact decimal
+    * sums (reference capability: whole-table analytics over the store).
+    */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        (dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q01Sql = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${dsumSql("l_quantity", 2)} AS sum_qty,
+      ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
+      ${dsumSql("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)", 6)} AS sum_disc_price,
+      ${dsumSql("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)", 6)} AS sum_charge,
+      ${dsumSql("l_quantity", 2)} / count(*) AS avg_qty,
+      ${dsumSql("l_extendedprice", 2)} / count(*) AS avg_price,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** Q3 shape: selective dim filter -> 3-way join -> agg -> top-N. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1997-06-30")))
+    val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1997-06-30")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql = s"""
+    SELECT o_orderkey,
+      ${dsumSql("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)", 6)} AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10"""
+
+  /** Q5 shape: 6-way star join, group by nation. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(s, dir, "nation")
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val l = Tables(s, dir, "lineitem")
+    val sup = Tables(s, dir, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q05Sql = s"""
+    SELECT n_name,
+      ${dsumSql("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)", 6)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  /** Q6 shape: tight filter + scalar aggregate (pushdown showcase). */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q06Sql = s"""
+    SELECT ${dsumSql("l_extendedprice * l_discount", 6)} AS revenue,
+      count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.02 AND l_discount <= 0.06
+      AND l_quantity < 24"""
+
+  /** Window top-N: 3 largest orders per customer. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q07Sql = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn"""
+
+  /** Hierarchical ROLLUP region -> nation over customers. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("n_cust"), col("acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q08Sql = s"""
+    SELECT COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+      count(*) AS n_cust, ${dsumSql("c_acctbal", 2)} AS acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name, n_name"""
+
+  /** Semi/anti join: EXISTS / NOT EXISTS flag per customer. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").select(col("o_custkey"))
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit(1L).as("has_orders"))
+    val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), lit(0L).as("has_orders"))
+    withO.unionAll(withoutO).orderBy(col("c_custkey"))
+  }
+
+  private val q09Sql = """
+    SELECT c_custkey, c_name,
+      CAST(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        THEN 1 ELSE 0 END AS BIGINT) AS has_orders
+    FROM customer c
+    ORDER BY c_custkey"""
+
+  /** Count-distinct + conditional aggregation per nation. */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val n = Tables(s, dir, "nation")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(when(col("o_totalprice") > 300000.0, lit(1))).as("big_orders"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0)), 2).as("finished_value"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q10Sql = s"""
+    SELECT n_name,
+      count(DISTINCT c_custkey) AS n_customers,
+      count(*) AS n_orders,
+      count(DISTINCT o_orderpriority) AS n_priorities,
+      count(CASE WHEN o_totalprice > 300000.0 THEN 1 END) AS big_orders,
+      ${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE CAST(0 AS DOUBLE) END", 2)} AS finished_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name"""
+
+  val ops: Seq[Op] = Seq(
+    Op("q01_pricing_summary", q01, Some(q01Sql)),
+    Op("q03_top_orders", q03, Some(q03Sql)),
+    Op("q05_nation_revenue", q05, Some(q05Sql)),
+    Op("q06_forecast_filter", q06, Some(q06Sql)),
+    Op("q07_window_topn", q07, Some(q07Sql)),
+    Op("q08_rollup", q08, Some(q08Sql)),
+    Op("q09_exists_semi", q09, Some(q09Sql)),
+    Op("q10_distinct_agg", q10, Some(q10Sql)))
+}
