@@ -6,5 +6,7 @@ package graft
   */
 object Registry {
   def all: Seq[Op] =
-    ops.Olap.ops ++ ops.Events.ops
+    graph.GraphOps.ops ++ graph.Traversals.ops ++ graph.Components.ops ++
+      graph.Triangles.ops ++ graph.PageRank.ops ++ graph.AdjacencyCodec.ops ++
+      ops.Olap.ops ++ ops.Events.ops
 }

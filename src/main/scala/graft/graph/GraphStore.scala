@@ -1,0 +1,73 @@
+package graft.graph
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persistent graph store with the reference's add/modify semantics
+  * (client.c ops 1-2) re-expressed for a distributed file system.
+  *
+  * The reference serializes writers with a named semaphore per graph
+  * file and counts readers in shared memory (primary_server.c:60,150,
+  * secondary_server.c:229-303). On Spark the equivalent consistency
+  * story is snapshot isolation via immutable versioned directories:
+  * each add/modify writes a fresh `v<k>` directory, then atomically
+  * publishes it by renaming a pointer file. Readers resolve the
+  * pointer once and then read an immutable snapshot — no locks, any
+  * number of concurrent readers, old snapshots stay valid mid-query.
+  */
+final class GraphStore(spark: SparkSession, baseDir: String) {
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  private def fs(p: Path) = p.getFileSystem(hadoopConf)
+
+  private def graphDir(name: String) = new Path(baseDir, name)
+  private def currentPtr(name: String) = new Path(graphDir(name), "_CURRENT")
+
+  /** Store a graph's edge DataFrame under `name` (create or overwrite —
+    * reference ops "add graph" and "modify graph" share this path).
+    */
+  def put(name: String, edges: DataFrame): Unit = {
+    val dir = graphDir(name)
+    val f = fs(dir)
+    val version = currentVersion(name).getOrElse(0L) + 1L
+    val target = new Path(dir, s"v$version")
+    edges.write.mode("overwrite").parquet(target.toString)
+    // Publish atomically: write pointer to a temp file, rename over.
+    val tmp = new Path(dir, s"_CURRENT.tmp$version")
+    val out = f.create(tmp, true)
+    out.write(s"v$version".getBytes("UTF-8"))
+    out.close()
+    f.delete(currentPtr(name), false)
+    if (!f.rename(tmp, currentPtr(name)))
+      throw new java.io.IOException(s"failed to publish $name v$version")
+  }
+
+  def add(name: String, edges: DataFrame): Unit = put(name, edges)
+  def modify(name: String, edges: DataFrame): Unit = put(name, edges)
+
+  /** Read the current snapshot of `name`. */
+  def read(name: String): DataFrame = {
+    val v = currentVersion(name).getOrElse(
+      throw new java.util.NoSuchElementException(s"no graph named $name"))
+    spark.read.parquet(new Path(graphDir(name), s"v$v").toString)
+  }
+
+  def currentVersion(name: String): Option[Long] = {
+    val ptr = currentPtr(name)
+    val f = fs(ptr)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      val content = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      in.close()
+      Some(content.stripPrefix("v").toLong)
+    }
+  }
+
+  def list(): Seq[String] = {
+    val base = new Path(baseDir)
+    val f = fs(base)
+    if (!f.exists(base)) Seq.empty
+    else f.listStatus(base).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+}

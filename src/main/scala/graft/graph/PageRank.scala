@@ -1,0 +1,100 @@
+package graft.graph
+
+import graft.Op
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** PageRank, 10 fixed iterations, damping 0.85, dangling mass
+  * redistributed uniformly.
+  *
+  * Oracle parity trick: the only order-sensitive float op in PageRank
+  * is the per-node sum of incoming contributions. We cast each
+  * contribution to DECIMAL(28,15) before summing (exact, associative)
+  * and cast the sum back to double, so Spark's partial aggregation and
+  * DuckDB's single-threaded fold produce bit-identical ranks — the
+  * oracle is a mechanically unrolled 10-iteration SQL.
+  *
+  * Scale: rank and out-degree stay partitioned on node; each iteration
+  * is one shuffle join (ranks ⋈ edges) + one aggregation; the dangling
+  * mass is a 1-row DataFrame cross-joined (broadcast) rather than a
+  * driver collect.
+  */
+object PageRank {
+  private val D = 0.85
+
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val outDeg = nodes.join(
+        e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
+    val n = nodes.count().toDouble
+    val dec = DecimalType(28, 15)
+    var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, Seq("node"))
+      val contribs = withDeg.filter(col("outdeg") > 0)
+        .join(e, col("node") === e("src"))
+        .groupBy(e("dst").as("node"))
+        .agg(sum((col("rank") / col("outdeg")).cast(dec)).cast("double").as("s"))
+      val dangling = withDeg.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0)).as("dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(0.15) / lit(n) +
+            lit(D) * (coalesce(col("s"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  private def g09(s: SparkSession, dir: String): DataFrame =
+    run(TradeGraph.nodes(s, dir), TradeGraph.edges(s, dir), iters = 10)
+      .orderBy(col("node"))
+
+  /** Unrolled 10-iteration oracle — same decimal-exact contraction.
+    * CTEs are MATERIALIZED: DuckDB would otherwise inline r{k-1} twice
+    * per iteration (contribs + dangling), exponentially expanding the
+    * plan.
+    */
+  private def g09Sql: String = {
+    val iters = (1 to 10).map { k =>
+      val p = if (k == 1) "r0" else s"r${k - 1}"
+      s"""
+    c$k AS MATERIALIZED (
+      SELECT e.dst AS node,
+        CAST(SUM(CAST(p.rank / od.outdeg AS DECIMAL(28,15))) AS DOUBLE) AS s
+      FROM $p p
+      JOIN od ON od.node = p.node AND od.outdeg > 0
+      JOIN dedges e ON e.src = p.node
+      GROUP BY e.dst),
+    d$k AS MATERIALIZED (
+      SELECT CAST(COALESCE(SUM(CAST(p.rank AS DECIMAL(28,15))), 0) AS DOUBLE) AS dm
+      FROM $p p JOIN od ON od.node = p.node AND od.outdeg = 0),
+    r$k AS MATERIALIZED (
+      SELECT n.node,
+        CAST(0.15 AS DOUBLE) / nn.nd
+          + CAST(0.85 AS DOUBLE) * (COALESCE(c.s, CAST(0 AS DOUBLE)) + d.dm / nn.nd) AS rank
+      FROM nodes n
+      LEFT JOIN c$k c ON c.node = n.node
+      CROSS JOIN d$k d CROSS JOIN nn)"""
+    }.mkString(",")
+    s"""
+    WITH ${GraphSql.edgesCte}, ${GraphSql.nodesCte},
+    dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+    od AS MATERIALIZED (
+      SELECT n.node, COALESCE(o.c, 0) AS outdeg
+      FROM nodes n LEFT JOIN
+        (SELECT src, count(*) AS c FROM dedges GROUP BY src) o ON o.src = n.node),
+    r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nn.nd AS rank FROM nodes CROSS JOIN nn),
+    $iters
+    SELECT node, rank FROM r10 ORDER BY node"""
+  }
+
+  val ops: Seq[Op] = Seq(Op("g09_pagerank", g09, Some(g09Sql)))
+}

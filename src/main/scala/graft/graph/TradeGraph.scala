@@ -1,0 +1,79 @@
+package graft.graph
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The canonical graph the engine analyzes: nation-level trade flow.
+  *
+  * The reference stores graphs as adjacency matrices over ≤30 nodes
+  * (client.c:23-29, G*.txt); we re-express "a graph" as vertex/edge
+  * DataFrames derived from the relational store. Vertices = the 25
+  * nations; a directed edge (src → dst) means customers of nation
+  * `src` bought from suppliers of nation `dst`, weighted by lineitem
+  * count and distinct orders.
+  *
+  * Scale: the edge build is the classic fact-to-fact shuffle join
+  * (lineitem ⋈ orders on orderkey) with broadcast dimensions —
+  * exactly the plan that survives a 100 TB lineitem. The aggregated
+  * edge list is tiny (≤ V²) so every downstream iterative algorithm
+  * runs on a cached, broadcast-friendly DataFrame.
+  */
+object TradeGraph {
+
+  /** Directed weighted edges (src, dst, weight, n_orders). */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("int").as("src"),
+        col("s_nationkey").cast("int").as("dst"))
+      .agg(count(lit(1)).as("weight"), countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** All vertices (isolated ones included). */
+  def nodes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "nation").select(col("n_nationkey").cast("int").as("node"))
+
+  /** Undirected view: both directions of every edge, self-loops dropped. */
+  def symEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** DAG view (src < dst): the deterministic re-expression of the
+    * reference's DFS traversal domain (SURVEY.md §6).
+    */
+  def dagEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("src") < col("dst"))
+}
+
+/** Shared oracle-SQL fragments mirroring [[TradeGraph]] in DuckDB. */
+object GraphSql {
+  val edgesCte: String = """
+    edges AS (
+      SELECT CAST(c_nationkey AS INTEGER) AS src, CAST(s_nationkey AS INTEGER) AS dst,
+        count(*) AS weight, count(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2)"""
+
+  val nodesCte: String =
+    "nodes AS (SELECT CAST(n_nationkey AS INTEGER) AS node FROM nation)"
+
+  val symCte: String = """
+    sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)
+      WHERE src <> dst)"""
+
+  val dagCte: String =
+    "dag AS (SELECT src, dst, weight FROM edges WHERE src < dst)"
+}

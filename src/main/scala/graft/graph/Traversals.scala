@@ -1,0 +1,176 @@
+package graft.graph
+
+import graft.Op
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Frontier-join traversals: the Spark re-expression of the
+  * reference's BFS (secondary_server.c:503-537, level order) and DFS
+  * terminal-node query (secondary_server.c:166-180), plus
+  * transitive closure and bounded weighted shortest path.
+  *
+  * Pattern (Pregel-style): keep a `visited` set and a `frontier`
+  * DataFrame; each hop is one shuffle join frontier ⋈ edges followed
+  * by an anti-join against visited. `localCheckpoint` truncates the
+  * growing lineage so a 20-hop traversal doesn't replan 20 nested
+  * joins; on a cluster the frontier stays partitioned by the join key
+  * and AQE broadcasts it once it shrinks below the threshold.
+  */
+object Traversals {
+
+  /** (node, dist) for every node within `maxHops` of `source`. */
+  def bfsLevels(edges: DataFrame, source: Int, maxHops: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var visited = Seq((source, 0)).toDF("node", "dist")
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
+  /** Nodes reachable from `source` (source included), frontier loop
+    * until fixpoint.
+    */
+  def reachableFrom(edges: DataFrame, source: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var visited = Seq(source).toDF("node")
+    var frontier = visited
+    while (!frontier.isEmpty) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
+  /** BFS level order from nation 0, capped at 6 hops (reference op 4). */
+  private def g03(s: SparkSession, dir: String): DataFrame =
+    bfsLevels(TradeGraph.edges(s, dir), source = 0, maxHops = 6)
+      .orderBy(col("node"))
+
+  private val g03Sql = s"""
+    WITH RECURSIVE ${GraphSql.edgesCte},
+    bfs(node, d) AS (
+      SELECT CAST(0 AS INTEGER), CAST(0 AS INTEGER)
+      UNION
+      SELECT e.dst, CAST(bfs.d + 1 AS INTEGER)
+      FROM bfs JOIN edges e ON e.src = bfs.node
+      WHERE bfs.d < 6)
+    SELECT node, CAST(MIN(d) AS INTEGER) AS dist
+    FROM bfs GROUP BY node ORDER BY node"""
+
+  /** Reachable terminal (sink) nodes on the DAG view from nation 0 —
+    * the deterministic re-expression of the reference's DFS
+    * deepest-node output (reference op 3; SURVEY.md §6).
+    */
+  private def g04(s: SparkSession, dir: String): DataFrame = {
+    val dag = TradeGraph.dagEdges(TradeGraph.edges(s, dir)).localCheckpoint()
+    val reach = reachableFrom(dag, source = 0)
+    reach.join(dag.select(col("src")).distinct(),
+        reach("node") === col("src"), "left_anti")
+      .select(col("node")).orderBy(col("node"))
+  }
+
+  private val g04Sql = s"""
+    WITH RECURSIVE ${GraphSql.edgesCte}, ${GraphSql.dagCte},
+    reach(node) AS (
+      SELECT CAST(0 AS INTEGER)
+      UNION
+      SELECT e.dst FROM reach r JOIN dag e ON e.src = r.node)
+    SELECT node FROM reach
+    WHERE node NOT IN (SELECT src FROM dag)
+    ORDER BY node"""
+
+  /** Transitive closure: per source node, how many nodes it reaches
+    * via ≥1 edge. One frontier loop over (root, node) pairs — all
+    * sources advance together, so the hop count (not the source
+    * count) bounds the number of shuffles.
+    */
+  private def g07(s: SparkSession, dir: String): DataFrame = {
+    val edges = TradeGraph.edges(s, dir)
+      .select(col("src"), col("dst")).localCheckpoint()
+    var pairs = edges.select(col("src").as("root"), col("dst").as("node")).distinct()
+      .localCheckpoint()
+    var frontier = pairs
+    while (!frontier.isEmpty) {
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(frontier("root"), edges("dst").as("node")).distinct()
+        .join(pairs, Seq("root", "node"), "left_anti")
+        .localCheckpoint()
+      pairs = pairs.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    val verts = TradeGraph.nodes(s, dir)
+    verts.join(pairs, verts("node") === pairs("root"), "left")
+      .groupBy(verts("node"))
+      .agg(count(pairs("root")).as("n_reachable"))
+      .orderBy(verts("node"))
+  }
+
+  private val g07Sql = s"""
+    WITH RECURSIVE ${GraphSql.edgesCte}, ${GraphSql.nodesCte},
+    r(root, nd) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.root, e.dst FROM r JOIN edges e ON e.src = r.nd)
+    SELECT n.node, count(r.root) AS n_reachable
+    FROM nodes n LEFT JOIN r ON r.root = n.node
+    GROUP BY n.node ORDER BY n.node"""
+
+  /** Bounded Bellman-Ford: min-cost path from node 0 on the DAG view
+    * using ≤4 relaxation rounds; edge cost is the integral trade-cost
+    * proxy FLOOR(1e6 / weight) + 1 so path sums stay exact.
+    */
+  private def g08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dag = TradeGraph.dagEdges(TradeGraph.edges(s, dir))
+      .select(col("src"), col("dst"),
+        (floor(lit(1000000.0) / col("weight")) + 1).cast("long").as("cost"))
+      .localCheckpoint()
+    var dist = Seq((0, 0L)).toDF("node", "cost")
+    for (_ <- 1 to 4) {
+      val relaxed = dist.join(dag, dist("node") === dag("src"))
+        .select(dag("dst").as("node"), (dist("cost") + dag("cost")).as("cost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("node"))
+  }
+
+  private val g08Sql = s"""
+    WITH RECURSIVE ${GraphSql.edgesCte},
+    dag AS (
+      SELECT src, dst, CAST(FLOOR(1000000.0 / weight) + 1 AS BIGINT) AS cost
+      FROM edges WHERE src < dst),
+    paths(node, cost, depth) AS (
+      SELECT CAST(0 AS INTEGER), CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.dst, p.cost + e.cost, p.depth + 1
+      FROM paths p JOIN dag e ON e.src = p.node
+      WHERE p.depth < 4)
+    SELECT node, MIN(cost) AS cost
+    FROM paths GROUP BY node ORDER BY node"""
+
+  val ops: Seq[Op] = Seq(
+    Op("g03_bfs_levels", g03, Some(g03Sql)),
+    Op("g04_dfs_terminal", g04, Some(g04Sql)),
+    Op("g07_reachability", g07, Some(g07Sql)),
+    Op("g08_shortest_path_weighted", g08, Some(g08Sql)))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.graph._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def edgeDf(pairs: (Int, Int)*) =
+    pairs.toSeq.toDF("src", "dst")
+
+  test("bfsLevels finds level order on a known path graph") {
+    // 0 -> 1 -> 2 -> 3, plus shortcut 0 -> 2
+    val e = edgeDf((0, 1), (1, 2), (2, 3), (0, 2))
+    val got = Traversals.bfsLevels(e, 0, 6).orderBy("node")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((0, 0), (1, 1), (2, 1), (3, 2)))
+  }
+
+  test("reachableFrom stops at unreachable nodes") {
+    val e = edgeDf((0, 1), (1, 2), (5, 6))
+    val got = Traversals.reachableFrom(e, 0).orderBy("node")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 1, 2))
+  }
+
+  test("labelPropagate separates two components") {
+    val nodes = Seq(0, 1, 2, 10, 11).toDF("node")
+    val sym = edgeDf((0, 1), (1, 0), (1, 2), (2, 1), (10, 11), (11, 10))
+    val got = Components.labelPropagate(nodes, sym).orderBy("node")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((0, 0), (1, 0), (2, 0), (10, 10), (11, 10)))
+  }
+
+  test("adjacency matrix text roundtrip matches G.txt format") {
+    val e = edgeDf((0, 1), (1, 2), (2, 0))
+    val text = AdjacencyCodec.toText(AdjacencyCodec.toMatrix(e, 3), 3)
+    assert(text == "3\n0 1 0\n0 0 1\n1 0 0")
+    val back = AdjacencyCodec.fromMatrix(AdjacencyCodec.parseText(spark, text))
+      .orderBy("src", "dst").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(back == Seq((0, 1), (1, 2), (2, 0)))
+  }
+
+  test("GraphStore add/modify/read with snapshot versioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstore").toString
+    val store = new GraphStore(spark, dir)
+    assert(store.list().isEmpty)
+    store.add("G1", edgeDf((0, 1), (1, 2)))
+    assert(store.currentVersion("G1").contains(1L))
+    assert(store.read("G1").count() == 2)
+    store.modify("G1", edgeDf((4, 5)))
+    assert(store.currentVersion("G1").contains(2L))
+    val rows = store.read("G1").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows == Seq((4, 5)))
+    store.add("G2", edgeDf((7, 8)))
+    assert(store.list() == Seq("G1", "G2"))
+    intercept[java.util.NoSuchElementException](store.read("missing"))
+  }
+
+  test("bipartite components report consistent sides") {
+    val got = SparkEntry.queries("g11_bipartite_cc")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3)) // n_nodes = customers + suppliers
+    }
+  }
+
+  test("pagerank ranks sum to ~1") {
+    val nodes = Seq(0, 1, 2).toDF("node")
+    val e = edgeDf((0, 1), (1, 2)) // node 2 dangles
+    val total = PageRank.run(nodes, e.withColumn("weight", lit(1L)), 10)
+      .agg(sum("rank")).collect()(0).getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9)
+  }
+}
