@@ -1,0 +1,225 @@
+package graft.dedup
+
+import graft.{Op, Tables}
+import graft.sim.Cosine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication suite over the `documents` table.
+  *
+  * Scale design: shingling and minhashing are per-row projections
+  * (higher-order array functions, codegen'd — the token stream is
+  * never exploded); only the band join shuffles, keyed by md5-band
+  * buckets whose uniformity bounds skew. Candidate verification
+  * (d04) touches only LSH-selected pairs, never the n² pair space.
+  */
+object Dedup {
+  private val K = 9      // minhash signatures
+  private val BANDS = 3  // bands of 3 rows each
+
+  // ---- shared minhash machinery -------------------------------------
+  // char-5-gram shingles; signature i = lexicographic min of
+  // md5("s<i>|" + shingle) — identical strings in both engines.
+  private def mhSpark(i: Int): String =
+    s"array_min(transform(sequence(1, greatest(length(text)-4, 1)), j -> md5(concat('s$i|', substr(text, j, 5)))))"
+
+  private def mhDuck(i: Int): String =
+    s"list_min(list_transform(range(1, greatest(len(text)-4, 1) + 1), j -> md5('s$i|' || substr(text, j, 5))))"
+
+  /** (doc_id, mh0..mh8) signature table. */
+  def minhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: (0 until K).map(i => expr(mhSpark(i)).as(s"mh$i")): _*)
+
+  private val mhCteDuck: String =
+    "mh AS (SELECT doc_id, " +
+      (0 until K).map(i => s"${mhDuck(i)} AS mh$i").mkString(", ") +
+      " FROM documents)"
+
+  /** LSH band table: (doc_id, band, bkey). */
+  def bands(mh: DataFrame): DataFrame = {
+    val bandCols = (0 until BANDS).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}"))).as("bkey"))
+    }
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  private val bandsCteDuck: String =
+    "bands AS (" + (0 until BANDS).map { b =>
+      s"SELECT doc_id, $b AS band, md5(mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2}) AS bkey FROM mh"
+    }.mkString(" UNION ALL ") + ")"
+
+  /** Candidate pairs sharing ≥1 band. */
+  def candidates(mh: DataFrame): DataFrame = {
+    val bnds = bands(mh)
+    val a = bnds.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bnds.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("bkey").as("bkey_b"))
+    a.join(b, col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  private val candCteDuck: String = """
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+
+  // ---- d01: exact dedup ---------------------------------------------
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("content_hash"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  private val d01Sql = """
+    SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY doc_id"""
+
+  // ---- d02: MinHash + LSH banding -----------------------------------
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashes(Tables(s, dir, "documents")).localCheckpoint()
+    val cand = candidates(mh)
+    val a = mh.toDF("doc_a" +: (0 until K).map(i => s"a$i"): _*)
+    val b = mh.toDF("doc_b" +: (0 until K).map(i => s"b$i"): _*)
+    val matches = (0 until K).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / lit(9.0)).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val d02Sql = {
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""
+    WITH $mhCteDuck, $bandsCteDuck, $candCteDuck
+    SELECT c.doc_a, c.doc_b,
+      CAST($matches AS DOUBLE) / CAST(9 AS DOUBLE) AS est_jaccard
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.doc_a
+    JOIN mh y ON y.doc_id = c.doc_b
+    ORDER BY c.doc_a, c.doc_b"""
+  }
+
+  // ---- d03: SimHash (16-bit) ----------------------------------------
+  // bit b of a token's hash = bit (b%4) of hex nibble (b/4) of md5;
+  // all-integer voting so both engines agree exactly.
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
+      .withColumn("th", md5(col("tok").cast("binary")))
+    val votes = (0 until 16).map { b =>
+      val nib = s"(instr('0123456789abcdef', substr(th, ${1 + b / 4}, 1)) - 1)"
+      sum(expr(s"2 * (($nib div ${1 << (b % 4)}) % 2) - 1")).as(s"v$b")
+    }
+    val fp = (0 until 16).map { b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val perDoc = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+    perDoc
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d03Sql = {
+    val votes = (0 until 16).map { b =>
+      val nib = s"(instr('0123456789abcdef', substr(th, ${1 + b / 4}, 1)) - 1)"
+      s"SUM(2 * (($nib // ${1 << (b % 4)}) % 2) - 1) AS v$b"
+    }.mkString(", ")
+    val fp = (0 until 16).map(b => s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, md5(t.tok) AS th
+      FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS t(tok)),
+    votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+    fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)
+    SELECT doc_id, simhash,
+      count(*) OVER (PARTITION BY simhash) AS bucket_n
+    FROM fps ORDER BY doc_id"""
+  }
+
+  // ---- d04: exact 3-token-shingle Jaccard on LSH candidates ---------
+  private val sh3Spark: String = """
+    CASE WHEN size(toks) >= 3 THEN
+      array_distinct(transform(sequence(1, size(toks) - 2),
+        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    ELSE array(text) END"""
+
+  private def d04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val mh = minhashes(docs).localCheckpoint()
+    val cand = candidates(mh)
+    val sh = docs
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t != '')"))
+      .select(col("doc_id"), expr(sh3Spark).as("sh3"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh3").as("sha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh3").as("shb"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("sha")) + size(col("shb"))).cast("long") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val d04Sql = s"""
+    WITH $mhCteDuck, $bandsCteDuck, $candCteDuck,
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        ELSE [text] END AS sh3
+      FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents))
+    SELECT c.doc_a, c.doc_b,
+      CAST(len(list_intersect(x.sh3, y.sh3)) AS BIGINT) AS n_inter,
+      CAST(len(x.sh3) + len(y.sh3) - len(list_intersect(x.sh3, y.sh3)) AS BIGINT) AS n_union,
+      CAST(len(list_intersect(x.sh3, y.sh3)) AS DOUBLE)
+        / CAST(len(x.sh3) + len(y.sh3) - len(list_intersect(x.sh3, y.sh3)) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    ORDER BY c.doc_a, c.doc_b"""
+
+  // ---- d05: embedding cosine near-dup within label buckets ----------
+  private def d05(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .withColumn("nrm", expr(Cosine.normSpark("embedding")))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr(Cosine.dotSpark("ea", "eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.30)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val d05Sql = s"""
+    WITH e AS (
+      SELECT label, vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm
+      FROM embeddings)
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      ${Cosine.dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ${Cosine.dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.30
+    ORDER BY vec_a, vec_b"""
+
+  val ops: Seq[Op] = Seq(
+    Op("d01_dedup_exact", d01, Some(d01Sql)),
+    Op("d02_minhash_lsh", d02, Some(d02Sql)),
+    Op("d03_simhash", d03, Some(d03Sql)),
+    Op("d04_ngram_jaccard", d04, Some(d04Sql)),
+    Op("d05_embedding_neardup", d05, Some(d05Sql)))
+}

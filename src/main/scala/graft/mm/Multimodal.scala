@@ -1,0 +1,106 @@
+package graft.mm
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata extracted from an opaque media payload. */
+final case class MediaMeta(width: Int, height: Int, format: String)
+
+/** A media row: opaque binary payload + typed metadata. */
+final case class MediaRow(id: Long, media: Array[Byte], meta: MediaMeta)
+
+/** A sampled frame: per-media frame index + fingerprint. */
+final case class Frame(id: Long, frame_idx: Int, frame_md5: String)
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The decode step is STUBBED (this container has no image/audio
+  * codecs): [[StubCodec]] derives deterministic metadata from the
+  * bytes. The Spark-side plumbing — binary columns, case-class
+  * Encoders, `mapPartitions` batch shape, partition-local batching —
+  * is real and is what matters at 100 TB: payloads never pass through
+  * the driver, decode parallelism = partition count, and the iterator
+  * contract keeps memory at one batch per task.
+  */
+object Multimodal {
+
+  /** Deterministic stand-in for a real media codec. */
+  object StubCodec {
+    /** "Decode" a payload: metadata derived from size + first bytes. */
+    def decode(payload: Array[Byte]): MediaMeta = {
+      val n = payload.length
+      val first = if (n > 0) payload(0) & 0xff else 0
+      MediaMeta(64 + n % 577, 64 + (n * 31) % 417, if (first % 2 == 0) "img" else "vid")
+    }
+
+    /** "Resize": new metadata, payload untouched (stub). */
+    def resize(meta: MediaMeta, maxDim: Int): MediaMeta = {
+      val scale = math.max(meta.width, meta.height).toDouble / maxDim
+      if (scale <= 1.0) meta
+      else MediaMeta((meta.width / scale).toInt, (meta.height / scale).toInt, meta.format)
+    }
+
+    /** "Frame-sample": k deterministic fingerprints from the payload. */
+    def frames(id: Long, payload: Array[Byte], k: Int): Seq[Frame] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until k).map { i =>
+        md.reset()
+        md.update(payload)
+        md.update(i.toByte)
+        val hex = md.digest().map("%02x".format(_)).mkString
+        Frame(id, i, hex)
+      }
+    }
+  }
+
+  /** documents.text reinterpreted as an opaque media payload — the
+    * plumbing contract is identical for real image bytes.
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaRow(id, payload, StubCodec.decode(payload))
+      })
+  }
+
+  /** Batch decode+resize over partitions: the iterator-in/iterator-out
+    * shape a Pandas-UDF / mapInPandas pipeline would use, here with
+    * typed Encoders.
+    */
+  def decodeAndResize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] =
+    media.mapPartitions(_.map(r => r.copy(meta = StubCodec.resize(r.meta, maxDim))))(media.encoder)
+
+  /** Frame sampling: one media row fans out to k frame rows. */
+  def sampleFrames(media: Dataset[MediaRow], k: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => StubCodec.frames(r.id, r.media, k)))
+  }
+
+  /** m01: binary payload + typed metadata projection (SQL-oracled on
+    * the size/hash part; stub width/height mirrored as integer math).
+    */
+  private def m01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("media", col("text").cast("binary"))
+      .select(col("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        md5(col("media")).as("content_md5"),
+        (lit(64) + length(col("media")) % 577).as("stub_width"),
+        (lit(64) + (length(col("media")) * 31) % 417).as("stub_height"))
+      .orderBy(col("doc_id"))
+
+  private val m01Sql = """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_md5,
+      CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS stub_width,
+      CAST(64 + (octet_length(encode(text)) * 31) % 417 AS INTEGER) AS stub_height
+    FROM documents ORDER BY doc_id"""
+
+  val ops: Seq[Op] = Seq(Op("m01_binary_meta", m01, Some(m01Sql)))
+}

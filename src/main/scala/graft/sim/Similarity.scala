@@ -1,0 +1,143 @@
+package graft.sim
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * Three tiers, trading recall for scan cost:
+  *  - s01 brute force: exact top-k, the correctness baseline. The
+  *    query set is tiny so it broadcasts; the big side is scanned once
+  *    with the dot product inside whole-stage codegen.
+  *  - s02 sign-LSH: an 8-bit sign signature partitions vectors into
+  *    256 buckets; probes only join their own bucket — the shuffle
+  *    moves 1/256th of the pair space.
+  *  - s03 IVF: coarse quantizer (label-mean centroids), probe the
+  *    nearest centroid's inverted list only. Centroid means are float
+  *    (order-dependent), so this op is rows-checked, not SQL-oracled.
+  */
+object Similarity {
+  private val TOPK = 5
+  private val NQUERIES = 10
+
+  private def embWithNorm(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("nrm", expr(Cosine.normSpark("embedding")))
+
+  /** Rank strictly by exact cosine, ties by neighbor id — both engines
+    * compute identical cosine bits (see [[Cosine]]) so the ranking is
+    * deterministic.
+    */
+  private def topkPerQuery(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- s01: brute-force exact top-k ---------------------------------
+  private def s01(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(s, dir)
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
+    val pairs = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(Cosine.dotSpark("eq", "ec")) / (col("nq") * col("nc")))
+    topkPerQuery(pairs)
+  }
+
+  private val s01Sql = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${Cosine.dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < $NQUERIES),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos, rank FROM ranked
+    WHERE rank <= $TOPK ORDER BY query_id, rank"""
+
+  // ---- s02: sign-LSH bucketed approximate top-k ---------------------
+  // bucket = 8 sign bits of the first 8 dimensions (a fixed axis-
+  // aligned hyperplane family — deterministic and SQL-expressible).
+  private val bucketSpark: String =
+    (1 to 8).map(i => s"(CASE WHEN element_at(embedding, $i) >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+
+  private val bucketDuck: String =
+    (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(s, dir).withColumn("bucket", expr(bucketSpark))
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
+        col("embedding").as("eq"), col("nrm").as("nq"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("bucket").as("cb"),
+      col("embedding").as("ec"), col("nrm").as("nc"))
+    val pairs = broadcast(q)
+      .join(c, col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(Cosine.dotSpark("eq", "ec")) / (col("nq") * col("nc")))
+    topkPerQuery(pairs)
+  }
+
+  private val s02Sql = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm,
+        $bucketDuck AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${Cosine.dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < $NQUERIES),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos, rank FROM ranked
+    WHERE rank <= $TOPK ORDER BY query_id, rank"""
+
+  // ---- s03: IVF-style partitioned search ----------------------------
+  private def s03(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(s, dir)
+    // Coarse quantizer: per-label mean vector (the labels stand in for
+    // k-means cells; at scale these come from a training pass).
+    val unpacked = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val centroids = unpacked.groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
+    // Assign each probe to its nearest centroid (cosine), then search
+    // only that cell's inverted list.
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    val qc = broadcast(q).crossJoin(broadcast(centroids))
+      .withColumn("cnorm", expr(Cosine.normSpark("centroid")))
+      .withColumn("ccos", expr(Cosine.dotSpark("eq", "centroid")) / (col("nq") * col("cnorm")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("crank") === 1)
+      .select(col("query_id"), col("eq"), col("nq"), col("label").as("probe_label"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("embedding").as("ec"), col("nrm").as("nc"))
+    val pairs = qc.join(c, col("probe_label") === col("label") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(Cosine.dotSpark("eq", "ec")) / (col("nq") * col("nc")))
+    topkPerQuery(pairs)
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("s01_knn_bruteforce", s01, Some(s01Sql)),
+    Op("s02_ann_signlsh", s02, Some(s02Sql)),
+    Op("s03_ivf_label", s03, None))
+}

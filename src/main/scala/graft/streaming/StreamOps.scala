@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A typed event for stateful processing (epoch seconds). */
+final case class SEvent(user_id: Long, es: Long, value: Double)
+
+/** A closed session emitted by the stateful sessionizer. */
+final case class Session(user_id: Long, start_es: Long, end_es: Long,
+    n_events: Long, total_value: Double)
+
+/** Open-session state carried between micro-batches. */
+final case class SessionAcc(start_es: Long, end_es: Long, n_events: Long,
+    total_value: Double)
+
+/** Structured Streaming surface: the reference's "server keeps serving
+  * while clients add requests" behavior maps to continuous queries.
+  * All transforms are mode-agnostic — the same plan runs on a batch
+  * DataFrame or a `readStream` source; watermarks bound state so a
+  * 100 TB/day stream can't grow executor state without bound.
+  */
+object StreamOps {
+
+  /** Watermarked hourly tumbling aggregate (streaming analog of e02). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Native session windows (30-min gap), batch- and stream-capable. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("start_ts"),
+        col("sw.end").as("end_ts"), col("n_events"), col("total_value"))
+
+  /** Custom-state sessionizer via flatMapGroupsWithState: emits a
+    * session when a ≥30-min gap closes it; the open session rides in
+    * [[GroupState]]. With `ProcessingTimeTimeout` (the production
+    * default) idle users' open sessions are flushed after an hour;
+    * `NoTimeout` keeps them pinned (useful for deterministic tests —
+    * ProcessingTimeTimeout makes the micro-batch engine schedule
+    * continuous timeout-check batches, which starves
+    * `processAllAvailable`).
+    */
+  def sessionizeStateful(events: Dataset[SEvent],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](OutputMode.Append(), timeout)(processUser)
+  }
+
+  private val GapSeconds = 1800L
+
+  private[streaming] def processUser(user: Long, events: Iterator[SEvent],
+      state: GroupState[SessionAcc]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator.single(Session(user, s.start_es, s.end_es, s.n_events, s.total_value))
+    }
+    val sorted = events.toArray.sortBy(e => (e.es, e.value))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var acc = state.getOption.orNull
+    sorted.foreach { e =>
+      if (acc == null) {
+        acc = SessionAcc(e.es, e.es, 1L, e.value)
+      } else if (e.es - acc.end_es > GapSeconds) {
+        closed += Session(user, acc.start_es, acc.end_es, acc.n_events, acc.total_value)
+        acc = SessionAcc(e.es, e.es, 1L, e.value)
+      } else {
+        acc = SessionAcc(acc.start_es, e.es, acc.n_events + 1L, acc.total_value + e.value)
+      }
+    }
+    if (acc != null) {
+      state.update(acc)
+      // no-op under NoTimeout / batch execution
+      try state.setTimeoutDuration("1 hour")
+      catch { case _: UnsupportedOperationException => () }
+    }
+    closed.iterator
+  }
+}

@@ -1,0 +1,145 @@
+package graft.text
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, and fingerprinting — all per-row
+  * projections (codegen'd string/array functions, no UDFs, no
+  * shuffles), so they scan at parquet speed at any scale.
+  */
+object TextOps {
+
+  private val toksExpr = "filter(split(text, ' '), t -> t != '')"
+  private val toksDuck = "list_filter(string_split(text, ' '), t -> t != '')"
+
+  // BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+  private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  // ---- t01: token counting ------------------------------------------
+  private def t01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(expr(toksExpr)).cast("long").as("n_ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$bpePattern', 0)")).cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val t01Sql = s"""
+    SELECT doc_id,
+      CAST(len($toksDuck) AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS n_bpe_tokens,
+      CAST(len(text) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id"""
+
+  // ---- t02: quality scoring -----------------------------------------
+  // score = 0.4*stopword_ratio + 0.4*(1 - punct_ratio) + 0.2*min(n_tok/100, 1)
+  // — fixed-order double arithmetic, identical expression tree in both
+  // engines.
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  private def t02(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, t -> t IN ($stopListSql))")).cast("long"))
+      .withColumn("n_punct",
+        size(expr("regexp_extract_all(text, '[!?,.;:]', 0)")).cast("long"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tok").cast("double"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / length(col("text")).cast("double"))
+      .withColumn("quality_score",
+        lit(0.4) * col("stop_ratio") + lit(0.4) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.2) * least(col("n_tok").cast("double") / lit(100.0), lit(1.0)))
+      .select(col("doc_id"), col("n_tok"), col("n_stop"), col("n_punct"),
+        col("stop_ratio"), col("punct_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  private val t02Sql = s"""
+    WITH base AS (
+      SELECT doc_id, text,
+        CAST(len($toksDuck) AS BIGINT) AS n_tok,
+        CAST(len(list_filter($toksDuck, t -> t IN ($stopListSql))) AS BIGINT) AS n_stop,
+        CAST(len(regexp_extract_all(text, '[!?,.;:]')) AS BIGINT) AS n_punct
+      FROM documents)
+    SELECT doc_id, n_tok, n_stop, n_punct,
+      CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+      CAST(n_punct AS DOUBLE) / CAST(len(text) AS DOUBLE) AS punct_ratio,
+      CAST(0.4 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        + CAST(0.4 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(len(text) AS DOUBLE))
+        + CAST(0.2 AS DOUBLE) * least(CAST(n_tok AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+        AS quality_score
+    FROM base ORDER BY doc_id"""
+
+  // ---- t03: language ID ---------------------------------------------
+  // stopword-marker scoring; argmax with alphabetical tie-break, then
+  // compared against the labeled `lang` column.
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de5", "le5", "shi4", "zai4", "he2"))
+
+  private def t03(s: SparkSession, dir: String): DataFrame = {
+    val scored = markers.foldLeft(
+      Tables(s, dir, "documents").withColumn("toks", expr(toksExpr))) {
+      case (df, (lang, ws)) =>
+        val list = ws.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"s_$lang", size(expr(s"filter(toks, t -> t IN ($list))")))
+    }
+    val mx = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = markers.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case ((lang, _), acc) => when(col(s"s_$lang") === mx && mx > 0, lang).otherwise(acc)
+    }
+    // foldRight gives priority to the alphabetically-first lang at ties
+    scored.withColumn("pred_lang", pred)
+      .withColumn("is_correct", when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("pred_lang"), col("lang"), col("is_correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t03Sql = {
+    val scores = markers.map { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toksDuck, t -> t IN ($list))) AS s_$lang"
+    }.mkString(", ")
+    val mx = "greatest(" + markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val pred = "CASE " + markers.map { case (lang, _) =>
+      s"WHEN s_$lang = mx AND mx > 0 THEN '$lang'"
+    }.mkString(" ") + " ELSE 'und' END"
+    s"""
+    WITH scored AS (SELECT doc_id, lang, $scores FROM documents),
+    mxd AS (SELECT *, $mx AS mx FROM scored)
+    SELECT doc_id, $pred AS pred_lang, lang,
+      CAST(CASE WHEN ($pred) = lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+    FROM mxd ORDER BY doc_id"""
+  }
+
+  // ---- t04: document fingerprinting ---------------------------------
+  private def t04(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        md5(expr("array_join(array_sort(array_distinct(toks)), ' ')").cast("binary")).as("token_fp"),
+        size(expr("array_distinct(toks)")).cast("long").as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val t04Sql = s"""
+    SELECT doc_id,
+      md5(text) AS content_md5,
+      md5(array_to_string(list_sort(list_distinct($toksDuck)), ' ')) AS token_fp,
+      CAST(len(list_distinct($toksDuck)) AS BIGINT) AS n_distinct_tokens
+    FROM documents ORDER BY doc_id"""
+
+  val ops: Seq[Op] = Seq(
+    Op("t01_token_count", t01, Some(t01Sql)),
+    Op("t02_quality_score", t02, Some(t02Sql)),
+    Op("t03_langid", t03, Some(t03Sql)),
+    Op("t04_fingerprint", t04, Some(t04Sql)))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("watermarked tumbling agg finalizes windows on a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingCounts(df).writeStream
+      .format("memory").queryName("tumbling_out").outputMode("append").start()
+    try {
+      in.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(65), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark past hour 0+2h so the first windows finalize
+      in.addData((ts(300), "late", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling_out")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session_window groups by 30-min gaps on a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = in.toDF().toDF("ts", "user_id", "value")
+    val q = StreamOps.sessionWindows(df).writeStream
+      .format("memory").queryName("session_out").outputMode("append").start()
+    try {
+      // user 7: events at 0 and 10 min (one session), then 120 min (new session)
+      in.addData((ts(0), 7L, 1.0), (ts(10), 7L, 1.0), (ts(120), 7L, 1.0))
+      q.processAllAvailable()
+      in.addData((ts(600), 99L, 0.0)) // push watermark
+      q.processAllAvailable()
+      val out = spark.table("session_out")
+        .filter(col("user_id") === 7L)
+        .select("n_events").collect().map(_.getLong(0)).sorted.toSeq
+      assert(out == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer matches the batch sessionization on closed sessions") {
+    // fixture: user 1 has two sessions (gap 31 min), user 2 one session
+    val evs = Seq(
+      SEvent(1L, 0L, 1.0), SEvent(1L, 600L, 2.0),       // session A: 2 events
+      SEvent(1L, 600L + 1860L, 5.0),                    // session B (31-min gap)
+      SEvent(2L, 100L, 4.0)).toDS()
+    val sessions = StreamOps.sessionizeStateful(evs).collect()
+    // batch mode: only gap-closed sessions are emitted (open ones stay in state)
+    assert(sessions.toSeq == Seq(Session(1L, 0L, 600L, 2L, 3.0)))
+  }
+
+  test("stateful sessionizer emits sessions incrementally on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SEvent]
+    val q = StreamOps.sessionizeStateful(in.toDS(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()).writeStream
+      .format("memory").queryName("stateful_out").outputMode("append").start()
+    try {
+      in.addData(SEvent(5L, 1000L, 1.0), SEvent(5L, 1100L, 2.0))
+      q.processAllAvailable()
+      in.addData(SEvent(5L, 1100L + 2000L, 7.0)) // gap > 30 min closes session 1
+      q.processAllAvailable()
+      val out = spark.table("stateful_out").as[Session].collect().toSeq
+      assert(out == Seq(Session(5L, 1000L, 1100L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}
