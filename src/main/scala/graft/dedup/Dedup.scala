@@ -19,22 +19,41 @@ object Dedup {
   private val BANDS = 3  // bands of 3 rows each
 
   // ---- shared minhash machinery -------------------------------------
-  // char-5-gram shingles; signature i = lexicographic min of
-  // md5("s<i>|" + shingle) — identical strings in both engines.
-  private def mhSpark(i: Int): String =
-    s"array_min(transform(sequence(1, greatest(length(text)-4, 1)), j -> md5(concat('s$i|', substr(text, j, 5)))))"
-
-  private def mhDuck(i: Int): String =
-    s"list_min(list_transform(range(1, greatest(len(text)-4, 1) + 1), j -> md5('s$i|' || substr(text, j, 5))))"
+  // char-5-gram shingles; the K=9 signatures are 7-hex-char chunks of
+  // two md5 digests per shingle (md5(sh) || md5('x'+sh), 64 chars):
+  // 2 cryptographic hashes fan out into 9 independent 28-bit hash
+  // families instead of 9 md5 calls per shingle (4.5x less hashing).
+  // Signature i = lexicographic min chunk over the doc's shingles —
+  // identical strings in both engines.
+  //
+  // Scale shape: explode(shingles) -> md5 -> min-aggregate is a
+  // map-side-combining aggregation keyed by doc_id; each combiner
+  // folds its own doc's shingles, and the exploded token stream never
+  // crosses the shuffle.
+  private val shinglesSpark =
+    "transform(sequence(1, greatest(length(text)-4, 1)), j -> substr(text, j, 5))"
 
   /** (doc_id, mh0..mh8) signature table. */
-  def minhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id") +: (0 until K).map(i => expr(mhSpark(i)).as(s"mh$i")): _*)
+  def minhashes(docs: DataFrame): DataFrame = {
+    val mins = (0 until K).map(i => min(substring(col("dig"), 1 + 7 * i, 7)).as(s"mh$i"))
+    docs.select(col("doc_id"), explode(expr(shinglesSpark)).as("sh"))
+      .select(col("doc_id"),
+        concat(md5(col("sh").cast("binary")),
+          md5(concat(lit("x"), col("sh")).cast("binary"))).as("dig"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
 
-  private val mhCteDuck: String =
-    "mh AS (SELECT doc_id, " +
-      (0 until K).map(i => s"${mhDuck(i)} AS mh$i").mkString(", ") +
-      " FROM documents)"
+  private val mhCteDuck: String = {
+    val mins = (0 until K).map(i => s"MIN(substr(dig, ${1 + 7 * i}, 7)) AS mh$i").mkString(", ")
+    s"""mh AS (
+      SELECT doc_id, $mins
+      FROM (SELECT doc_id, md5(sh) || md5('x' || sh) AS dig
+            FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(text)-4, 1) + 1),
+                    j -> substr(text, j, 5))) AS sh
+                  FROM documents))
+      GROUP BY doc_id)"""
+  }
 
   /** LSH band table: (doc_id, band, bkey). */
   def bands(mh: DataFrame): DataFrame = {
@@ -194,13 +213,14 @@ object Dedup {
   // ---- d05: embedding cosine near-dup within label buckets ----------
   private def d05(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-      .withColumn("nrm", expr(Cosine.normSpark("embedding")))
+      .withColumn("nrm", graft.functions.VectorFunctions.floatNorm(col("embedding")))
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos", expr(Cosine.dotSpark("ea", "eb")) / (col("na") * col("nb")))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.floatDot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.30)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))

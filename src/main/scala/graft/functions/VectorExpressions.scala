@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * Spark's higher-order functions (`aggregate`, `transform`) evaluate
+  * their lambdas interpreted — fine for projections, but a 64-step
+  * fold per candidate pair dominates the ANN/near-dup joins. These
+  * expressions emit a tight Java loop via `doGenCode`, keeping the dot
+  * product inside whole-stage codegen (~10× over the HOF form at
+  * sf0.1).
+  *
+  * Bit-parity contract (see graft.sim.Cosine): the loop accumulates
+  * LEFT TO RIGHT IN INDEX ORDER with per-element double casts —
+  * exactly the fold the DuckDB oracle (`list_reduce`) performs, so
+  * results stay bit-identical to both the oracle and the HOF
+  * implementation they replace.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"float_vec_dot expects two array<float> arguments, got " +
+            s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an Array[Float] column — same in-order fold contract. */
+case class FloatVecNorm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"float_vec_norm expects array<float>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+        int $n = $a.numElements();
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $v = (double) $a.getFloat($i);
+          $acc += $v * $v;
+        }
+        ${ev.value} = java.lang.Math.sqrt($acc);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Codegen'd in-index-order dot product of two Array[Float] columns. */
+  def floatDot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd L2 norm of an Array[Float] column. */
+  def floatNorm(a: Column): Column =
+    ColumnBridge.column(FloatVecNorm(ColumnBridge.expression(a)))
+}

@@ -15,10 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** (node, comp) with comp = min node id in the component. */
+  /** (node, comp) with comp = min node id in the component.
+    *
+    * Convergence check: labels only ever decrease, so the global label
+    * sum strictly decreases until fixpoint — comparing one scalar
+    * aggregate per round replaces a join against the previous labels
+    * (one cheap job instead of a shuffle per iteration).
+    */
   def labelPropagate(nodes: DataFrame, symEdges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = symEdges.select(col("src"), col("dst")).localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint()
+    var labelSum = Long.MaxValue
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -28,10 +35,9 @@ object Components {
       val next = labels.select(col("node"), col("comp")).unionAll(msgs)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
+      val nextSum = next.agg(sum(col("comp").cast("long"))).collect()(0).getLong(0)
+      converged = nextSum == labelSum
+      labelSum = nextSum
       labels = next
     }
     labels

@@ -1,6 +1,7 @@
 package graft.sim
 
 import graft.{Op, Tables}
+import graft.functions.VectorFunctions.{floatDot, floatNorm}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,7 +25,7 @@ object Similarity {
 
   private def embWithNorm(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
-      .withColumn("nrm", expr(Cosine.normSpark("embedding")))
+      .withColumn("nrm", floatNorm(col("embedding")))
 
   /** Rank strictly by exact cosine, ties by neighbor id — both engines
     * compute identical cosine bits (see [[Cosine]]) so the ranking is
@@ -46,7 +47,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
     val pairs = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(Cosine.dotSpark("eq", "ec")) / (col("nq") * col("nc")))
+      .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
     topkPerQuery(pairs)
   }
 
@@ -86,7 +87,7 @@ object Similarity {
       col("embedding").as("ec"), col("nrm").as("nc"))
     val pairs = broadcast(q)
       .join(c, col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(Cosine.dotSpark("eq", "ec")) / (col("nq") * col("nc")))
+      .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
     topkPerQuery(pairs)
   }
 
@@ -132,7 +133,7 @@ object Similarity {
       col("embedding").as("ec"), col("nrm").as("nc"))
     val pairs = qc.join(c, col("probe_label") === col("label") &&
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(Cosine.dotSpark("eq", "ec")) / (col("nq") * col("nc")))
+      .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
     topkPerQuery(pairs)
   }
 
