@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions so `spark.sql("... float_vec_dot(a,b)
+  * ...")` works in any session built with
+  * `.withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("float_vec_norm"),
+      new ExpressionInfo(classOf[FloatVecNorm].getName, "float_vec_norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecNorm(exprs.head)))
+  }
+}

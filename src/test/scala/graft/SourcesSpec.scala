@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.GraphTextIO
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("G.txt roundtrip through the file source/sink") {
+    val dir = java.nio.file.Files.createTempDirectory("gtxt")
+    val edges = Seq((0, 1), (1, 2), (2, 0), (2, 3)).toDF("src", "dst")
+    GraphTextIO.write(edges, n = 4, path = s"$dir/G1.txt")
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/G1.txt")), "UTF-8")
+    assert(text == "4\n0 1 0 0\n0 0 1 0\n1 0 0 1\n0 0 0 0\n")
+    val back = GraphTextIO.read(spark, s"$dir/G1.txt")
+    assert(back.select("graph").distinct().collect().map(_.getString(0)).toSeq == Seq("G1"))
+    val pairs = back.select("src", "dst").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((0, 1), (1, 2), (2, 0), (2, 3)))
+  }
+
+  test("reading a directory of graph files keeps them separate") {
+    val dir = java.nio.file.Files.createTempDirectory("gtxts")
+    GraphTextIO.write(Seq((0, 1)).toDF("src", "dst"), 2, s"$dir/G1.txt")
+    GraphTextIO.write(Seq((1, 0)).toDF("src", "dst"), 2, s"$dir/G2.txt")
+    val all = GraphTextIO.read(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(all == Set(("G1", 0, 1), ("G2", 1, 0)))
+  }
+
+  test("GraftExtensions registers SQL vector functions") {
+    // make sure we don't get handed the shared extension-less session
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try testSql(s2)
+    finally {
+      SparkSession.clearActiveSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  private def testSql(s2: SparkSession): Unit = {
+    val df = s2.sql(
+      """SELECT float_vec_dot(cast(array(1.0, 2.0) as array<float>),
+        |                     cast(array(3.0, 4.0) as array<float>)) AS d,
+        |       float_vec_norm(cast(array(3.0, 4.0) as array<float>)) AS n""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+  }
+}
