@@ -32,6 +32,11 @@ object PageRank {
       .localCheckpoint()
     val n = nodes.count().toDouble
     val dec = DecimalType(28, 15)
+    // With no dangling nodes the redistribution term is identically
+    // +0.0 (bit-neutral on non-negative ranks), so skip its per-
+    // iteration aggregate+broadcast entirely — one upfront check
+    // instead of 10 broadcast jobs.
+    val hasDangling = !outDeg.filter(col("outdeg") === 0).isEmpty
     var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
     for (_ <- 1 to iters) {
       val withDeg = ranks.join(outDeg, Seq("node"))
@@ -39,15 +44,20 @@ object PageRank {
         .join(e, col("node") === e("src"))
         .groupBy(e("dst").as("node"))
         .agg(sum((col("rank") / col("outdeg")).cast(dec)).cast("double").as("s"))
-      val dangling = withDeg.filter(col("outdeg") === 0)
-        .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0)).as("dm"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit(0.15) / lit(n) +
-            lit(D) * (coalesce(col("s"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
-        .localCheckpoint()
+      val base = nodes.join(contribs, Seq("node"), "left")
+      val next =
+        if (hasDangling) {
+          val dangling = withDeg.filter(col("outdeg") === 0)
+            .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(0.15) / lit(n) +
+                lit(D) * (coalesce(col("s"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
+        } else {
+          base.select(col("node"),
+            (lit(0.15) / lit(n) + lit(D) * coalesce(col("s"), lit(0.0))).as("rank"))
+        }
+      ranks = next.localCheckpoint()
     }
     ranks
   }
