@@ -41,6 +41,14 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("start_ts"),
         col("sw.end").as("end_ts"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: keep the first arrival of each id, with
+    * state bounded by the watermark (the streaming half of d01 — a
+    * training-data ingest pipeline dedups at the door, not in a nightly
+    * batch).
+    */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(idCol)
+
   /** Custom-state sessionizer via flatMapGroupsWithState: emits a
     * session when a ≥30-min gap closes it; the open session rides in
     * [[GroupState]]. With `ProcessingTimeTimeout` (the production

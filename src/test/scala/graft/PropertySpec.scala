@@ -1,0 +1,68 @@
+package graft
+
+import graft.graph.AdjacencyCodec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic sampler (scalatestplus isn't in the offline cache). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("adjacency codec roundtrips arbitrary small graphs") {
+    val genGraph = for {
+      n <- Gen.choose(1, 12)
+      edges <- Gen.listOf(Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, edges.distinct)
+    samples(genGraph, 8).foreach { case (n, edges) =>
+      val df =
+        if (edges.isEmpty) Seq((0, 0)).toDF("src", "dst").limit(0)
+        else edges.toDF("src", "dst")
+      val text = AdjacencyCodec.toText(AdjacencyCodec.toMatrix(df, n), n)
+      val back = AdjacencyCodec.fromMatrix(AdjacencyCodec.parseText(spark, text))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(back == edges.toSet, s"n=$n edges=$edges")
+    }
+  }
+
+  test("codegen dot/norm are bit-identical to an in-order Scala fold") {
+    val genVecs = for {
+      n <- Gen.choose(1, 80)
+      a <- Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f))
+      b <- Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f))
+    } yield (a, b)
+    samples(genVecs, 8).foreach { case (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(VectorFunctions.floatDot(col("a"), col("b")).as("d"),
+          VectorFunctions.floatNorm(col("a")).as("n"))
+        .collect()(0)
+      val expDot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val expNorm = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(expDot))
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(expNorm))
+    }
+  }
+
+  test("saltedJoin and saltedCount match their unsalted equivalents on skewed data") {
+    // 90% of rows share one hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "v")
+    val small = Seq((7L, "hot"), (100L, "cold"), (999L, "unused")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = ops.Skew.saltedJoin(big, small, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("v")).collect()(0).getLong(0) ==
+      plain.agg(sum("v")).collect()(0).getLong(0))
+    val counts = ops.Skew.saltedCount(big, "k", salt = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts(7L) == 1800L)
+  }
+}

@@ -54,6 +54,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "doc_id")
+    val q = StreamOps.dedupStream(df, "doc_id").writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L), (ts(1), 2L), (ts(2), 1L)) // dup in-batch
+      q.processAllAvailable()
+      in.addData((ts(10), 1L), (ts(11), 3L)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer matches the batch sessionization on closed sessions") {
     // fixture: user 1 has two sessions (gap 31 min), user 2 one session
     val evs = Seq(
