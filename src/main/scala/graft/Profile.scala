@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiling main: stage-level timing for the expensive operators
+  * so optimization targets facts, not guesses.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $name ($r)")
+    }
+
+    val docs = Tables(spark, sfDir, "documents")
+    t("warmup")(docs.count())
+    val mh = dedup.Dedup.minhashes(docs)
+    t("d02.minhashes")(mh.count())
+    val mhc = mh.localCheckpoint()
+    t("d02.minhashes.checkpoint")(mhc.count())
+    t("d02.candidates")(dedup.Dedup.candidates(mhc).count())
+    t("d02.full")(SparkEntry.queries("d02_minhash_lsh")(spark, sfDir).count())
+    t("d04.full")(SparkEntry.queries("d04_ngram_jaccard")(spark, sfDir).count())
+    t("g11.full")(SparkEntry.queries("g11_bipartite_cc")(spark, sfDir).count())
+    spark.stop()
+  }
+}

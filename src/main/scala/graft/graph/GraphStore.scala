@@ -45,6 +45,29 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
   def add(name: String, edges: DataFrame): Unit = put(name, edges)
   def modify(name: String, edges: DataFrame): Unit = put(name, edges)
 
+  /** Incremental modify: publish a new snapshot = (current ∖ deletions)
+    * ∪ additions, keyed by (src, dst). The reference's "modify graph"
+    * rewrites the whole matrix (≤30 nodes); at billions of edges the
+    * delta form is the only one that scales — one anti-join + union,
+    * still an atomic snapshot publish.
+    */
+  def applyDelta(name: String, additions: DataFrame, deletions: DataFrame): Unit = {
+    val current = read(name)
+    val keep = current.join(
+      deletions.select(deletions("src"), deletions("dst")), Seq("src", "dst"), "left_anti")
+    put(name, keep.unionByName(additions, allowMissingColumns = true))
+  }
+
+  /** Remove a graph entirely (reference cleanup.c broadcast shutdown —
+    * here a plain recursive delete; readers of an already-resolved
+    * snapshot are unaffected mid-query on object stores).
+    */
+  def drop(name: String): Unit = {
+    val dir = graphDir(name)
+    val f = fs(dir)
+    if (f.exists(dir)) f.delete(dir, true)
+  }
+
   /** Read the current snapshot of `name`. */
   def read(name: String): DataFrame = {
     val v = currentVersion(name).getOrElse(

@@ -69,6 +69,19 @@ class GraphSpec extends AnyFunSuite {
     intercept[java.util.NoSuchElementException](store.read("missing"))
   }
 
+  test("GraphStore applyDelta and drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graphdelta").toString
+    val store = new GraphStore(spark, dir)
+    store.add("G", edgeDf((0, 1), (1, 2), (2, 3)))
+    store.applyDelta("G", additions = edgeDf((5, 6)), deletions = edgeDf((1, 2)))
+    val rows = store.read("G").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(rows == Set((0, 1), (2, 3), (5, 6)))
+    assert(store.currentVersion("G").contains(2L))
+    store.drop("G")
+    assert(store.list().isEmpty)
+    intercept[java.util.NoSuchElementException](store.read("G"))
+  }
+
   test("bipartite components report consistent sides") {
     val got = SparkEntry.queries("g11_bipartite_cc")(spark, "/root/testdata/sf0.001")
       .collect()
