@@ -111,8 +111,41 @@ object Events {
     GROUP BY d.day
     ORDER BY d.day"""
 
+  /** As-of join composed from built-ins (preference (a) before any
+    * custom operator): each purchase matched to the user's most recent
+    * click at-or-before it — one window pass carrying the last click
+    * timestamp forward, no range-join blowup. At 100 TB this is a
+    * single shuffle on user_id reused by the window sort.
+    */
+  private def e04(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withEpoch(s, dir)
+      .withColumn("click_es",
+        last(when(col("event_type") === "click", col("es")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_es").isNotNull)
+      .select(col("event_id"), col("user_id"), col("es"), col("click_es"),
+        (col("es") - col("click_es")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e04Sql = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000000000) AS es
+      FROM events),
+    w AS (
+      SELECT *, last_value(CASE WHEN event_type = 'click' THEN es END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY es, event_id ROWS UNBOUNDED PRECEDING) AS click_es
+      FROM ev)
+    SELECT event_id, user_id, es, click_es, es - click_es AS gap_s
+    FROM w
+    WHERE event_type = 'purchase' AND click_es IS NOT NULL
+    ORDER BY event_id"""
+
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
     Op("e02_tumbling_window", e02, Some(e02Sql)),
-    Op("e03_retention", e03, Some(e03Sql)))
+    Op("e03_retention", e03, Some(e03Sql)),
+    Op("e04_asof_join", e04, Some(e04Sql)))
 }

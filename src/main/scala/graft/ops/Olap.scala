@@ -227,8 +227,32 @@ object Olap {
     GROUP BY n_name
     ORDER BY n_name"""
 
+  /** Exact interpolated percentiles per group (SQL-standard
+    * percentile_cont in both engines).
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_q11")
+    s.sql("""
+      SELECT l_returnflag,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+      FROM lineitem_q11
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
+  private val q11Sql = """
+    SELECT l_returnflag,
+      percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+      percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   val ops: Seq[Op] = Seq(
     Op("q01_pricing_summary", q01, Some(q01Sql)),
+    Op("q11_percentiles", q11, Some(q11Sql)),
     Op("q03_top_orders", q03, Some(q03Sql)),
     Op("q05_nation_revenue", q05, Some(q05Sql)),
     Op("q06_forecast_filter", q06, Some(q06Sql)),
