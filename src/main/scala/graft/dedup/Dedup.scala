@@ -236,8 +236,59 @@ object Dedup {
     WHERE ${Cosine.dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.30
     ORDER BY vec_a, vec_b"""
 
+  // ---- d06: near-dup clustering -------------------------------------
+  // LSH candidates with ≥5/9 matching signatures form a dup graph;
+  // connected components pick one canonical survivor per cluster —
+  // the full "dedup a crawl" pipeline (candidate generation ->
+  // verification -> transitive clustering -> survivor choice) with
+  // every stage distributed.
+  private def d06(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashes(Tables(s, dir, "documents")).localCheckpoint()
+    val cand = candidates(mh)
+    val a = mh.toDF("doc_a" +: (0 until K).map(i => s"a$i"): _*)
+    val b = mh.toDF("doc_b" +: (0 until K).map(i => s"b$i"): _*)
+    val matches = (0 until K).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    val dups = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .filter(matches >= 5)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val nodes = dups.select(col("doc_a").as("node"))
+      .unionAll(dups.select(col("doc_b").as("node"))).distinct()
+    val sym = dups.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(dups.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.graph.Components.labelPropagate(nodes, sym)
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
+        when(col("node") === col("comp"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d06Sql = {
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""
+    WITH RECURSIVE $mhCteDuck, $bandsCteDuck, $candCteDuck,
+    dups AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN mh x ON x.doc_id = c.doc_a
+      JOIN mh y ON y.doc_id = c.doc_b
+      WHERE $matches >= 5),
+    sym AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM dups
+      UNION ALL SELECT doc_b, doc_a FROM dups),
+    nds AS (SELECT DISTINCT src AS node FROM sym),
+    r(a, b) AS (
+      SELECT node, node FROM nds
+      UNION
+      SELECT r.a, e.dst FROM r JOIN sym e ON e.src = r.b)
+    SELECT a AS doc_id, MIN(b) AS cluster_id,
+      CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+    FROM r GROUP BY a ORDER BY doc_id"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
+    Op("d06_dup_clusters", d06, Some(d06Sql)),
     Op("d02_minhash_lsh", d02, Some(d02Sql)),
     Op("d03_simhash", d03, Some(d03Sql)),
     Op("d04_ngram_jaccard", d04, Some(d04Sql)),

@@ -250,9 +250,55 @@ object Olap {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
+  /** Running + moving window aggregates. Window sums of doubles are
+    * NOT portable (DuckDB's segment-tree vs Spark's streaming frame
+    * accumulate in different orders), so frame sums go through exact
+    * decimals like every other aggregate here.
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables(s, dir, "orders")
+    val n = Tables(s, dir, "nation")
+    val c = Tables(s, dir, "customer")
+    val daily = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+      .agg(dsum(col("o_totalprice"), 2).as("day_total"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("day"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ma = w.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("running_total",
+        sum(col("day_total").cast(DecimalType(18, 2))).over(cum).cast("double"))
+      .withColumn("ma7",
+        (sum(col("day_total").cast(DecimalType(18, 2))).over(ma).cast("double") /
+          count(lit(1)).over(ma)).as("ma7"))
+      .orderBy(col("n_name"), col("day"))
+  }
+
+  private val q12Sql = s"""
+    WITH daily AS (
+      SELECT n_name, (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        ${dsumSql("o_totalprice", 2)} AS day_total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2)
+    SELECT n_name, day, day_total,
+      CAST(SUM(CAST(day_total AS DECIMAL(18,2))) OVER (PARTITION BY n_name ORDER BY day
+        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      CAST(SUM(CAST(day_total AS DECIMAL(18,2))) OVER (PARTITION BY n_name ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / count(*) OVER (PARTITION BY n_name ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+    FROM daily
+    ORDER BY n_name, day"""
+
   val ops: Seq[Op] = Seq(
     Op("q01_pricing_summary", q01, Some(q01Sql)),
     Op("q11_percentiles", q11, Some(q11Sql)),
+    Op("q12_running_windows", q12, Some(q12Sql)),
     Op("q03_top_orders", q03, Some(q03Sql)),
     Op("q05_nation_revenue", q05, Some(q05Sql)),
     Op("q06_forecast_filter", q06, Some(q06Sql)),
