@@ -25,10 +25,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // free cached/localCheckpoint blocks so one query's iteration
-      // state can't pressure the next query's heap
+      // state can't pressure the next query's heap; the explicit GC
+      // kicks ContextCleaner, which only releases old broadcast and
+      // shuffle state on collection (a large heap may never collect
+      // on its own, and 30+ accumulated broadcasts slow later joins)
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

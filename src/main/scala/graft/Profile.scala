@@ -24,6 +24,16 @@ object Profile {
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $name ($r)")
     }
 
+    if (args.length > 1) {
+      // time the named queries in isolation (fresh JVM, warm session)
+      t("warmup")(Tables(spark, sfDir, "lineitem").count())
+      args.drop(1).foreach { name =>
+        t(name)(SparkEntry.queries(name)(spark, sfDir).count())
+      }
+      spark.stop()
+      return
+    }
+
     val docs = Tables(spark, sfDir, "documents")
     t("warmup")(docs.count())
     val mh = dedup.Dedup.minhashes(docs)

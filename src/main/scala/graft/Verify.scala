@@ -21,10 +21,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free cached/localCheckpoint blocks from iterative operators
+      // free cached/localCheckpoint blocks from iterative operators and
+      // kick ContextCleaner (GC-triggered) to release old broadcasts
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
