@@ -54,6 +54,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming matches the batch tumbling aggregate on finalized windows") {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val schema = new StructType()
+      .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+      .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // FileStreamSource wants a directory to watch
+    val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = withTs(spark.readStream.schema(schema).parquet(streamDir.toString))
+    val q = StreamOps.tumblingCounts(stream).writeStream
+      .format("memory").queryName("file_tumbling").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_tumbling")
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.nonEmpty) // no-data batch finalized the pre-watermark windows
+      // batch reference: same transform, keep only windows whose end is
+      // at or before the final watermark (max ts - 2h)
+      val batchDf = withTs(spark.read.schema(schema).parquet(s"$dir/events.parquet"))
+      val maxTs = batchDf.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val exp = StreamOps.tumblingCounts(batchDf)
+        .filter(col("window_start") + expr("INTERVAL 1 HOUR") <=
+          lit(maxTs) - expr("INTERVAL 2 HOURS"))
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == exp)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
