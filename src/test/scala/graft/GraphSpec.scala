@@ -91,6 +91,34 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle counting on a known graph") {
+    // square 0-1-2-3 with one diagonal 0-2: triangles (0,1,2) and (0,2,3)
+    val e = edgeDf((0, 1), (1, 2), (2, 3), (3, 0), (0, 2))
+    val tris = Triangles.orderedEdges(e)
+    val t1 = tris.as("e1"); val t2 = tris.as("e2"); val t3 = tris.as("e3")
+    val n = t1.join(t2, col("e1.b") === col("e2.a"))
+      .join(t3, col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .count()
+    assert(n == 2)
+  }
+
+  test("bounded Bellman-Ford relaxes through cheaper multi-hop paths") {
+    import org.apache.spark.sql.functions.{col => c}
+    // direct 0->3 cost 10 vs 0->1->2->3 cost 3
+    val dag = Seq((0, 3, 10L), (0, 1, 1L), (1, 2, 1L), (2, 3, 1L))
+      .toDF("src", "dst", "cost").localCheckpoint()
+    var dist = Seq((0, 0L)).toDF("node", "cost")
+    for (_ <- 1 to 4) {
+      val relaxed = dist.join(dag, dist("node") === dag("src"))
+        .select(dag("dst").as("node"), (dist("cost") + dag("cost")).as("cost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(c("node")).agg(org.apache.spark.sql.functions.min(c("cost")).as("cost"))
+        .localCheckpoint()
+    }
+    val m = dist.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m(3) == 3L && m(2) == 2L && m(1) == 1L && m(0) == 0L)
+  }
+
   test("pagerank ranks sum to ~1") {
     val nodes = Seq(0, 1, 2).toDF("node")
     val e = edgeDf((0, 1), (1, 2)) // node 2 dangles
