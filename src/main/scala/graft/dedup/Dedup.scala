@@ -184,10 +184,11 @@ object Dedup {
   }
 
   // ---- d04: exact 3-token-shingle Jaccard on LSH candidates ---------
+  // sorted so pairwise intersection is a codegen'd two-pointer merge
   private val sh3Spark: String = """
     CASE WHEN size(toks) >= 3 THEN
-      array_distinct(transform(sequence(1, size(toks) - 2),
-        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      array_sort(array_distinct(transform(sequence(1, size(toks) - 2),
+        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
     ELSE array(text) END"""
 
   private def d04(s: SparkSession, dir: String): DataFrame = {
@@ -200,7 +201,8 @@ object Dedup {
     val a = sh.select(col("doc_id").as("doc_a"), col("sh3").as("sha"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh3").as("shb"))
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(col("sha"), col("shb")))
       .withColumn("n_union",
         (size(col("sha")) + size(col("shb"))).cast("long") - col("n_inter"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),

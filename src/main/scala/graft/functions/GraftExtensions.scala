@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecNorm].getName, "float_vec_norm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVecNorm(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCount(exprs(0), exprs(1))))
   }
 }

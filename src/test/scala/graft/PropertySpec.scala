@@ -52,6 +52,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on random sets") {
+    val genSets = for {
+      a <- Gen.listOf(Gen.alphaStr.map(_.take(6)))
+      b <- Gen.listOf(Gen.alphaStr.map(_.take(6)))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    samples(genSets, 10).foreach { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(
+          graft.functions.SortedIntersectCount.sortedIntersectCount(col("a"), col("b")).as("m"),
+          size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+        .collect()(0)
+      assert(r.getLong(0) == r.getLong(1), s"a=$a b=$b")
+    }
+  }
+
   test("saltedJoin and saltedCount match their unsalted equivalents on skewed data") {
     // 90% of rows share one hot key
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "v")
