@@ -41,6 +41,16 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("start_ts"),
         col("sw.end").as("end_ts"), col("n_events"), col("total_value"))
 
+  /** Continuously-maintained vertex degrees over an edge stream — the
+    * reference's "add graph" reframed as ingest: every micro-batch of
+    * new edges updates the running degree view (complete/update-mode
+    * aggregation, state keyed by vertex so it scales with |V|, not
+    * |E|).
+    */
+  def streamingDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum(col("weight")).as("out_weight"))
+
   /** Streaming exact dedup: keep the first arrival of each id, with
     * state bounded by the watermark (the streaming half of d01 — a
     * training-data ingest pipeline dedups at the door, not in a nightly

@@ -54,6 +54,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming degrees update as edge batches arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, Int, Long)]
+    val q = StreamOps.streamingDegrees(in.toDF().toDF("src", "dst", "weight"))
+      .writeStream.format("memory").queryName("deg_out").outputMode("complete").start()
+    try {
+      in.addData((0, 1, 10L), (0, 2, 5L), (1, 2, 1L))
+      q.processAllAvailable()
+      in.addData((0, 3, 2L)) // node 0 gains an edge
+      q.processAllAvailable()
+      val deg = spark.table("deg_out")
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(deg(0) == (3L, 17L) && deg(1) == (1L, 1L))
+    } finally q.stop()
+  }
+
   test("file-source streaming matches the batch tumbling aggregate on finalized windows") {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
