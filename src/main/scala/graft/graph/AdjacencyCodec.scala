@@ -59,7 +59,7 @@ object AdjacencyCodec {
     * edges again; identity, so the oracle is the distinct edge list.
     */
   private def g10(s: SparkSession, dir: String): DataFrame = {
-    val e = TradeGraph.edges(s, dir)
+    val e = TradeGraph.edgesTable(s, dir)
     val n = 25
     fromMatrix(toMatrix(e, n))
       .orderBy(col("src"), col("dst"))

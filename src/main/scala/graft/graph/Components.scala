@@ -45,7 +45,7 @@ object Components {
 
   /** Connected components of the undirected trade graph. */
   private def g05(s: SparkSession, dir: String): DataFrame = {
-    val edges = TradeGraph.edges(s, dir)
+    val edges = TradeGraph.edgesTable(s, dir)
     labelPropagate(TradeGraph.nodes(s, dir), TradeGraph.symEdges(edges))
       .orderBy(col("node"))
   }

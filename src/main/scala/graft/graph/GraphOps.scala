@@ -13,7 +13,7 @@ object GraphOps {
 
   /** g01: materialize the trade-graph edge list. */
   private def g01(s: SparkSession, dir: String): DataFrame =
-    TradeGraph.edges(s, dir).orderBy(col("src"), col("dst"))
+    TradeGraph.edgesTable(s, dir).orderBy(col("src"), col("dst"))
 
   private val g01Sql = s"""
     WITH ${GraphSql.edgesCte}
@@ -21,7 +21,7 @@ object GraphOps {
 
   /** g02: in/out degree + edge-weight totals per vertex. */
   private def g02(s: SparkSession, dir: String): DataFrame = {
-    val e = TradeGraph.edges(s, dir)
+    val e = TradeGraph.edgesTable(s, dir)
     val out = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg"), sum(col("weight")).as("out_weight"))
     val in = e.groupBy(col("dst").as("node"))

@@ -63,7 +63,7 @@ object PageRank {
   }
 
   private def g09(s: SparkSession, dir: String): DataFrame =
-    run(TradeGraph.nodes(s, dir), TradeGraph.edges(s, dir), iters = 10)
+    run(TradeGraph.nodes(s, dir), TradeGraph.edgesTable(s, dir), iters = 10)
       .orderBy(col("node"))
 
   /** Unrolled 10-iteration oracle — same decimal-exact contraction.

@@ -61,7 +61,7 @@ object Traversals {
 
   /** BFS level order from nation 0, capped at 6 hops (reference op 4). */
   private def g03(s: SparkSession, dir: String): DataFrame =
-    bfsLevels(TradeGraph.edges(s, dir), source = 0, maxHops = 6)
+    bfsLevels(TradeGraph.edgesTable(s, dir), source = 0, maxHops = 6)
       .orderBy(col("node"))
 
   private val g03Sql = s"""
@@ -80,7 +80,7 @@ object Traversals {
     * deepest-node output (reference op 3; SURVEY.md §6).
     */
   private def g04(s: SparkSession, dir: String): DataFrame = {
-    val dag = TradeGraph.dagEdges(TradeGraph.edges(s, dir)).localCheckpoint()
+    val dag = TradeGraph.dagEdges(TradeGraph.edgesTable(s, dir)).localCheckpoint()
     val reach = reachableFrom(dag, source = 0)
     reach.join(dag.select(col("src")).distinct(),
         reach("node") === col("src"), "left_anti")
@@ -103,7 +103,7 @@ object Traversals {
     * count) bounds the number of shuffles.
     */
   private def g07(s: SparkSession, dir: String): DataFrame = {
-    val edges = TradeGraph.edges(s, dir)
+    val edges = TradeGraph.edgesTable(s, dir)
       .select(col("src"), col("dst")).localCheckpoint()
     var pairs = edges.select(col("src").as("root"), col("dst").as("node")).distinct()
       .localCheckpoint()
@@ -139,7 +139,7 @@ object Traversals {
     */
   private def g08(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dag = TradeGraph.dagEdges(TradeGraph.edges(s, dir))
+    val dag = TradeGraph.dagEdges(TradeGraph.edgesTable(s, dir))
       .select(col("src"), col("dst"),
         (floor(lit(1000000.0) / col("weight")) + 1).cast("long").as("cost"))
       .localCheckpoint()

@@ -22,7 +22,7 @@ object Triangles {
       .select(col("src").as("a"), col("dst").as("b"))
 
   private def g06(s: SparkSession, dir: String): DataFrame = {
-    val e = orderedEdges(TradeGraph.edges(s, dir)).localCheckpoint()
+    val e = orderedEdges(TradeGraph.edgesTable(s, dir)).localCheckpoint()
     val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
     val tris = e1.join(e2, col("e1.b") === col("e2.a"))
       .join(e3, col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
