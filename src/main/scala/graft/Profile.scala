@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+
 
 /** Dev profiling main: stage-level timing for the expensive operators
   * so optimization targets facts, not guesses.

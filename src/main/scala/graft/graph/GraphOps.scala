@@ -1,7 +1,7 @@
 package graft.graph
 
 import graft.Op
-import graft.par._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
