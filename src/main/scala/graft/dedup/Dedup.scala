@@ -146,7 +146,9 @@ object Dedup {
   // ---- d03: SimHash (16-bit) ----------------------------------------
   // bit b of a token's hash = bit (b%4) of hex nibble (b/4) of md5;
   // all-integer voting so both engines agree exactly.
-  private def d03(s: SparkSession, dir: String): DataFrame = {
+
+  /** (doc_id, simhash) fingerprint table. */
+  def simhashFp(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), t -> t != '')")).as("tok"))
@@ -158,30 +160,35 @@ object Dedup {
     val fp = (0 until 16).map { b =>
       when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val perDoc = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
-    perDoc
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("simhash"))))
-      .orderBy(col("doc_id"))
   }
 
-  private val d03Sql = {
+  private def d03(s: SparkSession, dir: String): DataFrame =
+    simhashFp(s, dir)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB CTE chain producing fps(doc_id, simhash). */
+  private val fpsCteDuck: String = {
     val votes = (0 until 16).map { b =>
       val nib = s"(instr('0123456789abcdef', substr(th, ${1 + b / 4}, 1)) - 1)"
       s"SUM(2 * (($nib // ${1 << (b % 4)}) % 2) - 1) AS v$b"
     }.mkString(", ")
     val fp = (0 until 16).map(b => s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
-    s"""
-    WITH toks AS (
+    s"""toks AS (
       SELECT doc_id, md5(t.tok) AS th
       FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS t(tok)),
     votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
-    fps AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)
+    fps AS MATERIALIZED (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)"""
+  }
+
+  private val d03Sql = s"""
+    WITH $fpsCteDuck
     SELECT doc_id, simhash,
       count(*) OVER (PARTITION BY simhash) AS bucket_n
     FROM fps ORDER BY doc_id"""
-  }
 
   // ---- d04: exact 3-token-shingle Jaccard on LSH candidates ---------
   // sorted so pairwise intersection is a codegen'd two-pointer merge
@@ -193,7 +200,7 @@ object Dedup {
 
   private def d04(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val mh = minhashes(docs).localCheckpoint()
+    val mh = minhashTable(s, dir)
     val cand = candidates(mh)
     val sh = docs
       .withColumn("toks", expr("filter(split(text, ' '), t -> t != '')"))
@@ -306,9 +313,47 @@ object Dedup {
     FROM r GROUP BY a ORDER BY doc_id"""
   }
 
+  // ---- d07: SimHash Hamming-neighbor counts -------------------------
+  // Pigeonhole-partitioned similarity join: any two 16-bit fingerprints
+  // within Hamming distance ≤3 agree on at least one of their 4
+  // nibbles, so joining on (nibble index, nibble value) finds every
+  // such pair while touching only same-nibble buckets — the scale form
+  // of a Hamming join (the n² cross join is the oracle, not the plan).
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFp(s, dir).localCheckpoint()
+    val keyed = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        expr(s"shiftright(simhash, ${4 * i}) & 15")): _*)).as(Seq("nidx", "nib")))
+    val a = keyed.toDF("doc_a", "sha", "nidx", "nib")
+    val b = keyed.toDF("doc_b", "shb", "nidx_b", "nib_b")
+    val pairs = a.join(b, col("nidx") === col("nidx_b") && col("nib") === col("nib_b") &&
+        col("doc_a") < col("doc_b"))
+      .filter(expr("bit_count(sha ^ shb) <= 3"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sym = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(sym.groupBy(col("doc_id")).agg(count(lit(1)).as("n_near")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d07Sql = s"""
+    WITH $fpsCteDuck,
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fps a JOIN fps b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+    sym AS (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+    SELECT d.doc_id, count(s.doc_id) AS n_near
+    FROM documents d LEFT JOIN sym s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
     Op("d06_dup_clusters", d06, Some(d06Sql)),
+    Op("d07_simhash_neighbors", d07, Some(d07Sql)),
     Op("d02_minhash_lsh", d02, Some(d02Sql)),
     Op("d03_simhash", d03, Some(d03Sql)),
     Op("d04_ngram_jaccard", d04, Some(d04Sql)),
