@@ -102,5 +102,35 @@ object Multimodal {
       CAST(64 + (octet_length(encode(text)) * 31) % 417 AS INTEGER) AS stub_height
     FROM documents ORDER BY doc_id"""
 
-  val ops: Seq[Op] = Seq(Op("m01_binary_meta", m01, Some(m01Sql)))
+  /** m02: corpus-level media statistics by (stub) format — the
+    * metadata rollup a multimodal ingest pipeline runs before deciding
+    * decode budgets. All integer math, mirrored in the oracle.
+    */
+  private def m02(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        when(ascii(substring(col("text"), 1, 1)) % 2 === 0, "img")
+          .otherwise("vid").as("format"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .orderBy(col("format"))
+
+  private val m02Sql = """
+    WITH m AS (
+      SELECT doc_id,
+        CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'img' ELSE 'vid' END AS format,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents)
+    SELECT format, count(*) AS n_media,
+      CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
+    FROM m GROUP BY format ORDER BY format"""
+
+  val ops: Seq[Op] = Seq(
+    Op("m01_binary_meta", m01, Some(m01Sql)),
+    Op("m02_media_stats", m02, Some(m02Sql)))
 }

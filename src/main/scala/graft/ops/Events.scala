@@ -143,9 +143,56 @@ object Events {
     WHERE event_type = 'purchase' AND click_es IS NOT NULL
     ORDER BY event_id"""
 
+  /** Ordered funnel: signup -> first click at-or-after it -> first
+    * purchase at-or-after that click, per user; one aggregation pass
+    * per stage, each a user_id-partitioned min (no per-user state on
+    * the driver, no window blowup).
+    */
+  private def e05(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEpoch(s, dir).select(col("user_id"), col("event_type"), col("es"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("es"))).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1.filter(col("t1").isNotNull), Seq("user_id"))
+      .filter(col("es") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("es") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("t3"))
+    val nUsers = s1.agg(count(lit(1)).as("n_users"))
+    val nSignup = s1.filter(col("t1").isNotNull)
+      .agg(count(lit(1)).as("n_signup"))
+    val nClick = s2.agg(count(lit(1)).as("n_signup_click"))
+    val nFull = s3.agg(count(lit(1)).as("n_full_funnel"))
+    nUsers.crossJoin(nSignup).crossJoin(nClick).crossJoin(nFull)
+  }
+
+  private val e05Sql = """
+    WITH ev AS (
+      SELECT user_id, event_type, (epoch_ns(ts) // 1000000000) AS es FROM events),
+    s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN es END) AS t1
+      FROM ev GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.es) AS t2
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.es >= s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.es) AS t3
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.es >= s2.t2
+      GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_users,
+      (SELECT count(*) FROM s1 WHERE t1 IS NOT NULL) AS n_signup,
+      (SELECT count(*) FROM s2) AS n_signup_click,
+      (SELECT count(*) FROM s3) AS n_full_funnel"""
+
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
     Op("e02_tumbling_window", e02, Some(e02Sql)),
     Op("e03_retention", e03, Some(e03Sql)),
-    Op("e04_asof_join", e04, Some(e04Sql)))
+    Op("e04_asof_join", e04, Some(e04Sql)),
+    Op("e05_funnel", e05, Some(e05Sql)))
 }
