@@ -290,11 +290,13 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val d06Sql = {
+  /** CTE chain ending in r(a, b) = reachability over the dup graph —
+    * shared by d06 and d08.
+    */
+  private val dupGraphCtes: String = {
     val matches = (0 until K).map(i =>
       s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""
-    WITH RECURSIVE $mhCteDuck, $bandsCteDuck, $candCteDuck,
+    s"""$mhCteDuck, $bandsCteDuck, $candCteDuck,
     dups AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b FROM cand c
       JOIN mh x ON x.doc_id = c.doc_a
@@ -307,11 +309,14 @@ object Dedup {
     r(a, b) AS (
       SELECT node, node FROM nds
       UNION
-      SELECT r.a, e.dst FROM r JOIN sym e ON e.src = r.b)
+      SELECT r.a, e.dst FROM r JOIN sym e ON e.src = r.b)"""
+  }
+
+  private val d06Sql = s"""
+    WITH RECURSIVE $dupGraphCtes
     SELECT a AS doc_id, MIN(b) AS cluster_id,
       CAST(CASE WHEN a = MIN(b) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
     FROM r GROUP BY a ORDER BY doc_id"""
-  }
 
   // ---- d07: SimHash Hamming-neighbor counts -------------------------
   // Pigeonhole-partitioned similarity join: any two 16-bit fingerprints
@@ -350,10 +355,43 @@ object Dedup {
     FROM documents d LEFT JOIN sym s ON s.doc_id = d.doc_id
     GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  // ---- d08: quality-aware survivor selection ------------------------
+  // Production curation picks the BEST doc per dup cluster, not the
+  // lowest id: rank cluster members by quality score (t02's exact
+  // arithmetic, so both engines agree bit-for-bit), tiebreak doc_id.
+  private def d08(s: SparkSession, dir: String): DataFrame = {
+    val clusters = d06(s, dir).select(col("doc_id"), col("cluster_id"))
+    val quality = graft.text.TextOps.qualityScores(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rank_in_cluster", row_number().over(w))
+      .withColumn("keep", when(col("rank_in_cluster") === 1, 1L).otherwise(0L))
+      .select(col("cluster_id"), col("doc_id"), col("quality_score"),
+        col("rank_in_cluster"), col("keep"))
+      .orderBy(col("cluster_id"), col("rank_in_cluster"))
+  }
+
+  private def d08Sql: String = s"""
+    WITH RECURSIVE $dupGraphCtes,
+    clusters AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM r GROUP BY a),
+    quality AS (${graft.text.TextOps.qualityScoreSql}),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality_score,
+        row_number() OVER (PARTITION BY c.cluster_id
+          ORDER BY q.quality_score DESC, c.doc_id) AS rank_in_cluster
+      FROM clusters c JOIN quality q ON q.doc_id = c.doc_id)
+    SELECT cluster_id, doc_id, quality_score, rank_in_cluster,
+      CAST(CASE WHEN rank_in_cluster = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM ranked ORDER BY cluster_id, rank_in_cluster"""
+
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
     Op("d06_dup_clusters", d06, Some(d06Sql)),
     Op("d07_simhash_neighbors", d07, Some(d07Sql)),
+    Op("d08_quality_survivor", d08, Some(d08Sql)),
     Op("d02_minhash_lsh", d02, Some(d02Sql)),
     Op("d03_simhash", d03, Some(d03Sql)),
     Op("d04_ngram_jaccard", d04, Some(d04Sql)),

@@ -137,6 +137,10 @@ object TextOps {
       CAST(len(list_distinct($toksDuck)) AS BIGINT) AS n_distinct_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** Public handles for pipelines composing on quality (e.g. d08). */
+  def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
+  def qualityScoreSql: String = t02Sql
+
   val ops: Seq[Op] = Seq(
     Op("t01_token_count", t01, Some(t01Sql)),
     Op("t02_quality_score", t02, Some(t02Sql)),
