@@ -137,8 +137,44 @@ object Similarity {
     topkPerQuery(pairs)
   }
 
+  // ---- s04: KNN graph construction ----------------------------------
+  // Top-3 cosine neighbors for EVERY vector — the all-pairs edge build
+  // feeding downstream graph ops (cluster the KNN graph, dedup by
+  // component...). The n² pair space stays distributed: it shuffles on
+  // nothing (one broadcast side), the dot product is the codegen'd
+  // expression, and only k rows per vector survive the window.
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(s, dir)
+    val a = e.select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val s04Sql = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${Cosine.dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos, rank FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank"""
+
   val ops: Seq[Op] = Seq(
     Op("s01_knn_bruteforce", s01, Some(s01Sql)),
     Op("s02_ann_signlsh", s02, Some(s02Sql)),
-    Op("s03_ivf_label", s03, None))
+    Op("s03_ivf_label", s03, None),
+    Op("s04_knn_graph", s04, Some(s04Sql)))
 }
