@@ -34,9 +34,11 @@ object Similarity {
   private def topkPerQuery(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w))
+    // project the embedding arrays away BEFORE the window: the rank
+    // shuffle then moves 24 bytes/pair instead of two 64-float vectors
+    pairs.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TOPK)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -151,9 +153,9 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     a.join(b, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
