@@ -83,7 +83,51 @@ object Components {
       .orderBy(col("comp"))
   }
 
+  /** k-core: iteratively peel nodes of degree < k until fixpoint. The
+    * third iterative pattern in the engine (frontier expansion, label
+    * propagation, and now peeling); each round is one degree count +
+    * two semi-joins, and the edge count strictly decreases so the
+    * convergence check is a cheap count comparison.
+    */
+  def kCore(symEdges: DataFrame, k: Int): DataFrame = {
+    var e = symEdges.select(col("src"), col("dst")).localCheckpoint()
+    var nEdges = e.count()
+    var changed = true
+    while (changed) {
+      val keep = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint()
+      val ne = e.join(keep, e("src") === keep("node"), "left_semi")
+        .join(keep, e("dst") === keep("node"), "left_semi")
+        .localCheckpoint()
+      val n = ne.count()
+      changed = n != nEdges
+      nEdges = n
+      e = ne
+    }
+    e.select(col("src").as("node")).distinct()
+  }
+
+  /** 2-core of the customer–supplier bipartite graph: strip customers
+    * with a single supplier and suppliers with a single customer,
+    * repeatedly — the "structurally redundant trade" core. Float-free
+    * but iteration-count-dependent, so rows-checked.
+    */
+  private def g12(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val core = kCore(sym, k = 2)
+    core.agg(count(lit(1)).as("n_core_nodes"),
+      count(when(col("node") % 2 === 0, lit(1))).as("n_core_customers"),
+      count(when(col("node") % 2 === 1, lit(1))).as("n_core_suppliers"))
+  }
+
   val ops: Seq[Op] = Seq(
     Op("g05_connected_components", g05, Some(g05Sql)),
-    Op("g11_bipartite_cc", g11, None))
+    Op("g11_bipartite_cc", g11, None),
+    Op("g12_kcore_bipartite", g12, None))
 }

@@ -93,6 +93,15 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore peels low-degree tails, cascading") {
+    // triangle 0-1-2 with a chain 2-3-4: peeling 4 then 3 leaves the triangle
+    val und = Seq((0, 1), (1, 2), (0, 2), (2, 3), (3, 4))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core = Components.kCore(sym, 2).orderBy("node")
+      .collect().map(_.getInt(0)).toSeq
+    assert(core == Seq(0, 1, 2))
+  }
+
   test("triangle counting on a known graph") {
     // square 0-1-2-3 with one diagonal 0-2: triangles (0,1,2) and (0,2,3)
     val e = edgeDf((0, 1), (1, 2), (2, 3), (3, 0), (0, 2))
