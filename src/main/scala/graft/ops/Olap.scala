@@ -295,10 +295,39 @@ object Olap {
     FROM daily
     ORDER BY n_name, day"""
 
+  /** CUBE: all 4 grouping combinations of (region, order priority). */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total_value"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_value"))
+      .orderBy(col("r_name"), col("o_orderpriority"))
+  }
+
+  private val q13Sql = s"""
+    SELECT COALESCE(r_name, 'ALL') AS r_name,
+      COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      count(*) AS n_orders, ${dsumSql("o_totalprice", 2)} AS total_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, o_orderpriority)
+    ORDER BY r_name, o_orderpriority"""
+
   val ops: Seq[Op] = Seq(
     Op("q01_pricing_summary", q01, Some(q01Sql)),
     Op("q11_percentiles", q11, Some(q11Sql)),
     Op("q12_running_windows", q12, Some(q12Sql)),
+    Op("q13_cube", q13, Some(q13Sql)),
     Op("q03_top_orders", q03, Some(q03Sql)),
     Op("q05_nation_revenue", q05, Some(q05Sql)),
     Op("q06_forecast_filter", q06, Some(q06Sql)),

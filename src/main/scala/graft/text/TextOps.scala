@@ -137,6 +137,37 @@ object TextOps {
       CAST(len(list_distinct($toksDuck)) AS BIGINT) AS n_distinct_tokens
     FROM documents ORDER BY doc_id"""
 
+  // ---- t05: corpus bigram statistics --------------------------------
+  /** Top-20 token bigrams across the corpus — the n-gram census that
+    * drives vocabulary and contamination checks; explode-then-count
+    * with map-side combine, top-N by a total order.
+    */
+  private def t05(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+           ELSE array() END""")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  private val t05Sql = s"""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM documents),
+    bigrams AS (
+      SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+        ELSE [] END) AS bigram
+      FROM toks)
+    SELECT bigram, count(*) AS n
+    FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20"""
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -145,5 +176,6 @@ object TextOps {
     Op("t01_token_count", t01, Some(t01Sql)),
     Op("t02_quality_score", t02, Some(t02Sql)),
     Op("t03_langid", t03, Some(t03Sql)),
-    Op("t04_fingerprint", t04, Some(t04Sql)))
+    Op("t04_fingerprint", t04, Some(t04Sql)),
+    Op("t05_bigrams", t05, Some(t05Sql)))
 }
