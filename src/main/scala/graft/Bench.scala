@@ -22,8 +22,12 @@ object Bench {
     SparkEntry.queries("q06_forecast_filter")(spark, sfDir).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // A failed operator reports -1, not its elapsed time — a broken
+      // query must not look like a fast success in the bench JSON.
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // free cached/localCheckpoint blocks so one query's iteration
       // state can't pressure the next query's heap; the explicit GC
       // kicks ContextCleaner, which only releases old broadcast and
@@ -37,7 +41,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

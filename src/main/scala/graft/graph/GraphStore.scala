@@ -23,23 +23,34 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
   private def graphDir(name: String) = new Path(baseDir, name)
   private def currentPtr(name: String) = new Path(graphDir(name), "_CURRENT")
 
+  // One writer per graph name at a time (the reference's per-graph
+  // writer semaphore, primary_server.c:60,150): serializes the
+  // version-read/version-write pair so concurrent put() calls can't
+  // allocate the same version number. In-JVM scope matches the
+  // reference's single-primary-writer model.
+  private val writerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def writerLock(name: String): Object =
+    writerLocks.computeIfAbsent(name, _ => new Object)
+
   /** Store a graph's edge DataFrame under `name` (create or overwrite —
     * reference ops "add graph" and "modify graph" share this path).
     */
-  def put(name: String, edges: DataFrame): Unit = {
+  def put(name: String, edges: DataFrame): Unit = writerLock(name).synchronized {
     val dir = graphDir(name)
     val f = fs(dir)
     val version = currentVersion(name).getOrElse(0L) + 1L
     val target = new Path(dir, s"v$version")
     edges.write.mode("overwrite").parquet(target.toString)
-    // Publish atomically: write pointer to a temp file, rename over.
+    // Publish atomically: write pointer to a temp file, then rename
+    // over the live pointer with OVERWRITE semantics — no
+    // delete/rename window where readers see no pointer at all.
     val tmp = new Path(dir, s"_CURRENT.tmp$version")
     val out = f.create(tmp, true)
     out.write(s"v$version".getBytes("UTF-8"))
     out.close()
-    f.delete(currentPtr(name), false)
-    if (!f.rename(tmp, currentPtr(name)))
-      throw new java.io.IOException(s"failed to publish $name v$version")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, hadoopConf)
+    fc.rename(tmp, currentPtr(name), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def add(name: String, edges: DataFrame): Unit = put(name, edges)

