@@ -91,6 +91,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Materialized candidate-pair table — d02/d04/d06 all start from
+    * the same band self-join, so it is computed once per (session,
+    * corpus) like the signature table it derives from.
+    */
+  def candidatesTable(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"cand:$dir", "graft_cand")(
+      candidates(minhashTable(s, dir)))
+
+  /** Materialized dup-cluster assignment (doc_id, cluster_id): LSH
+    * candidates verified at ≥5/9 matching signatures, connected
+    * components over the resulting dup graph. Built once per (session,
+    * corpus); d06 and d08 both read it (d08's survivor ranking would
+    * otherwise re-run the whole propagation loop).
+    */
+  def clustersTable(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"clusters:$dir", "graft_clus") {
+      val mh = minhashTable(s, dir)
+      val a = mh.toDF("doc_a" +: (0 until K).map(i => s"a$i"): _*)
+      val b = mh.toDF("doc_b" +: (0 until K).map(i => s"b$i"): _*)
+      val matches = (0 until K).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      val dups = candidatesTable(s, dir).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .filter(matches >= 5)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val nodes = dups.select(col("doc_a").as("node"))
+        .unionAll(dups.select(col("doc_b").as("node"))).distinct()
+      val sym = dups.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(dups.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.graph.Components.labelPropagate(nodes, sym)
+        .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    }
+
   private val candCteDuck: String = """
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -112,7 +145,7 @@ object Dedup {
   // ---- d02: MinHash + LSH banding -----------------------------------
   private def d02(s: SparkSession, dir: String): DataFrame = {
     val mh = minhashTable(s, dir)
-    val cand = candidates(mh)
+    val cand = candidatesTable(s, dir)
     val a = mh.toDF("doc_a" +: (0 until K).map(i => s"a$i"): _*)
     val b = mh.toDF("doc_b" +: (0 until K).map(i => s"b$i"): _*)
     val matches = (0 until K).map(i =>
@@ -193,8 +226,7 @@ object Dedup {
 
   private def d04(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val mh = minhashTable(s, dir)
-    val cand = candidates(mh)
+    val cand = candidatesTable(s, dir)
     val sh = docs
       .withColumn("toks", expr("filter(split(text, ' '), t -> t != '')"))
       .select(col("doc_id"), expr(sh3Spark).as("sh3"))
@@ -262,26 +294,11 @@ object Dedup {
   // the full "dedup a crawl" pipeline (candidate generation ->
   // verification -> transitive clustering -> survivor choice) with
   // every stage distributed.
-  private def d06(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashTable(s, dir)
-    val cand = candidates(mh)
-    val a = mh.toDF("doc_a" +: (0 until K).map(i => s"a$i"): _*)
-    val b = mh.toDF("doc_b" +: (0 until K).map(i => s"b$i"): _*)
-    val matches = (0 until K).map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
-    val dups = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-      .filter(matches >= 5)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val nodes = dups.select(col("doc_a").as("node"))
-      .unionAll(dups.select(col("doc_b").as("node"))).distinct()
-    val sym = dups.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(dups.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    graft.graph.Components.labelPropagate(nodes, sym)
-      .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
-        when(col("node") === col("comp"), 1L).otherwise(0L).as("is_keeper"))
+  private def d06(s: SparkSession, dir: String): DataFrame =
+    clustersTable(s, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("is_keeper"))
       .orderBy(col("doc_id"))
-  }
 
   /** CTE chain ending in r(a, b) = reachability over the dup graph —
     * shared by d06 and d08.
@@ -353,7 +370,7 @@ object Dedup {
   // lowest id: rank cluster members by quality score (t02's exact
   // arithmetic, so both engines agree bit-for-bit), tiebreak doc_id.
   private def d08(s: SparkSession, dir: String): DataFrame = {
-    val clusters = d06(s, dir).select(col("doc_id"), col("cluster_id"))
+    val clusters = clustersTable(s, dir)
     val quality = graft.text.TextOps.qualityScores(s, dir)
       .select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(col("cluster_id"))

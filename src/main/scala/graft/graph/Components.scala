@@ -59,28 +59,96 @@ object Components {
     SELECT a AS node, CAST(MIN(b) AS INTEGER) AS comp
     FROM r GROUP BY a ORDER BY node"""
 
-  /** Customer–supplier bipartite components — the scale path: this
-    * graph grows with SF (millions of edges at 100 TB) while the
-    * nation graph stays 25 nodes. Node ids are disambiguated by side
-    * (customer = 2k, supplier = 2k+1). Non-SQL-expressible at scale
-    * (closure would be quadratic), so the driver records a rows-only
-    * check; the spec asserts bipartite invariants instead.
+  /** Customer–supplier bipartite edge list (cust, supp) — the graph
+    * that grows with SF (millions of edges at 100 TB) while the nation
+    * graph stays 25 nodes. Materialized once per (session, corpus) and
+    * shared by g11/g12.
+    */
+  def bipartitePairs(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"bipairs:$dir", "graft_bipairs") {
+      val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+    }
+
+  private val bipairsCte = """
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+
+  /** Customer–supplier bipartite components. Node ids are
+    * disambiguated by side (customer = 2k, supplier = 2k+1).
+    *
+    * Two-hop contraction: each customer's suppliers are star-connected
+    * through the customer's min supplier, and label propagation runs
+    * on the supplier projection only — same components, roughly half
+    * the rounds, and label rows shrink from |C|+|S| to |S| (customers
+    * outnumber suppliers 15:1 in this schema). Customers then inherit
+    * their suppliers' component in one join. The component id stays
+    * the bipartite min node id, so the output is identical to
+    * propagating on the full bipartite graph.
     */
   private def g11(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val pairs = bipartitePairs(s, dir)
+    val minSupp = pairs.groupBy(col("cust")).agg(min(col("supp")).as("msupp"))
+    val star = pairs.join(minSupp, Seq("cust"))
+      .filter(col("supp") =!= col("msupp"))
+      .select(col("msupp").as("src"), col("supp").as("dst"))
       .distinct()
-    val nodes = pairs.select(col("src").as("node"))
-      .unionAll(pairs.select(col("dst").as("node"))).distinct()
-    val sym = pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val labels = labelPropagate(nodes, sym)
-    labels.groupBy(col("comp"))
+    val snodes = pairs.select(col("supp").as("node")).distinct()
+    val ssym = star.unionAll(star.select(col("dst").as("src"), col("src").as("dst")))
+    val slabels = labelPropagate(snodes, ssym) // (supp, scomp = min supp in comp)
+    val custComp = pairs.join(slabels, pairs("supp") === slabels("node"))
+      .groupBy(col("cust")).agg(min(col("comp")).as("scomp"))
+    // bipartite component id = min over the component of the 2k/2k+1 ids
+    val cmin = custComp.groupBy(col("scomp")).agg(min(col("cust") * 2).as("cm"))
+    val smin = slabels.groupBy(col("comp").as("scomp"))
+      .agg(min(col("node") * 2 + 1).as("sm"))
+    val compId = cmin.join(smin, Seq("scomp"))
+      .select(col("scomp"), least(col("cm"), col("sm")).cast("long").as("comp"))
+    val custRows = custComp.join(compId, Seq("scomp"))
+      .select((col("cust") * 2).cast("long").as("node"), col("comp"))
+    val suppRows = slabels.select(col("node").as("supp"), col("comp").as("scomp"))
+      .join(compId, Seq("scomp"))
+      .select((col("supp") * 2 + 1).cast("long").as("node"), col("comp"))
+    custRows.unionAll(suppRows)
+      .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_nodes"),
         count(when(col("node") % 2 === 0, lit(1))).as("n_customers"),
         count(when(col("node") % 2 === 1, lit(1))).as("n_suppliers"))
       .orderBy(col("comp"))
+  }
+
+  /** Unrolled hash-min oracle: the sf0.01 bipartite graph converges in
+    * 4 rounds (measured); 8 unrolled rounds = 2× safety margin, and
+    * extra rounds past the fixpoint are no-ops so over-unrolling can't
+    * change the answer.
+    */
+  private val g11Sql: String = {
+    val rounds = 8
+    val iters = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+        SELECT node, MIN(comp) AS comp FROM (
+          SELECT node, comp FROM l${i - 1}
+          UNION ALL
+          SELECT e.dst AS node, l.comp FROM l${i - 1} l JOIN sym e ON e.src = l.node)
+        GROUP BY node)"""
+    }.mkString(", ")
+    s"""
+    WITH $bipairsCte,
+    bip AS MATERIALIZED (
+      SELECT CAST(cust * 2 AS BIGINT) AS src, CAST(supp * 2 + 1 AS BIGINT) AS dst
+      FROM pairs),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM bip UNION ALL SELECT dst AS src, src AS dst FROM bip),
+    l0 AS (SELECT DISTINCT src AS node, src AS comp FROM sym),
+    $iters
+    SELECT comp, count(*) AS n_nodes,
+      count(CASE WHEN node % 2 = 0 THEN 1 END) AS n_customers,
+      count(CASE WHEN node % 2 = 1 THEN 1 END) AS n_suppliers
+    FROM l$rounds GROUP BY comp ORDER BY comp"""
   }
 
   /** k-core: iteratively peel nodes of degree < k until fixpoint. The
@@ -108,26 +176,66 @@ object Components {
     e.select(col("src").as("node")).distinct()
   }
 
+  /** Bipartite k-core peeling on the (cust, supp) pair list directly —
+    * degrees per side are two aggregations over the same pair table,
+    * half the rows of the symmetrized form kCore consumes.
+    */
+  def kCoreBipartite(pairs: DataFrame, k: Int): DataFrame = {
+    var p = pairs.select(col("cust"), col("supp")).localCheckpoint()
+    var nPairs = p.count()
+    var changed = true
+    while (changed) {
+      val keepC = p.groupBy(col("cust")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("cust"))
+      val keepS = p.groupBy(col("supp")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("supp"))
+      val np = p.join(keepC, Seq("cust"), "left_semi")
+        .join(keepS, Seq("supp"), "left_semi")
+        .localCheckpoint()
+      val n = np.count()
+      changed = n != nPairs
+      nPairs = n
+      p = np
+    }
+    p
+  }
+
   /** 2-core of the customer–supplier bipartite graph: strip customers
     * with a single supplier and suppliers with a single customer,
-    * repeatedly — the "structurally redundant trade" core. Float-free
-    * but iteration-count-dependent, so rows-checked.
+    * repeatedly — the "structurally redundant trade" core.
     */
   private def g12(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val sym = pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val core = kCore(sym, k = 2)
-    core.agg(count(lit(1)).as("n_core_nodes"),
-      count(when(col("node") % 2 === 0, lit(1))).as("n_core_customers"),
-      count(when(col("node") % 2 === 1, lit(1))).as("n_core_suppliers"))
+    val core = kCoreBipartite(bipartitePairs(s, dir), k = 2)
+    core.agg(
+      (countDistinct(col("cust")) + countDistinct(col("supp"))).as("n_core_nodes"),
+      countDistinct(col("cust")).as("n_core_customers"),
+      countDistinct(col("supp")).as("n_core_suppliers"))
+  }
+
+  /** Unrolled peeling oracle: the sf0.01 graph is already its own
+    * 2-core (0 effective peel rounds, measured); 4 unrolled rounds
+    * cover deeper peels, and rounds past the fixpoint are no-ops.
+    */
+  private val g12Sql: String = {
+    val rounds = 4
+    val iters = (1 to rounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+        SELECT cust, supp FROM p${i - 1}
+        WHERE cust IN (SELECT cust FROM p${i - 1} GROUP BY cust HAVING count(*) >= 2)
+          AND supp IN (SELECT supp FROM p${i - 1} GROUP BY supp HAVING count(*) >= 2))"""
+    }.mkString(", ")
+    s"""
+    WITH $bipairsCte,
+    p0 AS (SELECT cust, supp FROM pairs),
+    $iters
+    SELECT count(DISTINCT cust) + count(DISTINCT supp) AS n_core_nodes,
+      count(DISTINCT cust) AS n_core_customers,
+      count(DISTINCT supp) AS n_core_suppliers
+    FROM p$rounds"""
   }
 
   val ops: Seq[Op] = Seq(
     Op("g05_connected_components", g05, Some(g05Sql)),
-    Op("g11_bipartite_cc", g11, None),
-    Op("g12_kcore_bipartite", g12, None))
+    Op("g11_bipartite_cc", g11, Some(g11Sql)),
+    Op("g12_kcore_bipartite", g12, Some(g12Sql)))
 }
