@@ -90,8 +90,13 @@ object Components {
     * the bipartite min node id, so the output is identical to
     * propagating on the full bipartite graph.
     */
-  private def g11(s: SparkSession, dir: String): DataFrame = {
-    val pairs = bipartitePairs(s, dir)
+  /** (node, comp) for every node of the bipartite graph given as
+    * (cust, supp) pairs, in the 2k/2k+1 bipartite numbering — computed
+    * by the supplier-projection contraction described at g11, equal to
+    * labelPropagate on the full doubled graph (spec-tested on
+    * multi-component synthetic graphs the testdata can't produce).
+    */
+  def bipartiteComponents(pairs: DataFrame): DataFrame = {
     val minSupp = pairs.groupBy(col("cust")).agg(min(col("supp")).as("msupp"))
     val star = pairs.join(minSupp, Seq("cust"))
       .filter(col("supp") =!= col("msupp"))
@@ -114,12 +119,15 @@ object Components {
       .join(compId, Seq("scomp"))
       .select((col("supp") * 2 + 1).cast("long").as("node"), col("comp"))
     custRows.unionAll(suppRows)
+  }
+
+  private def g11(s: SparkSession, dir: String): DataFrame =
+    bipartiteComponents(bipartitePairs(s, dir))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_nodes"),
         count(when(col("node") % 2 === 0, lit(1))).as("n_customers"),
         count(when(col("node") % 2 === 1, lit(1))).as("n_suppliers"))
       .orderBy(col("comp"))
-  }
 
   /** Unrolled hash-min oracle: the sf0.01 bipartite graph converges in
     * 4 rounds (measured); 8 unrolled rounds = 2× safety margin, and
@@ -234,8 +242,51 @@ object Components {
     FROM p$rounds"""
   }
 
+  /** Supplier neighborhood similarity (link prediction shape): Jaccard
+    * of customer sets for the 50 most-overlapping supplier pairs. The
+    * co-customer join is keyed on cust — a customer with d suppliers
+    * yields d² pair rows, so extreme-fanout customers are the skew
+    * case ops.Skew.saltedJoin exists for; counts are exact integers,
+    * the only double is the final ratio.
+    */
+  private def g13(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bipartitePairs(s, dir)
+    val deg = pairs.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+    val a = pairs.select(col("cust"), col("supp").as("supp_a"))
+    val b = pairs.select(col("cust").as("cust_b"), col("supp").as("supp_b"))
+    val common = a.join(b, col("cust") === col("cust_b") && col("supp_a") < col("supp_b"))
+      .groupBy(col("supp_a"), col("supp_b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.toDF("supp_a", "deg_a"), Seq("supp_a"))
+      .join(deg.toDF("supp_b", "deg_b"), Seq("supp_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+      .select(col("supp_a"), col("supp_b"), col("n_common"),
+        col("deg_a"), col("deg_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("supp_a"), col("supp_b"))
+      .limit(50)
+  }
+
+  private val g13Sql = s"""
+    WITH $bipairsCte,
+    deg AS (SELECT supp, count(*) AS deg FROM pairs GROUP BY supp),
+    common AS (
+      SELECT a.supp AS supp_a, b.supp AS supp_b, count(*) AS n_common
+      FROM pairs a JOIN pairs b ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2)
+    SELECT c.supp_a, c.supp_b, c.n_common,
+      da.deg AS deg_a, db.deg AS deg_b,
+      CAST(c.n_common AS DOUBLE)
+        / CAST(da.deg + db.deg - c.n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN deg da ON da.supp = c.supp_a
+    JOIN deg db ON db.supp = c.supp_b
+    ORDER BY jaccard DESC, c.supp_a, c.supp_b
+    LIMIT 50"""
+
   val ops: Seq[Op] = Seq(
     Op("g05_connected_components", g05, Some(g05Sql)),
     Op("g11_bipartite_cc", g11, Some(g11Sql)),
-    Op("g12_kcore_bipartite", g12, Some(g12Sql)))
+    Op("g12_kcore_bipartite", g12, Some(g12Sql)),
+    Op("g13_supplier_overlap", g13, Some(g13Sql)))
 }

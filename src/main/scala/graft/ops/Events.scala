@@ -189,10 +189,84 @@ object Events {
       (SELECT count(*) FROM s2) AS n_signup_click,
       (SELECT count(*) FROM s3) AS n_full_funnel"""
 
+  /** Semi-structured extraction: pull the numeric `k` out of the JSON
+    * props column and aggregate per event type — the schema-on-read
+    * path every event pipeline needs. `get_json_object` is codegen'd;
+    * no UDF.
+    */
+  private def e06(s: SparkSession, dir: String): DataFrame =
+    withEpoch(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
+  private val e06Sql = """
+    SELECT event_type, count(k) AS n_with_k,
+      CAST(SUM(k) AS BIGINT) AS sum_k,
+      MIN(k) AS min_k, MAX(k) AS max_k,
+      count(DISTINCT k) AS n_distinct_k
+    FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** Hourly volume anomalies: z-score of each (type, hour) event count
+    * against that type's hourly distribution. Counts are integral so
+    * mean/std derive from exact integer sums; the double arithmetic
+    * after that is order-pinned and identical in both engines.
+    */
+  private def e07(s: SparkSession, dir: String): DataFrame = {
+    val hourly = withEpoch(s, dir)
+      .withColumn("hour_start", (floor(col("es") / 3600) * 3600).cast("long"))
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_events")).as("sc"),
+        sum(col("n_events") * col("n_events")).as("sq"))
+    hourly.join(stats, Seq("event_type"))
+      .withColumn("mean_c", col("sc").cast("double") / col("n"))
+      .withColumn("std_c",
+        sqrt(col("sq").cast("double") / col("n") - col("mean_c") * col("mean_c")))
+      .withColumn("z", (col("n_events") - col("mean_c")) / col("std_c"))
+      .filter(col("std_c") > 0 && abs(col("z")) >= 2.0)
+      .select(col("event_type"), col("hour_start"), col("n_events"),
+        col("mean_c"), col("std_c"), col("z"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  private val e07Sql = """
+    WITH hourly AS (
+      SELECT event_type,
+        CAST(FLOOR((epoch_ns(ts) // 1000000000) / 3600) * 3600 AS BIGINT) AS hour_start,
+        count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, count(*) AS n,
+        CAST(SUM(n_events) AS BIGINT) AS sc,
+        CAST(SUM(n_events * n_events) AS BIGINT) AS sq
+      FROM hourly GROUP BY 1),
+    j AS (
+      SELECT h.event_type, h.hour_start, h.n_events,
+        CAST(sc AS DOUBLE) / n AS mean_c,
+        sqrt(CAST(sq AS DOUBLE) / n
+          - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) AS std_c
+      FROM hourly h JOIN stats s ON s.event_type = h.event_type)
+    SELECT event_type, hour_start, n_events, mean_c, std_c,
+      (n_events - mean_c) / std_c AS z
+    FROM j WHERE std_c > 0 AND abs((n_events - mean_c) / std_c) >= 2.0
+    ORDER BY event_type, hour_start"""
+
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
     Op("e02_tumbling_window", e02, Some(e02Sql)),
     Op("e03_retention", e03, Some(e03Sql)),
     Op("e04_asof_join", e04, Some(e04Sql)),
-    Op("e05_funnel", e05, Some(e05Sql)))
+    Op("e05_funnel", e05, Some(e05Sql)),
+    Op("e06_json_props", e06, Some(e06Sql)),
+    Op("e07_anomaly_zscore", e07, Some(e07Sql)))
 }

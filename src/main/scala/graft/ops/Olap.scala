@@ -323,8 +323,86 @@ object Olap {
     GROUP BY CUBE (r_name, o_orderpriority)
     ORDER BY r_name, o_orderpriority"""
 
+  /** Q2 shape: correlated minimum — for each part of one brand, the
+    * supplier(s) offering the minimum unit price. The correlated
+    * subquery is expressed as a window min over the part partition
+    * (one shuffle, no join back); double comparisons (not sums) are
+    * deterministic so the tie set is identical in both engines.
+    */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables(s, dir, "part").filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"), col("p_name"))
+    val l = Tables(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+    val w = Window.partitionBy(col("p_partkey"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("mp", min(col("unit_price")).over(w))
+      .filter(col("unit_price") === col("mp"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("unit_price").as("min_unit_price"))
+      .distinct()
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  private val q02Sql = """
+    WITH up AS (
+      SELECT p_partkey, p_name, l_suppkey,
+        l_extendedprice / l_quantity AS unit_price
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'),
+    m AS (
+      SELECT *, MIN(unit_price) OVER (PARTITION BY p_partkey) AS mp FROM up)
+    SELECT DISTINCT p_partkey, p_name, s_name, unit_price AS min_unit_price
+    FROM m JOIN supplier ON l_suppkey = s_suppkey
+    WHERE unit_price = mp
+    ORDER BY p_partkey, s_name"""
+
+  /** RANGE-frame windows: 30-calendar-day rolling revenue per nation —
+    * value-based frames (robust to gap days), vs q12's row-based
+    * frames. Frame sums are decimal-exact like every windowed sum.
+    */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables(s, dir, "orders")
+    val n = Tables(s, dir, "nation")
+    val c = Tables(s, dir, "customer")
+    val daily = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+      .agg(dsum(col("o_totalprice"), 2).as("day_total"))
+    val w30 = Window.partitionBy(col("n_name")).orderBy(col("day")).rangeBetween(-29, 0)
+    daily
+      .withColumn("win30_total",
+        sum(col("day_total").cast(DecimalType(18, 2))).over(w30).cast("double"))
+      .withColumn("n_days_30", count(lit(1)).over(w30))
+      .orderBy(col("n_name"), col("day"))
+  }
+
+  private val q14Sql = s"""
+    WITH daily AS (
+      SELECT n_name, (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        ${dsumSql("o_totalprice", 2)} AS day_total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2)
+    SELECT n_name, day, day_total,
+      CAST(SUM(CAST(day_total AS DECIMAL(18,2))) OVER (PARTITION BY n_name ORDER BY day
+        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win30_total,
+      count(*) OVER (PARTITION BY n_name ORDER BY day
+        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_days_30
+    FROM daily
+    ORDER BY n_name, day"""
+
   val ops: Seq[Op] = Seq(
     Op("q01_pricing_summary", q01, Some(q01Sql)),
+    Op("q02_min_cost_supplier", q02, Some(q02Sql)),
+    Op("q14_range_frames", q14, Some(q14Sql)),
     Op("q11_percentiles", q11, Some(q11Sql)),
     Op("q12_running_windows", q12, Some(q12Sql)),
     Op("q13_cube", q13, Some(q13Sql)),

@@ -1,6 +1,6 @@
 package graft.sim
 
-import graft.{Op, Tables}
+import graft.{Op, Tables, par}
 import graft.functions.VectorFunctions.{floatDot, floatNorm}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *    256 buckets; probes only join their own bucket — the shuffle
   *    moves 1/256th of the pair space.
   *  - s03 IVF: coarse quantizer (label-mean centroids), probe the
-  *    nearest centroid's inverted list only. Centroid means are float
-  *    (order-dependent), so this op is rows-checked, not SQL-oracled.
+  *    nearest centroid's inverted list only. Centroid means go through
+  *    the decimal-exact sum (SURVEY.md §4), so the whole probe chain is
+  *    bit-reproducible and SQL-oracled like the other tiers.
   */
 object Similarity {
   private val TOPK = 5
@@ -114,10 +115,12 @@ object Similarity {
   private def s03(s: SparkSession, dir: String): DataFrame = {
     val e = embWithNorm(s, dir)
     // Coarse quantizer: per-label mean vector (the labels stand in for
-    // k-means cells; at scale these come from a training pass).
+    // k-means cells; at scale these come from a training pass). The
+    // mean is decimal-exact-sum / count so both engines get the same
+    // centroid bits regardless of partial-agg order.
     val unpacked = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
     val centroids = unpacked.groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("cv"))
+      .agg((graft.par.dsum(col("v").cast("double"), 9) / count(lit(1))).as("cv"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)").as("centroid"))
     // Assign each probe to its nearest centroid (cosine), then search
@@ -138,6 +141,42 @@ object Similarity {
       .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
     topkPerQuery(pairs)
   }
+
+  private val s03Sql = s"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, ${Cosine.normDuck("embedding")} AS nrm
+      FROM embeddings),
+    unp AS (
+      SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM e, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    cent AS (
+      SELECT label, list(cv ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, ${par.dsumSql("v", 9)} / count(*) AS cv
+        FROM unp GROUP BY label, pos)
+      GROUP BY label),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS eq, nrm AS nq
+      FROM e WHERE vec_id < $NQUERIES),
+    qc AS (
+      SELECT query_id, probe_label FROM (
+        SELECT q.query_id, c.label AS probe_label,
+          row_number() OVER (PARTITION BY q.query_id ORDER BY
+            ${Cosine.dotDuck("q.eq", "c.centroid")}
+              / (q.nq * ${Cosine.normDuck("c.centroid")}) DESC, c.label) AS crank
+        FROM q CROSS JOIN cent c)
+      WHERE crank = 1),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        ${Cosine.dotDuck("q.eq", "c.embedding")} / (q.nq * c.nrm) AS cos
+      FROM q
+      JOIN qc ON qc.query_id = q.query_id
+      JOIN e c ON c.label = qc.probe_label AND c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos, rank FROM ranked
+    WHERE rank <= $TOPK ORDER BY query_id, rank"""
 
   // ---- s04: KNN graph construction ----------------------------------
   // Top-3 cosine neighbors for EVERY vector — the all-pairs edge build
@@ -174,9 +213,34 @@ object Similarity {
     SELECT query_id, neighbor_id, cos, rank FROM ranked
     WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  // ---- s05: ANN recall\@k against the exact baseline -----------------
+  // The metric that decides whether an ANN index is usable: per query,
+  // |approx top-k ∩ exact top-k| / k. Composes the s01 and s02 plans —
+  // at 100 TB this is run on a sampled query set, and both sides are
+  // the already-optimized tiered searches.
+  private def s05(s: SparkSession, dir: String): DataFrame = {
+    val exact = s01(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = s02(s, dir)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    exact.join(approx,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("q2")).cast("double") / lit(TOPK.toDouble)).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
+  private val s05Sql = s"""
+    WITH exact AS ($s01Sql), approx AS ($s02Sql)
+    SELECT e.query_id,
+      CAST(count(a.query_id) AS DOUBLE) / CAST($TOPK AS DOUBLE) AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY e.query_id"""
+
   val ops: Seq[Op] = Seq(
     Op("s01_knn_bruteforce", s01, Some(s01Sql)),
     Op("s02_ann_signlsh", s02, Some(s02Sql)),
-    Op("s03_ivf_label", s03, None),
-    Op("s04_knn_graph", s04, Some(s04Sql)))
+    Op("s03_ivf_label", s03, Some(s03Sql)),
+    Op("s04_knn_graph", s04, Some(s04Sql)),
+    Op("s05_ann_recall", s05, Some(s05Sql)))
 }

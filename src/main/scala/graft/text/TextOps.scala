@@ -168,6 +168,87 @@ object TextOps {
     FROM bigrams GROUP BY bigram
     ORDER BY n DESC, bigram LIMIT 20"""
 
+  // ---- t06: TF-IDF distinctive terms --------------------------------
+  /** Top-3 distinctive terms per document by tf·idf with the linear
+    * idf = N/df (log-free: both engines' ln() can differ in the last
+    * ulp, while multiply/divide of exact integers is bit-pinned).
+    * Two aggregations + a broadcast scalar join — no driver collect.
+    */
+  private def t06(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val tf = docs.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val t06Sql = s"""
+    WITH tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM documents, UNNEST($toksDuck) AS t(term)
+      GROUP BY doc_id, t.term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
+    WHERE rank <= 3 ORDER BY doc_id, rank"""
+
+  // ---- t07: vocabulary coverage -------------------------------------
+  /** Top-30 corpus terms with cumulative token-share — how much of the
+    * corpus the head of the vocabulary covers (tokenizer/vocab sizing).
+    * Exact integer counts; the only double is the final share division.
+    */
+  private def t07(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables(s, dir, "documents")
+      .select(explode(expr(toksExpr)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = terms.agg(sum(col("n")).as("total_tokens"))
+    // top-30 first (distributed TakeOrderedAndProject) so the
+    // unpartitioned rank/cumsum window only ever sees 30 rows, not the
+    // whole vocabulary
+    val top = terms.orderBy(col("n").desc, col("term")).limit(30)
+    val w = Window.orderBy(col("n").desc, col("term"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_share",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("total_tokens").cast("double"))
+      .select(col("rank"), col("term"), col("n"), col("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  private val t07Sql = s"""
+    WITH terms AS (
+      SELECT t.term, count(*) AS n
+      FROM documents, UNNEST($toksDuck) AS t(term)
+      GROUP BY t.term),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM terms),
+    ranked AS (
+      SELECT term, n,
+        row_number() OVER (ORDER BY n DESC, term) AS rank,
+        CAST(SUM(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+      FROM terms)
+    SELECT rank, term, n, CAST(cum_n AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS cum_share
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= 30 ORDER BY rank"""
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -177,5 +258,7 @@ object TextOps {
     Op("t02_quality_score", t02, Some(t02Sql)),
     Op("t03_langid", t03, Some(t03Sql)),
     Op("t04_fingerprint", t04, Some(t04Sql)),
-    Op("t05_bigrams", t05, Some(t05Sql)))
+    Op("t05_bigrams", t05, Some(t05Sql)),
+    Op("t06_tfidf", t06, Some(t06Sql)),
+    Op("t07_vocab_coverage", t07, Some(t07Sql)))
 }

@@ -93,6 +93,27 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("bipartiteComponents contraction equals direct label propagation") {
+    // three components: {c1,c2 / s1,s2}, {c5 / s9}, {c7,c8 / s3} —
+    // plus a case where the min node is a supplier (s3=7 < c7*2=14)
+    val pairs = Seq((1L, 1L), (1L, 2L), (2L, 2L), (5L, 9L), (7L, 3L), (8L, 3L))
+      .toDF("cust", "supp")
+    val got = Components.bipartiteComponents(pairs).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // direct propagation on the doubled graph for comparison
+    val bip = pairs.select((col("cust") * 2).cast("long").as("src"),
+      (col("supp") * 2 + 1).cast("long").as("dst"))
+    val nodes = bip.select(col("src").as("node"))
+      .unionAll(bip.select(col("dst").as("node"))).distinct()
+    val sym = bip.unionAll(bip.select(col("dst").as("src"), col("src").as("dst")))
+    val want = Components.labelPropagate(nodes, sym).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).distinct.size == 3)
+    // the {c7,c8,s3} component is labeled by its supplier (7 < 14)
+    assert(got.toMap.apply(14L) == 7L)
+  }
+
   test("kCore peels low-degree tails, cascading") {
     // triangle 0-1-2 with a chain 2-3-4: peeling 4 then 3 leaves the triangle
     val und = Seq((0, 1), (1, 2), (0, 2), (2, 3), (3, 4))
