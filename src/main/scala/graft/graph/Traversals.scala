@@ -133,6 +133,52 @@ object Traversals {
     FROM nodes n LEFT JOIN r ON r.root = n.node
     GROUP BY n.node ORDER BY n.node"""
 
+  /** Closeness centrality via multi-source BFS: every vertex's frontier
+    * advances in the same loop (as in g07, the diameter — not the
+    * vertex count — bounds the shuffle count), tracking min hop
+    * distance; closeness = n_reachable / sum(dist) over the reachable
+    * set. Integral hops, so the only double is the final ratio.
+    */
+  private def g14(s: SparkSession, dir: String): DataFrame = {
+    val sym = TradeGraph.symEdges(TradeGraph.edgesTable(s, dir)).localCheckpoint()
+    var dist = TradeGraph.nodes(s, dir)
+      .select(col("node").as("root"), col("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = dist
+    while (!frontier.isEmpty) {
+      val next = frontier.join(sym, frontier("node") === sym("src"))
+        .select(frontier("root"), sym("dst").as("node"),
+          (frontier("hop") + 1).as("hop"))
+        .groupBy(col("root"), col("node")).agg(min(col("hop")).as("hop"))
+        .join(dist, Seq("root", "node"), "left_anti")
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    dist.groupBy(col("root").as("node"))
+      .agg((count(lit(1)) - 1).as("n_reachable"),
+        sum(col("hop")).cast("long").as("sum_dist"))
+      .withColumn("closeness", when(col("sum_dist") > 0,
+        col("n_reachable").cast("double") / col("sum_dist").cast("double"))
+        .otherwise(lit(0.0)))
+      .orderBy(col("node"))
+  }
+
+  private val g14Sql = s"""
+    WITH RECURSIVE ${GraphSql.edgesCte}, ${GraphSql.nodesCte}, ${GraphSql.symCte},
+    b(root, nd, d) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION
+      SELECT b.root, e.dst, b.d + 1 FROM b JOIN sym e ON e.src = b.nd
+      WHERE b.d < 10),
+    mind AS (SELECT root, nd, MIN(d) AS d FROM b GROUP BY root, nd)
+    SELECT root AS node, count(*) - 1 AS n_reachable,
+      CAST(SUM(d) AS BIGINT) AS sum_dist,
+      CASE WHEN SUM(d) > 0 THEN
+        CAST(count(*) - 1 AS DOUBLE) / CAST(CAST(SUM(d) AS BIGINT) AS DOUBLE)
+      ELSE CAST(0 AS DOUBLE) END AS closeness
+    FROM mind GROUP BY root ORDER BY node"""
+
   /** Bounded Bellman-Ford: min-cost path from node 0 on the DAG view
     * using ≤4 relaxation rounds; edge cost is the integral trade-cost
     * proxy FLOOR(1e6 / weight) + 1 so path sums stay exact.
@@ -172,5 +218,6 @@ object Traversals {
     Op("g03_bfs_levels", g03, Some(g03Sql)),
     Op("g04_dfs_terminal", g04, Some(g04Sql)),
     Op("g07_reachability", g07, Some(g07Sql)),
-    Op("g08_shortest_path_weighted", g08, Some(g08Sql)))
+    Op("g08_shortest_path_weighted", g08, Some(g08Sql)),
+    Op("g14_closeness", g14, Some(g14Sql)))
 }

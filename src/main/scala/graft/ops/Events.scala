@@ -261,6 +261,35 @@ object Events {
     FROM j WHERE std_c > 0 AND abs((n_events - mean_c) / std_c) >= 2.0
     ORDER BY event_type, hour_start"""
 
+  /** Event-type transition matrix: per-user consecutive event pairs
+    * (Markov-chain edge counts) — one lead() window over the same
+    * user_id/es ordering the sessionizer uses, then a count per
+    * (from, to) pair.
+    */
+  private def e08(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    withEpoch(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val e08Sql = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000000000) AS es
+      FROM events),
+    nxt AS (
+      SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY es, event_id) AS next_type
+      FROM ev)
+    SELECT event_type AS from_type, next_type AS to_type,
+      count(*) AS n_transitions, count(DISTINCT user_id) AS n_users
+    FROM nxt WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY from_type, to_type"""
+
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
     Op("e02_tumbling_window", e02, Some(e02Sql)),
@@ -268,5 +297,6 @@ object Events {
     Op("e04_asof_join", e04, Some(e04Sql)),
     Op("e05_funnel", e05, Some(e05Sql)),
     Op("e06_json_props", e06, Some(e06Sql)),
-    Op("e07_anomaly_zscore", e07, Some(e07Sql)))
+    Op("e07_anomaly_zscore", e07, Some(e07Sql)),
+    Op("e08_transitions", e08, Some(e08Sql)))
 }
