@@ -397,8 +397,34 @@ object Dedup {
       CAST(CASE WHEN rank_in_cluster = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM ranked ORDER BY cluster_id, rank_in_cluster"""
 
+  // ---- d09: cross-source contamination ------------------------------
+  // Dup clusters spanning ≥2 `source` values — inter-source
+  // duplication is how benchmark contamination and crawl overlap show
+  // up in a training corpus; one join from the materialized cluster
+  // table to the source column.
+  private def d09(s: SparkSession, dir: String): DataFrame =
+    clustersTable(s, dir)
+      .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_sources") >= 2)
+      .orderBy(col("cluster_id"))
+
+  private val d09Sql = s"""
+    WITH RECURSIVE $dupGraphCtes,
+    clusters AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM r GROUP BY a)
+    SELECT c.cluster_id, count(DISTINCT d.source) AS n_sources,
+      count(*) AS n_docs
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY c.cluster_id
+    HAVING count(DISTINCT d.source) >= 2
+    ORDER BY c.cluster_id"""
+
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
+    Op("d09_cross_source", d09, Some(d09Sql)),
     Op("d06_dup_clusters", d06, Some(d06Sql)),
     Op("d07_simhash_neighbors", d07, Some(d07Sql)),
     Op("d08_quality_survivor", d08, Some(d08Sql)),

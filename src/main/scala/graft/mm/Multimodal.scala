@@ -130,7 +130,27 @@ object Multimodal {
       MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
     FROM m GROUP BY format ORDER BY format"""
 
+  /** m03: frame sampling as a relational query — each payload fans out
+    * to k fingerprinted frame rows. The SQL-expressible analog of
+    * [[sampleFrames]] (which keys frames off raw payload bytes and is
+    * spec-tested); here the fingerprint derives from payload ||
+    * frame-index text so DuckDB can mirror it exactly.
+    */
+  private def m03(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(array((0 until 3).map(i =>
+          md5(concat(col("text"), lit(i.toString)).cast("binary"))): _*))
+          .as(Seq("frame_idx", "frame_md5")))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val m03Sql = """
+    SELECT doc_id, i AS frame_idx, md5(text || CAST(i AS VARCHAR)) AS frame_md5
+    FROM documents, UNNEST([0, 1, 2]) AS t(i)
+    ORDER BY doc_id, frame_idx"""
+
   val ops: Seq[Op] = Seq(
     Op("m01_binary_meta", m01, Some(m01Sql)),
-    Op("m02_media_stats", m02, Some(m02Sql)))
+    Op("m02_media_stats", m02, Some(m02Sql)),
+    Op("m03_frame_sample", m03, Some(m03Sql)))
 }
