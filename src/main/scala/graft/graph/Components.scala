@@ -21,6 +21,12 @@ object Components {
     * sum strictly decreases until fixpoint — comparing one scalar
     * aggregate per round replaces a join against the previous labels
     * (one cheap job instead of a shuffle per iteration).
+    *
+    * One materialization per round, deliberately: batching two rounds
+    * into one job was measured 5× SLOWER (round 3) — the inner round's
+    * subtree is referenced by both the join and the union branch of
+    * the outer round and gets recomputed in each, and AQE does not
+    * reuse the duplicated exchanges.
     */
   def labelPropagate(nodes: DataFrame, symEdges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = symEdges.select(col("src"), col("dst")).localCheckpoint()
@@ -189,6 +195,10 @@ object Components {
     * half the rows of the symmetrized form kCore consumes.
     */
   def kCoreBipartite(pairs: DataFrame, k: Int): DataFrame = {
+    // one peel per materialization — batching peels into one job
+    // recomputes the inner peel once per reference (3 refs: two degree
+    // aggs + the semi-join source) and was measured slower; see
+    // labelPropagate's note
     var p = pairs.select(col("cust"), col("supp")).localCheckpoint()
     var nPairs = p.count()
     var changed = true
