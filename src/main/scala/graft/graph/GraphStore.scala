@@ -49,8 +49,22 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
     val out = f.create(tmp, true)
     out.write(s"v$version".getBytes("UTF-8"))
     out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, hadoopConf)
-    fc.rename(tmp, currentPtr(name), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val ptr = currentPtr(name)
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // POSIX rename() replaces the target atomically; Hadoop's local
+      // FileContext.rename(OVERWRITE) internally deletes then renames,
+      // which reopens the no-pointer window (caught by the
+      // concurrent-read spec)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(ptr.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, hadoopConf)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   def add(name: String, edges: DataFrame): Unit = put(name, edges)
@@ -89,13 +103,22 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
   def currentVersion(name: String): Option[Long] = {
     val ptr = currentPtr(name)
     val f = fs(ptr)
-    if (!f.exists(ptr)) None
-    else {
-      val in = f.open(ptr)
-      val content = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      in.close()
-      Some(content.stripPrefix("v").toLong)
+    // belt-and-braces for stores whose overwrite-rename is not atomic:
+    // if the pointer is momentarily absent but the graph dir exists, a
+    // publish is in flight — re-check briefly before reporting "none"
+    var attempt = 0
+    while (attempt < 5) {
+      if (f.exists(ptr)) {
+        val in = f.open(ptr)
+        val content = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        in.close()
+        return Some(content.stripPrefix("v").toLong)
+      }
+      if (!f.exists(graphDir(name))) return None
+      attempt += 1
+      Thread.sleep(5)
     }
+    None
   }
 
   def list(): Seq[String] = {

@@ -71,6 +71,35 @@ class GraphSpec extends AnyFunSuite {
     intercept[java.util.NoSuchElementException](store.read("missing"))
   }
 
+  test("GraphStore publish is atomic under concurrent reads") {
+    // regression for the delete/rename pointer window: a reader
+    // polling currentVersion during repeated put() calls must always
+    // see some version — never a missing pointer — and versions must
+    // be strictly increasing
+    val dir = java.nio.file.Files.createTempDirectory("graphrace").toString
+    val store = new GraphStore(spark, dir)
+    store.add("G", edgeDf((0, 1)))
+    @volatile var failure: Option[String] = None
+    @volatile var running = true
+    val reader = new Thread(() => {
+      var last = 0L
+      while (running && failure.isEmpty) {
+        store.currentVersion("G") match {
+          case None => failure = Some("pointer vanished mid-publish")
+          case Some(v) =>
+            if (v < last) failure = Some(s"version went backwards: $last -> $v")
+            last = v
+        }
+      }
+    })
+    reader.start()
+    (2 to 6).foreach(i => store.modify("G", edgeDf((i, i + 1))))
+    running = false
+    reader.join(10000)
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(store.currentVersion("G").contains(6L))
+  }
+
   test("GraphStore applyDelta and drop") {
     val dir = java.nio.file.Files.createTempDirectory("graphdelta").toString
     val store = new GraphStore(spark, dir)
