@@ -122,6 +122,25 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagate matches GraphX connectedComponents on the trade graph") {
+    // independent cross-check against Spark's own graph library:
+    // GraphX CC also labels each component with its min vertex id, so
+    // the outputs must agree exactly
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edges = TradeGraph.edgesTable(spark, "/root/testdata/sf0.001")
+    val sym = TradeGraph.symEdges(edges)
+    val nodes = TradeGraph.nodes(spark, "/root/testdata/sf0.001")
+    val ours = Components.labelPropagate(nodes, sym)
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toMap
+    val vRdd = spark.sparkContext.parallelize(
+      nodes.collect().map(r => (r.getInt(0).toLong, ())).toSeq)
+    val eRdd = spark.sparkContext.parallelize(
+      sym.collect().map(r => Edge(r.getInt(0).toLong, r.getInt(1).toLong, ())).toSeq)
+    val theirs = Graph(vRdd, eRdd).connectedComponents()
+      .vertices.collect().toMap
+    assert(ours == theirs)
+  }
+
   test("bipartiteComponents contraction equals direct label propagation") {
     // three components: {c1,c2 / s1,s2}, {c5 / s9}, {c7,c8 / s3} —
     // plus a case where the min node is a supplier (s3=7 < c7*2=14)
