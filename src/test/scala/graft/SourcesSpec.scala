@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.GraphTextIO
+import graft.sources.{GraphTextIO, JsonlIO}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -29,6 +29,30 @@ class SourcesSpec extends AnyFunSuite {
     val all = GraphTextIO.read(spark, dir.toString)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
     assert(all == Set(("G1", 0, 1), ("G2", 1, 0)))
+  }
+
+  test("JSONL corpus roundtrip with pinned schema and corrupt-line capture") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    JsonlIO.write(docs, s"$dir/docs")
+    // caching first: Spark disallows queries touching only the corrupt
+    // column directly over raw JSON files
+    val back = JsonlIO.read(spark, s"$dir/docs", docs.schema).cache()
+    assert(back.filter(back("_corrupt").isNotNull).count() == 0)
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = back.drop("_corrupt").select(docs.columns.map(back(_)): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // unpersist first: a logically-equal cached plan (same path +
+    // schema) would otherwise serve the pre-corruption data
+    back.unpersist()
+    // a malformed line degrades to a _corrupt row, not a failed read
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/docs/zz_bad.json"), "{not json\n")
+    val dirty = JsonlIO.read(spark, s"$dir/docs", docs.schema).cache()
+    assert(dirty.filter(dirty("_corrupt").isNotNull).count() == 1)
+    assert(dirty.filter(dirty("_corrupt").isNull).count() == a.size)
+    dirty.unpersist()
   }
 
   test("GraftExtensions registers SQL vector functions") {
