@@ -190,8 +190,12 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Materialized (doc_id, simhash) table shared by d03/d07. */
+  def simhashTable(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"simhash:$dir", "graft_sh")(simhashFp(s, dir))
+
   private def d03(s: SparkSession, dir: String): DataFrame =
-    simhashFp(s, dir)
+    simhashTable(s, dir)
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("simhash"))))
       .orderBy(col("doc_id"))
 
@@ -335,7 +339,7 @@ object Dedup {
   // such pair while touching only same-nibble buckets — the scale form
   // of a Hamming join (the n² cross join is the oracle, not the plan).
   private def d07(s: SparkSession, dir: String): DataFrame = {
-    val fp = simhashFp(s, dir).localCheckpoint()
+    val fp = simhashTable(s, dir)
     val keyed = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         expr(s"shiftright(simhash, ${4 * i}) & 15")): _*)).as(Seq("nidx", "nib")))

@@ -15,6 +15,15 @@ final case class Session(user_id: Long, start_es: Long, end_es: Long,
 final case class SessionAcc(start_es: Long, end_es: Long, n_events: Long,
     total_value: Double)
 
+/** A typed event for transition counting (event_id breaks ts ties). */
+final case class TEvent(user_id: Long, event_id: Long, es: Long, event_type: String)
+
+/** One observed consecutive event-type pair for a user. */
+final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+/** Last-seen event state carried between micro-batches. */
+final case class TLast(es: Long, event_type: String)
+
 /** Structured Streaming surface: the reference's "server keeps serving
   * while clients add requests" behavior maps to continuous queries.
   * All transforms are mode-agnostic — the same plan runs on a batch
@@ -73,6 +82,33 @@ object StreamOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, Session](OutputMode.Append(), timeout)(processUser)
+  }
+
+  /** Streaming transition counts (streaming analog of e08): per-user
+    * consecutive event-type pairs, with the last seen (es, type) held
+    * in [[GroupState]] so pairs spanning micro-batch boundaries are
+    * still counted. Emits one (from_type, to_type) row per transition
+    * in append mode; the downstream aggregation to a transition matrix
+    * is a plain streaming groupBy.
+    */
+  def transitionsStateful(events: Dataset[TEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TLast, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(processTransitions)
+  }
+
+  private[streaming] def processTransitions(user: Long, events: Iterator[TEvent],
+      state: GroupState[TLast]): Iterator[Transition] = {
+    val sorted = events.toArray.sortBy(e => (e.es, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+    var last = state.getOption.orNull
+    sorted.foreach { e =>
+      if (last != null) out += Transition(user, last.event_type, e.event_type)
+      last = TLast(e.es, e.event_type)
+    }
+    if (last != null) state.update(last)
+    out.iterator
   }
 
   private val GapSeconds = 1800L

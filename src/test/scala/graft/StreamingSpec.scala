@@ -134,6 +134,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.toSeq == Seq(Session(1L, 0L, 600L, 2L, 3.0)))
   }
 
+  test("stateful transition counter counts pairs across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TEvent]
+    val q = StreamOps.transitionsStateful(in.toDS()).writeStream
+      .format("memory").queryName("transitions_out").outputMode("append").start()
+    try {
+      in.addData(TEvent(1L, 1L, 100L, "signup"), TEvent(1L, 2L, 200L, "click"))
+      q.processAllAvailable()
+      // the signup->click pair above; click->purchase spans the batch boundary
+      in.addData(TEvent(1L, 3L, 300L, "purchase"), TEvent(2L, 4L, 50L, "view"))
+      q.processAllAvailable()
+      in.addData(TEvent(2L, 5L, 60L, "click"))
+      q.processAllAvailable()
+      val out = spark.table("transitions_out").as[Transition].collect().toSet
+      assert(out == Set(
+        Transition(1L, "signup", "click"),
+        Transition(1L, "click", "purchase"),
+        Transition(2L, "view", "click")))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits sessions incrementally on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SEvent]
