@@ -249,6 +249,58 @@ object TextOps {
     FROM ranked CROSS JOIN tot
     WHERE rank <= 30 ORDER BY rank"""
 
+  // ---- t08: rolling-hash winnowing fingerprints ---------------------
+  /** MOSS-style document fingerprints: Rabin–Karp polynomial rolling
+    * hash (base 131 mod 1e9+7, exact BIGINT math) over 3-token
+    * shingles, then winnowing (min hash per window of 4) — the
+    * fingerprint scheme plagiarism/containment scanners use. Entirely
+    * codegen'd higher-order array functions; the only data movement is
+    * the final sort.
+    */
+  private val t08Spark: Seq[(String, String)] = {
+    val k3 = """CASE WHEN size(toks) >= 3 THEN
+        transform(sequence(1, size(toks) - 2),
+          i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+      ELSE array() END"""
+    val hs = s"""transform($k3, g ->
+        aggregate(sequence(1, length(g)), cast(0 as bigint),
+          (acc, i) -> (acc * 131 + ascii(substring(g, i, 1))) % 1000000007))"""
+    val mins = s"""CASE WHEN size($hs) >= 4 THEN
+        transform(sequence(1, size($hs) - 3), j -> array_min(slice($hs, j, 4)))
+      ELSE $hs END"""
+    val fps = s"array_sort(array_distinct($mins))"
+    Seq(
+      "n_fps" -> s"cast(size($fps) as bigint)",
+      "fp_md5" -> s"md5(cast(array_join(transform($fps, x -> cast(x as string)), ',') as binary))")
+  }
+
+  private def t08(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id") +: t08Spark.map { case (n, e) => expr(e).as(n) }: _*)
+      .orderBy(col("doc_id"))
+
+  private val t08Sql: String = {
+    val k3 = s"""CASE WHEN len(toks) >= 3 THEN
+        list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      ELSE [] END"""
+    val hs = s"""list_transform($k3, g ->
+        list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(g) + 1),
+          i -> CAST(ascii(substr(g, i, 1)) AS BIGINT)),
+          (acc, c) -> (acc * 131 + c) % 1000000007))"""
+    val mins = s"""CASE WHEN len($hs) >= 4 THEN
+        list_transform(range(1, len($hs) - 2), j -> list_min($hs[j:j+3]))
+      ELSE $hs END"""
+    val fps = s"list_sort(list_distinct($mins))"
+    s"""
+    SELECT doc_id,
+      CAST(len($fps) AS BIGINT) AS n_fps,
+      md5(array_to_string(list_transform($fps, x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+    FROM (SELECT doc_id, $toksDuck AS toks FROM documents)
+    ORDER BY doc_id"""
+  }
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -260,5 +312,6 @@ object TextOps {
     Op("t04_fingerprint", t04, Some(t04Sql)),
     Op("t05_bigrams", t05, Some(t05Sql)),
     Op("t06_tfidf", t06, Some(t06Sql)),
-    Op("t07_vocab_coverage", t07, Some(t07Sql)))
+    Op("t07_vocab_coverage", t07, Some(t07Sql)),
+    Op("t08_winnow_fingerprint", t08, Some(t08Sql)))
 }
