@@ -290,8 +290,34 @@ object Events {
     FROM nxt WHERE next_type IS NOT NULL
     GROUP BY 1, 2 ORDER BY from_type, to_type"""
 
+  /** Daily event counts pivoted to one column per type (crosstab —
+    * the wide-format export BI and feature pipelines ask for). The
+    * value list is pinned so the output schema is static; Catalyst
+    * compiles pivot to conditional aggregates, mirrored literally in
+    * the oracle.
+    */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def e09(s: SparkSession, dir: String): DataFrame =
+    withEpoch(s, dir)
+      .withColumn("day", floor(col("es") / 86400).cast("long"))
+      .groupBy(col("day"))
+      .pivot(col("event_type"), eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy(col("day"))
+
+  private val e09Sql = {
+    val cols = eventTypes.map(t =>
+      s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""").mkString(", ")
+    s"""
+    SELECT CAST(FLOOR((epoch_ns(ts) // 1000000000) / 86400) AS BIGINT) AS day, $cols
+    FROM events GROUP BY 1 ORDER BY day"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
+    Op("e09_pivot", e09, Some(e09Sql)),
     Op("e02_tumbling_window", e02, Some(e02Sql)),
     Op("e03_retention", e03, Some(e03Sql)),
     Op("e04_asof_join", e04, Some(e04Sql)),

@@ -399,10 +399,83 @@ object Olap {
     FROM daily
     ORDER BY n_name, day"""
 
+  /** Explicit GROUPING SETS — the general form q08's ROLLUP and q13's
+    * CUBE specialize: (region, nation), (region), and grand total in
+    * one pass, with per-column grouping indicators (portable across
+    * engines, unlike the bit-packed grouping_id whose bit order is
+    * engine-defined).
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq.empty),
+        col("r_name"), col("n_name"))
+      .agg(grouping(col("r_name")).cast("long").as("g_r"),
+        grouping(col("n_name")).cast("long").as("g_n"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("total_value"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("g_r"), col("g_n"), col("n_orders"), col("total_value"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q15Sql = s"""
+    SELECT COALESCE(r_name, 'ALL') AS r_name,
+      COALESCE(n_name, 'ALL') AS n_name,
+      CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+      CAST(GROUPING(n_name) AS BIGINT) AS g_n,
+      count(*) AS n_orders, ${dsumSql("o_totalprice", 2)} AS total_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    ORDER BY r_name, n_name"""
+
+  /** Customer-value deciles: ntile(10) over per-customer spend — the
+    * LTV segmentation shape; ntile's SQL-standard distribution rule
+    * plus a total order make the assignment engine-portable.
+    */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice"), 2).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    spend.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("spend"), 2).as("decile_total"),
+        min(col("spend")).as("min_spend"),
+        max(col("spend")).as("max_spend"))
+      .orderBy(col("decile"))
+  }
+
+  private val q16Sql = s"""
+    WITH spend AS (
+      SELECT o_custkey, ${dsumSql("o_totalprice", 2)} AS spend
+      FROM orders GROUP BY o_custkey),
+    tiled AS (
+      SELECT *, ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      FROM spend)
+    SELECT decile, count(*) AS n_customers,
+      ${dsumSql("spend", 2)} AS decile_total,
+      MIN(spend) AS min_spend, MAX(spend) AS max_spend
+    FROM tiled GROUP BY decile ORDER BY decile"""
+
   val ops: Seq[Op] = Seq(
     Op("q01_pricing_summary", q01, Some(q01Sql)),
     Op("q02_min_cost_supplier", q02, Some(q02Sql)),
     Op("q14_range_frames", q14, Some(q14Sql)),
+    Op("q15_grouping_sets", q15, Some(q15Sql)),
+    Op("q16_spend_deciles", q16, Some(q16Sql)),
     Op("q11_percentiles", q11, Some(q11Sql)),
     Op("q12_running_windows", q12, Some(q12Sql)),
     Op("q13_cube", q13, Some(q13Sql)),
