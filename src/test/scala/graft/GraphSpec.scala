@@ -171,6 +171,52 @@ class GraphSpec extends AnyFunSuite {
     assert(core == Seq(0, 1, 2))
   }
 
+  test("Boruvka spanning forest matches Prim's total cost on the trade graph") {
+    // undirected unique edges with integral cost (min over directions)
+    val e = TradeGraph.symEdges(TradeGraph.edgesTable(spark, "/root/testdata/sf0.001"))
+      .join(TradeGraph.edgesTable(spark, "/root/testdata/sf0.001")
+        .select(col("src").as("s2"), col("dst").as("d2"),
+          (floor(lit(1000000.0) / col("weight")) + 1).cast("long").as("c2")),
+        col("src") === col("s2") && col("dst") === col("d2"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("c2")).as("cost"))
+    val nodes = TradeGraph.nodes(spark, "/root/testdata/sf0.001")
+    val forest = Mst.boruvka(nodes, e).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+
+    // reference: in-test Prim over the collected edge list
+    val edges = e.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val verts = nodes.collect().map(_.getInt(0)).toSet
+    val adj: Map[Int, Seq[(Int, Long)]] =
+      edges.flatMap { case (a, b, c) => Seq(a -> (b, c), b -> (a, c)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var primCost = 0L
+    var nTreeEdges = 0
+    val seen = scala.collection.mutable.Set.empty[Int]
+    verts.toSeq.sorted.foreach { start =>
+      if (!seen.contains(start)) {
+        seen += start
+        val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](
+          Ordering.by[(Long, Int), (Long, Int)](identity).reverse)
+        adj.getOrElse(start, Seq.empty[(Int, Long)]).foreach { case (n, c) => pq.enqueue((c, n)) }
+        while (pq.nonEmpty) {
+          val (c, n) = pq.dequeue()
+          if (!seen.contains(n)) {
+            seen += n; primCost += c; nTreeEdges += 1
+            adj.getOrElse(n, Seq.empty[(Int, Long)]).foreach { case (m, c2) =>
+              if (!seen.contains(m)) pq.enqueue((c2, m))
+            }
+          }
+        }
+      }
+    }
+    // all MSTs of a graph share the same total cost; the forest must
+    // also have exactly V - C edges (spanning, acyclic)
+    assert(forest.map(_._3).sum == primCost)
+    assert(forest.length == nTreeEdges)
+    assert(forest.toSet.subsetOf(edges.toSet))
+  }
+
   test("triangle counting on a known graph") {
     // square 0-1-2-3 with one diagonal 0-2: triangles (0,1,2) and (0,2,3)
     val e = edgeDf((0, 1), (1, 2), (2, 3), (3, 0), (0, 2))
