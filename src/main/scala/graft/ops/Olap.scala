@@ -439,36 +439,47 @@ object Olap {
     GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
     ORDER BY r_name, n_name"""
 
-  /** Customer-value deciles: ntile(10) over per-customer spend — the
-    * LTV segmentation shape; ntile's SQL-standard distribution rule
-    * plus a total order make the assignment engine-portable.
+  /** Customer-value deciles (LTV segmentation) WITHOUT a global sort:
+    * decile boundaries come from one exact percentile aggregate
+    * (bit-portable, see q11), and each customer's decile is 1 + the
+    * number of boundaries above their spend — a broadcast compare, so
+    * the plan scans and aggregates but never totally orders 150M
+    * customers. (An ntile(10) window would need a single-partition
+    * sort of every customer — the formulation that does NOT survive
+    * 100 TB.) Decile 1 = top spenders.
     */
   private def q16(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = Tables(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice"), 2).as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-    spend.withColumn("decile", ntile(10).over(w))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_customers"),
-        dsum(col("spend"), 2).as("decile_total"),
-        min(col("spend")).as("min_spend"),
-        max(col("spend")).as("max_spend"))
-      .orderBy(col("decile"))
+    spend.createOrReplaceTempView("spend_q16")
+    val bounds = (1 to 9).map(k =>
+      s"percentile_cont(0.${k}) WITHIN GROUP (ORDER BY spend) AS b$k").mkString(", ")
+    val decile = (1 to 9).map(k => s"CASE WHEN spend < b$k THEN 1 ELSE 0 END").mkString(" + ")
+    s.sql(s"""
+      WITH bounds AS (SELECT $bounds FROM spend_q16)
+      SELECT 1 + ($decile) AS decile, count(*) AS n_customers,
+        ${dsumSql("spend", 2)} AS decile_total,
+        MIN(spend) AS min_spend, MAX(spend) AS max_spend
+      FROM spend_q16 CROSS JOIN bounds
+      GROUP BY 1 ORDER BY decile""")
   }
 
-  private val q16Sql = s"""
+  private val q16Sql = {
+    val bounds = (1 to 9).map(k =>
+      s"percentile_cont(0.${k}) WITHIN GROUP (ORDER BY spend) AS b$k").mkString(", ")
+    val decile = (1 to 9).map(k => s"CASE WHEN spend < b$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""
     WITH spend AS (
       SELECT o_custkey, ${dsumSql("o_totalprice", 2)} AS spend
       FROM orders GROUP BY o_custkey),
-    tiled AS (
-      SELECT *, ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
-      FROM spend)
-    SELECT decile, count(*) AS n_customers,
+    bounds AS (SELECT $bounds FROM spend)
+    SELECT 1 + ($decile) AS decile, count(*) AS n_customers,
       ${dsumSql("spend", 2)} AS decile_total,
       MIN(spend) AS min_spend, MAX(spend) AS max_spend
-    FROM tiled GROUP BY decile ORDER BY decile"""
+    FROM spend CROSS JOIN bounds
+    GROUP BY 1 ORDER BY decile"""
+  }
 
   val ops: Seq[Op] = Seq(
     Op("q01_pricing_summary", q01, Some(q01Sql)),
