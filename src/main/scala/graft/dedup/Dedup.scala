@@ -426,9 +426,38 @@ object Dedup {
     HAVING count(DISTINCT d.source) >= 2
     ORDER BY c.cluster_id"""
 
+  // ---- d10: deterministic train/val/test split ----------------------
+  // Hash-bucket assignment (first md5 hex nibble of the doc id:
+  // 0-b=train 12/16, c-d=val 2/16, e-f=test 2/16) — content-stable,
+  // reproducible across runs and engines, no RNG state to coordinate
+  // across 1000 executors. The per-(lang, split) census is the sanity
+  // check a data curator runs before training.
+  private def d10(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("nib", substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 1))
+      .withColumn("split",
+        when(col("nib").isin("c", "d"), "val")
+          .when(col("nib").isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+
+  private val d10Sql = s"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+        CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+             ELSE 'train' END AS split
+      FROM documents)
+    SELECT lang, split, count(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY lang, split ORDER BY lang, split"""
+
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
     Op("d09_cross_source", d09, Some(d09Sql)),
+    Op("d10_train_split", d10, Some(d10Sql)),
     Op("d06_dup_clusters", d06, Some(d06Sql)),
     Op("d07_simhash_neighbors", d07, Some(d07Sql)),
     Op("d08_quality_survivor", d08, Some(d08Sql)),

@@ -294,9 +294,38 @@ object Components {
     ORDER BY jaccard DESC, c.supp_a, c.supp_b
     LIMIT 50"""
 
+  /** Degree histogram of the bipartite trade graph, per side — the
+    * first statistic a graph database reports about a stored graph,
+    * and the skew evidence that justifies salting decisions: two
+    * aggregations (degree, then count per degree).
+    */
+  private def g15(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bipartitePairs(s, dir)
+    val cd = pairs.groupBy(col("cust")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .withColumn("side", lit("customer"))
+    val sd = pairs.groupBy(col("supp")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .withColumn("side", lit("supplier"))
+    cd.unionAll(sd)
+      .select(col("side"), col("degree"), col("n_nodes"))
+      .orderBy(col("side"), col("degree"))
+  }
+
+  private val g15Sql = s"""
+    WITH $bipairsCte,
+    cd AS (SELECT 'customer' AS side, degree, count(*) AS n_nodes FROM (
+      SELECT cust, count(*) AS degree FROM pairs GROUP BY cust) GROUP BY degree),
+    sd AS (SELECT 'supplier' AS side, degree, count(*) AS n_nodes FROM (
+      SELECT supp, count(*) AS degree FROM pairs GROUP BY supp) GROUP BY degree)
+    SELECT side, degree, n_nodes FROM cd
+    UNION ALL SELECT side, degree, n_nodes FROM sd
+    ORDER BY side, degree"""
+
   val ops: Seq[Op] = Seq(
     Op("g05_connected_components", g05, Some(g05Sql)),
     Op("g11_bipartite_cc", g11, Some(g11Sql)),
     Op("g12_kcore_bipartite", g12, Some(g12Sql)),
-    Op("g13_supplier_overlap", g13, Some(g13Sql)))
+    Op("g13_supplier_overlap", g13, Some(g13Sql)),
+    Op("g15_degree_histogram", g15, Some(g15Sql)))
 }
