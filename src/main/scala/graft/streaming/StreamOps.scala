@@ -84,6 +84,25 @@ object StreamOps {
       .flatMapGroupsWithState[SessionAcc, Session](OutputMode.Append(), timeout)(processUser)
   }
 
+  /** Stream-stream interval join (streaming analog of e04's as-of
+    * semantics): each purchase joined to the same user's clicks in the
+    * preceding hour, both sides unbounded streams. The watermarks plus
+    * the time-interval condition let Spark evict join state — without
+    * them a stream-stream join buffers forever.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Streaming transition counts (streaming analog of e08): per-user
     * consecutive event-type pairs, with the last seen (es, type) held
     * in [[GroupState]] so pairs spanning micro-batch boundaries are

@@ -134,6 +134,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.toSeq == Seq(Session(1L, 0L, 600L, 2L, 3.0)))
   }
 
+  test("stream-stream interval join matches purchases to prior-hour clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val joined = StreamOps.clickPurchaseJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "value"))
+    val q = joined.writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      clicks.addData((ts(10), 1L), (ts(50), 1L), (ts(10), 2L))
+      // user 1 purchase at min 70: clicks at 10 and 50 are both within
+      // the preceding hour; user 2 purchase at min 200 has no click
+      // within an hour
+      purchases.addData((ts(70), 1L, 9.0), (ts(200), 2L, 5.0))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getDouble(3))).toSet
+      assert(out == Set(
+        (1L, "2024-01-01 00:10:00.0", "2024-01-01 01:10:00.0", 9.0),
+        (1L, "2024-01-01 00:50:00.0", "2024-01-01 01:10:00.0", 9.0)))
+    } finally q.stop()
+  }
+
   test("stateful transition counter counts pairs across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TEvent]
