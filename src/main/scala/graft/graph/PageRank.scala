@@ -66,6 +66,94 @@ object PageRank {
     run(TradeGraph.nodes(s, dir), TradeGraph.edgesTable(s, dir), iters = 10)
       .orderBy(col("node"))
 
+  /** Personalized PageRank: teleport AND dangling mass return to the
+    * source node instead of spreading uniformly — the "nodes related
+    * to X" query a graph database serves for recommendations. Same
+    * decimal-exact contraction as [[run]].
+    */
+  def runPersonalized(nodes: DataFrame, edges: DataFrame, source: Int,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val outDeg = nodes.join(
+        e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
+    val dec = DecimalType(28, 15)
+    val hasDangling = !outDeg.filter(col("outdeg") === 0).isEmpty
+    var ranks = nodes.select(col("node"),
+      when(col("node") === source, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, Seq("node"))
+      val contribs = withDeg.filter(col("outdeg") > 0)
+        .join(e, col("node") === e("src"))
+        .groupBy(e("dst").as("node"))
+        .agg(sum((col("rank") / col("outdeg")).cast(dec)).cast("double").as("s"))
+      val base = nodes.join(contribs, Seq("node"), "left")
+      val teleport = when(col("node") === source, lit(0.15)).otherwise(lit(0.0))
+      val next =
+        if (hasDangling) {
+          val dangling = withDeg.filter(col("outdeg") === 0)
+            .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (teleport + lit(D) * (coalesce(col("s"), lit(0.0)) +
+                when(col("node") === source, col("dm")).otherwise(lit(0.0)))).as("rank"))
+        } else {
+          base.select(col("node"),
+            (teleport + lit(D) * coalesce(col("s"), lit(0.0))).as("rank"))
+        }
+      ranks = next.localCheckpoint()
+    }
+    ranks
+  }
+
+  private def g16(s: SparkSession, dir: String): DataFrame =
+    runPersonalized(TradeGraph.nodes(s, dir), TradeGraph.edgesTable(s, dir),
+      source = 0, iters = 10)
+      .orderBy(col("node"))
+
+  /** Unrolled PPR oracle — g09's shape with source-concentrated
+    * teleport/dangling terms. The +0.0 dangling add on non-source
+    * nodes is bit-neutral, matching the Spark side's CASE.
+    */
+  private def g16Sql: String = {
+    val iters = (1 to 10).map { k =>
+      val p = if (k == 1) "r0" else s"r${k - 1}"
+      s"""
+    c$k AS MATERIALIZED (
+      SELECT e.dst AS node,
+        CAST(SUM(CAST(p.rank / od.outdeg AS DECIMAL(28,15))) AS DOUBLE) AS s
+      FROM $p p
+      JOIN od ON od.node = p.node AND od.outdeg > 0
+      JOIN dedges e ON e.src = p.node
+      GROUP BY e.dst),
+    d$k AS MATERIALIZED (
+      SELECT CAST(COALESCE(SUM(CAST(p.rank AS DECIMAL(28,15))), 0) AS DOUBLE) AS dm
+      FROM $p p JOIN od ON od.node = p.node AND od.outdeg = 0),
+    r$k AS MATERIALIZED (
+      SELECT n.node,
+        CASE WHEN n.node = 0 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+          + CAST(0.85 AS DOUBLE) * (COALESCE(c.s, CAST(0 AS DOUBLE))
+            + CASE WHEN n.node = 0 THEN d.dm ELSE CAST(0 AS DOUBLE) END) AS rank
+      FROM nodes n
+      LEFT JOIN c$k c ON c.node = n.node
+      CROSS JOIN d$k d)"""
+    }.mkString(",")
+    s"""
+    WITH ${GraphSql.edgesCte}, ${GraphSql.nodesCte},
+    dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+    od AS MATERIALIZED (
+      SELECT n.node, COALESCE(o.c, 0) AS outdeg
+      FROM nodes n LEFT JOIN
+        (SELECT src, count(*) AS c FROM dedges GROUP BY src) o ON o.src = n.node),
+    r0 AS MATERIALIZED (
+      SELECT node, CASE WHEN node = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS rank
+      FROM nodes),
+    $iters
+    SELECT node, rank FROM r10 ORDER BY node"""
+  }
+
   /** Unrolled 10-iteration oracle — same decimal-exact contraction.
     * CTEs are MATERIALIZED: DuckDB would otherwise inline r{k-1} twice
     * per iteration (contribs + dangling), exponentially expanding the
@@ -106,5 +194,7 @@ object PageRank {
     SELECT node, rank FROM r10 ORDER BY node"""
   }
 
-  val ops: Seq[Op] = Seq(Op("g09_pagerank", g09, Some(g09Sql)))
+  val ops: Seq[Op] = Seq(
+    Op("g09_pagerank", g09, Some(g09Sql)),
+    Op("g16_personalized_pagerank", g16, Some(g16Sql)))
 }
