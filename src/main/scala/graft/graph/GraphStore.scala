@@ -97,7 +97,29 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
   def read(name: String): DataFrame = {
     val v = currentVersion(name).getOrElse(
       throw new java.util.NoSuchElementException(s"no graph named $name"))
-    spark.read.parquet(new Path(graphDir(name), s"v$v").toString)
+    readVersion(name, v)
+  }
+
+  /** Time-travel read: any still-retained snapshot version. Versions
+    * are immutable once published, so a historical read is just a scan
+    * of that version's directory — the audit/"what did the graph look
+    * like before the modify" query the reference cannot answer at all
+    * (its modify overwrites the matrix file in place).
+    */
+  def readVersion(name: String, version: Long): DataFrame = {
+    val dir = new Path(graphDir(name), s"v$version")
+    if (!fs(dir).exists(dir))
+      throw new java.util.NoSuchElementException(s"no version $version of $name")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** All retained snapshot versions of `name`, ascending. */
+  def versions(name: String): Seq[Long] = {
+    val dir = graphDir(name)
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).toSeq.sorted
   }
 
   def currentVersion(name: String): Option[Long] = {

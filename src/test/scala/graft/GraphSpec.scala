@@ -69,6 +69,12 @@ class GraphSpec extends AnyFunSuite {
     store.add("G2", edgeDf((7, 8)))
     assert(store.list() == Seq("G1", "G2"))
     intercept[java.util.NoSuchElementException](store.read("missing"))
+    // time travel: immutable snapshots keep history readable
+    assert(store.versions("G1") == Seq(1L, 2L))
+    val v1 = store.readVersion("G1", 1L).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(v1 == Set((0, 1), (1, 2)))
+    intercept[java.util.NoSuchElementException](store.readVersion("G1", 9L))
   }
 
   test("GraphStore publish is atomic under concurrent reads") {

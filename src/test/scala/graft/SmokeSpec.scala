@@ -25,4 +25,12 @@ class SmokeSpec extends AnyFunSuite {
   test("every oracle name has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("registry names are unique and every query is oracle-checked") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate op names: ${names.diff(names.distinct)}")
+    // the round-3 invariant: zero rows-only checks
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
 }
