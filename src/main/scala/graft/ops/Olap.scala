@@ -481,9 +481,42 @@ object Olap {
     GROUP BY 1 ORDER BY decile"""
   }
 
+  /** Set operators (EXCEPT / INTERSECT — Spark's except/intersect
+    * physical operators): customer churn between 1996 and 1997 — who
+    * bought only in '96, both years, only in '97.
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    def buyers(year: Int) =
+      o.filter(col("o_orderdate") >= to_timestamp(lit(s"$year-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit(s"${year + 1}-01-01")))
+        .select(col("o_custkey")).distinct()
+    val b96 = buyers(1996)
+    val b97 = buyers(1997)
+    val only96 = b96.except(b97).agg(count(lit(1)).as("n_only_1996"))
+    val both = b96.intersect(b97).agg(count(lit(1)).as("n_both"))
+    val only97 = b97.except(b96).agg(count(lit(1)).as("n_only_1997"))
+    only96.crossJoin(both).crossJoin(only97)
+  }
+
+  private val q17Sql = """
+    WITH b96 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    b97 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT
+      (SELECT count(*) FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97)) AS n_only_1996,
+      (SELECT count(*) FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)) AS n_both,
+      (SELECT count(*) FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b96)) AS n_only_1997"""
+
   val ops: Seq[Op] = Seq(
     Op("q01_pricing_summary", q01, Some(q01Sql)),
     Op("q02_min_cost_supplier", q02, Some(q02Sql)),
+    Op("q17_set_ops", q17, Some(q17Sql)),
     Op("q14_range_frames", q14, Some(q14Sql)),
     Op("q15_grouping_sets", q15, Some(q15Sql)),
     Op("q16_spend_deciles", q16, Some(q16Sql)),

@@ -301,6 +301,41 @@ object TextOps {
     ORDER BY doc_id"""
   }
 
+  // ---- t09: text normalization --------------------------------------
+  /** The cleaning transform every corpus passes through before
+    * tokenization: lowercase, strip punctuation, collapse runs of
+    * whitespace, drop stopwords — emitted as a content hash plus
+    * before/after size stats so the reduction is auditable. Pure
+    * per-row string ops (codegen'd, shuffle-free scan).
+    */
+  private def t09(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("cleaned",
+        expr(s"""trim(regexp_replace(lower(regexp_replace(text, '[!?,.;:]', ' ')), ' +', ' '))"""))
+      .withColumn("kept",
+        expr(s"array_join(filter(split(cleaned, ' '), t -> t != '' AND NOT t IN ($stopListSql)), ' ')"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("kept")).cast("long").as("n_chars_clean"),
+        md5(col("kept").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  private val t09Sql = s"""
+    WITH cleaned AS (
+      SELECT doc_id, text,
+        trim(regexp_replace(lower(regexp_replace(text, '[!?,.;:]', ' ', 'g')), ' +', ' ', 'g')) AS cleaned
+      FROM documents),
+    kept AS (
+      SELECT doc_id, text,
+        array_to_string(list_filter(string_split(cleaned, ' '),
+          t -> t != '' AND t NOT IN ($stopListSql)), ' ') AS kept
+      FROM cleaned)
+    SELECT doc_id,
+      CAST(len(text) AS BIGINT) AS n_chars_raw,
+      CAST(len(kept) AS BIGINT) AS n_chars_clean,
+      md5(kept) AS clean_md5
+    FROM kept ORDER BY doc_id"""
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -313,5 +348,6 @@ object TextOps {
     Op("t05_bigrams", t05, Some(t05Sql)),
     Op("t06_tfidf", t06, Some(t06Sql)),
     Op("t07_vocab_coverage", t07, Some(t07Sql)),
-    Op("t08_winnow_fingerprint", t08, Some(t08Sql)))
+    Op("t08_winnow_fingerprint", t08, Some(t08Sql)),
+    Op("t09_normalize", t09, Some(t09Sql)))
 }
