@@ -28,8 +28,10 @@ object Events {
     Tables(s, dir, "events").withColumn("es", expr("ts div 1000000000"))
   }
 
-  /** 30-minute-gap sessionization via lag + running sum of boundaries. */
-  private def e01(s: SparkSession, dir: String): DataFrame = {
+  /** 30-minute-gap sessionization via lag + running sum of boundaries;
+    * shared by e01 (the session table) and e10 (duration stats).
+    */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
     withEpoch(s, dir)
       .withColumn("prev_es", lag(col("es"), 1).over(byUser))
@@ -42,11 +44,17 @@ object Events {
         min(col("es")).as("start_es"),
         max(col("es")).as("end_es"),
         dsum(col("value"), 2).as("session_value"))
-      .orderBy(col("user_id"), col("session_idx"))
   }
 
-  private val e01Sql = s"""
-    WITH ev AS (
+  private def e01(s: SparkSession, dir: String): DataFrame =
+    sessions(s, dir).orderBy(col("user_id"), col("session_idx"))
+
+  /** CTE chain ending in sess(user_id, session_idx, n_events,
+    * start_es, end_es, session_value) — the oracle mirror of
+    * [[sessions]].
+    */
+  private val sessionsCteSql = s"""
+    ev AS (
       SELECT event_id, user_id, value, (epoch_ns(ts) // 1000000000) AS es
       FROM events),
     flagged AS (
@@ -54,15 +62,21 @@ object Events {
           THEN 1 ELSE 0 END AS BIGINT) AS new_session
       FROM (SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev_es
             FROM ev)),
-    sessions AS (
+    numbered AS (
       SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-      FROM flagged)
-    SELECT user_id, session_idx, count(*) AS n_events,
-      min(es) AS start_es, max(es) AS end_es,
-      ${dsumSql("value", 2)} AS session_value
-    FROM sessions
-    GROUP BY user_id, session_idx
+      FROM flagged),
+    sess AS (
+      SELECT user_id, session_idx, count(*) AS n_events,
+        min(es) AS start_es, max(es) AS end_es,
+        ${dsumSql("value", 2)} AS session_value
+      FROM numbered
+      GROUP BY user_id, session_idx)"""
+
+  private val e01Sql = s"""
+    WITH $sessionsCteSql
+    SELECT user_id, session_idx, n_events, start_es, end_es, session_value
+    FROM sess
     ORDER BY user_id, session_idx"""
 
   /** Hourly tumbling-window aggregate (batch analog of streaming agg). */
@@ -315,9 +329,35 @@ object Events {
     FROM events GROUP BY 1 ORDER BY day"""
   }
 
+  /** Session-duration/engagement distribution — the product metric the
+    * sessionizer feeds: exact interpolated percentiles of session
+    * length and per-session event count (integral inputs, portable
+    * percentile_cont interpolation).
+    */
+  private def e10(s: SparkSession, dir: String): DataFrame = {
+    sessions(s, dir).createOrReplaceTempView("sess_e10")
+    s.sql(s"""
+      SELECT count(*) AS n_sessions,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY end_es - start_es) AS p50_duration_s,
+        percentile_cont(0.9) WITHIN GROUP (ORDER BY end_es - start_es) AS p90_duration_s,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY n_events) AS p50_events,
+        CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS BIGINT) AS total_events
+      FROM sess_e10""")
+  }
+
+  private val e10Sql = s"""
+    WITH $sessionsCteSql
+    SELECT count(*) AS n_sessions,
+      percentile_cont(0.5) WITHIN GROUP (ORDER BY end_es - start_es) AS p50_duration_s,
+      percentile_cont(0.9) WITHIN GROUP (ORDER BY end_es - start_es) AS p90_duration_s,
+      percentile_cont(0.5) WITHIN GROUP (ORDER BY n_events) AS p50_events,
+      CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS BIGINT) AS total_events
+    FROM sess"""
+
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
     Op("e09_pivot", e09, Some(e09Sql)),
+    Op("e10_session_stats", e10, Some(e10Sql)),
     Op("e02_tumbling_window", e02, Some(e02Sql)),
     Op("e03_retention", e03, Some(e03Sql)),
     Op("e04_asof_join", e04, Some(e04Sql)),
