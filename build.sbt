@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output goes straight to this process's stdout/stderr
+// WITHOUT the sbt logger's "[info] " prefix — the bench/verify harness
+// parses Bench's one-line JSON from stdout, and the prefix broke that.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
