@@ -454,10 +454,41 @@ object Dedup {
       CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY lang, split ORDER BY lang, split"""
 
+  // ---- d11: LSH index quality census --------------------------------
+  // Histogram of candidate pairs by number of matching signatures
+  // (0..9) — the index-tuning evidence: too many low-match candidates
+  // means the banding is too loose, too few high-match ones means
+  // recall is at risk. Reuses the materialized candidate + signature
+  // tables.
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashTable(s, dir)
+    val a = mh.toDF("doc_a" +: (0 until K).map(i => s"a$i"): _*)
+    val b = mh.toDF("doc_b" +: (0 until K).map(i => s"b$i"): _*)
+    val matches = (0 until K).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+    candidatesTable(s, dir).join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(matches.as("n_matches"))
+      .groupBy(col("n_matches")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_matches"))
+  }
+
+  private val d11Sql = {
+    val matches = (0 until K).map(i =>
+      s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""
+    WITH $mhCteDuck, $bandsCteDuck, $candCteDuck
+    SELECT $matches AS n_matches, count(*) AS n_pairs
+    FROM cand c
+    JOIN mh x ON x.doc_id = c.doc_a
+    JOIN mh y ON y.doc_id = c.doc_b
+    GROUP BY 1 ORDER BY n_matches"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
     Op("d09_cross_source", d09, Some(d09Sql)),
     Op("d10_train_split", d10, Some(d10Sql)),
+    Op("d11_lsh_quality", d11, Some(d11Sql)),
     Op("d06_dup_clusters", d06, Some(d06Sql)),
     Op("d07_simhash_neighbors", d07, Some(d07Sql)),
     Op("d08_quality_survivor", d08, Some(d08Sql)),

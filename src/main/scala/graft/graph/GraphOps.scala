@@ -19,6 +19,33 @@ object GraphOps {
     WITH ${GraphSql.edgesCte}
     SELECT src, dst, weight, n_orders FROM edges ORDER BY src, dst"""
 
+  /** g17: two-hop trade flows — src → mid → dst with flow capacity =
+    * least of the two edge weights, top-20; the multi-hop pattern
+    * query a graph database answers about indirect relationships. One
+    * self-join on the materialized edge list (tiny, broadcast).
+    */
+  private def g17(s: SparkSession, dir: String): DataFrame = {
+    val e = TradeGraph.edgesTable(s, dir)
+    val e1 = e.select(col("src"), col("dst").as("mid"), col("weight").as("w1"))
+    val e2 = e.select(col("src").as("mid2"), col("dst"), col("weight").as("w2"))
+    e1.join(e2, col("mid") === col("mid2"))
+      .filter(col("src") =!= col("dst") && col("src") =!= col("mid") &&
+        col("mid") =!= col("dst"))
+      .select(col("src"), col("mid"), col("dst"),
+        least(col("w1"), col("w2")).as("capacity"))
+      .orderBy(col("capacity").desc, col("src"), col("mid"), col("dst"))
+      .limit(20)
+  }
+
+  private val g17Sql = s"""
+    WITH ${GraphSql.edgesCte}
+    SELECT a.src, a.dst AS mid, b.dst,
+      least(a.weight, b.weight) AS capacity
+    FROM edges a JOIN edges b ON a.dst = b.src
+    WHERE a.src <> b.dst AND a.src <> a.dst AND a.dst <> b.dst
+    ORDER BY capacity DESC, a.src, mid, b.dst
+    LIMIT 20"""
+
   /** g02: in/out degree + edge-weight totals per vertex. */
   private def g02(s: SparkSession, dir: String): DataFrame = {
     val e = TradeGraph.edgesTable(s, dir)
@@ -57,5 +84,6 @@ object GraphOps {
 
   val ops: Seq[Op] = Seq(
     Op("g01_build_edges", g01, Some(g01Sql)),
-    Op("g02_degrees", g02, Some(g02Sql)))
+    Op("g02_degrees", g02, Some(g02Sql)),
+    Op("g17_two_hop_flows", g17, Some(g17Sql)))
 }
