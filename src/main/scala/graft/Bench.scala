@@ -42,7 +42,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Short summary line FIRST: the harness captures a bounded tail of
+    // stdout, and the full per-query line (70+ entries) is long enough
+    // that its head gets truncated mid-line, leaving nothing parseable.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // Also persist the full JSON where truncation can't reach it.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

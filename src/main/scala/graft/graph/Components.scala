@@ -193,13 +193,20 @@ object Components {
   /** Bipartite k-core peeling on the (cust, supp) pair list directly —
     * degrees per side are two aggregations over the same pair table,
     * half the rows of the symmetrized form kCore consumes.
+    *
+    * Degrees are counted as rows per cust/supp, which equals
+    * distinct-neighbor degree only on a distinct pair list — so the
+    * input is de-duplicated here rather than trusting the caller
+    * (bipartitePairs happens to be distinct already; arbitrary
+    * (cust, supp) frames are not, and duplicate pairs would silently
+    * inflate degrees and keep nodes that k-core semantics peel).
     */
   def kCoreBipartite(pairs: DataFrame, k: Int): DataFrame = {
     // one peel per materialization — batching peels into one job
     // recomputes the inner peel once per reference (3 refs: two degree
     // aggs + the semi-join source) and was measured slower; see
     // labelPropagate's note
-    var p = pairs.select(col("cust"), col("supp")).localCheckpoint()
+    var p = pairs.select(col("cust"), col("supp")).distinct().localCheckpoint()
     var nPairs = p.count()
     var changed = true
     while (changed) {

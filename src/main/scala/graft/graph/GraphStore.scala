@@ -125,11 +125,15 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
   def currentVersion(name: String): Option[Long] = {
     val ptr = currentPtr(name)
     val f = fs(ptr)
-    // belt-and-braces for stores whose overwrite-rename is not atomic:
-    // if the pointer is momentarily absent but the graph dir exists, a
-    // publish is in flight — re-check briefly before reporting "none"
+    // belt-and-braces ONLY for stores whose overwrite-rename may not be
+    // atomic (object stores / non-file schemes): pointer momentarily
+    // absent + graph dir present could be a publish in flight there, so
+    // re-check briefly. On local file:// the publish rename IS atomic
+    // (ATOMIC_MOVE), so a missing pointer means a corrupted store —
+    // retrying would only add 25ms latency and mask the real error.
+    val maxAttempts = if (f.getScheme == "file") 1 else 5
     var attempt = 0
-    while (attempt < 5) {
+    while (attempt < maxAttempts) {
       if (f.exists(ptr)) {
         val in = f.open(ptr)
         val content = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim

@@ -139,13 +139,22 @@ object Traversals {
     * distance; closeness = n_reachable / sum(dist) over the reachable
     * set. Integral hops, so the only double is the final ratio.
     */
+  /** Hop cap shared by the Spark loop and the DuckDB oracle's
+    * recursion bound — if only the oracle capped (as it used to),
+    * any graph with eccentricity ≥ the cap would legitimately
+    * diverge from the uncapped engine.
+    */
+  private val g14MaxHops = 10
+
   private def g14(s: SparkSession, dir: String): DataFrame = {
     val sym = TradeGraph.symEdges(TradeGraph.edgesTable(s, dir)).localCheckpoint()
     var dist = TradeGraph.nodes(s, dir)
       .select(col("node").as("root"), col("node"), lit(0).as("hop"))
       .localCheckpoint()
     var frontier = dist
-    while (!frontier.isEmpty) {
+    var round = 0
+    while (!frontier.isEmpty && round < g14MaxHops) {
+      round += 1
       val next = frontier.join(sym, frontier("node") === sym("src"))
         .select(frontier("root"), sym("dst").as("node"),
           (frontier("hop") + 1).as("hop"))
@@ -170,7 +179,7 @@ object Traversals {
       SELECT node, node, 0 FROM nodes
       UNION
       SELECT b.root, e.dst, b.d + 1 FROM b JOIN sym e ON e.src = b.nd
-      WHERE b.d < 10),
+      WHERE b.d < $g14MaxHops),
     mind AS (SELECT root, nd, MIN(d) AS d FROM b GROUP BY root, nd)
     SELECT root AS node, count(*) - 1 AS n_reachable,
       CAST(SUM(d) AS BIGINT) AS sum_dist,

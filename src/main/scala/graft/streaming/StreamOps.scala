@@ -123,8 +123,16 @@ object StreamOps {
     val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
     var last = state.getOption.orNull
     sorted.foreach { e =>
-      if (last != null) out += Transition(user, last.event_type, e.event_type)
-      last = TLast(e.es, e.event_type)
+      // Late events (es older than the saved state) are dropped: with
+      // no watermark to bound disorder, emitting them would produce a
+      // time-reversed transition and regress the state to an older
+      // event — an output the batch e08 (which sorts globally per
+      // user) can never produce. Dropping keeps the per-user output a
+      // subsequence of the batch answer under any arrival order.
+      if (last == null || e.es >= last.es) {
+        if (last != null) out += Transition(user, last.event_type, e.event_type)
+        last = TLast(e.es, e.event_type)
+      }
     }
     if (last != null) state.update(last)
     out.iterator

@@ -34,15 +34,34 @@ object MatStore {
     f.delete(): Unit
   }
 
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The materialized table for (session, key); `build` runs at most
     * once per key per session and its result is persisted as parquet.
+    *
+    * `build` runs under a per-key lock, NOT inside a ConcurrentHashMap
+    * mapping function: builds here are nested (clustersTable →
+    * candidatesTable → minhashTable all re-enter `table`), and CHM's
+    * computeIfAbsent contract forbids the mapping function touching
+    * other mappings — a nested key landing in the in-flight bin throws
+    * IllegalStateException("Recursive update"). The lock map's own
+    * computeIfAbsent is safe: its mapping function allocates a plain
+    * Object and never touches the map.
     */
   def table(s: SparkSession, key: String, prefix: String)(build: => DataFrame): DataFrame = {
-    val path = dirs.computeIfAbsent(s"${sessionId(s)}:$key", _ => {
-      val p = java.nio.file.Files.createTempDirectory(prefix).toString
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
+    val k = s"${sessionId(s)}:$key"
+    var path = dirs.get(k)
+    if (path == null) {
+      locks.computeIfAbsent(k, _ => new Object).synchronized {
+        path = dirs.get(k)
+        if (path == null) {
+          val p = java.nio.file.Files.createTempDirectory(prefix).toString
+          build.write.mode("overwrite").parquet(p)
+          dirs.put(k, p)
+          path = p
+        }
+      }
+    }
     s.read.parquet(path)
   }
 }
