@@ -267,6 +267,20 @@ object Dedup {
     ORDER BY c.doc_a, c.doc_b"""
 
   // ---- d05: embedding cosine near-dup within label buckets ----------
+  // The label join is the op's semantics (within-source near-dup), not
+  // a blocking heuristic — but it is ALSO the only exact blocking this
+  // threshold admits. Re-blocking on sign-LSH buckets was measured and
+  // REJECTED: at τ=0.30 on these (isotropic) embeddings, qualifying
+  // pairs disagree in up to 3 of 8 sign bits in the BEST of 16 tables
+  // (8 contiguous + 8 strided dim groups, measured at sf0.001/0.01/
+  // 0.1), so recall-1.0 multi-probe must cover Σ_{d≤3} C(8,d) = 93 of
+  // 256 buckets per table — the "candidate" set degenerates to ≈ all
+  // pairs and the hash-exact oracle would still be at risk on any new
+  // data draw. Exact low-threshold similarity join is inherently
+  // pairwise; the sub-quadratic embedding path at scale is the
+  // recall-gated ANN build (sim.Similarity s06/s07), or raising τ into
+  // the LSH regime (τ ≥ 0.9: expected sign disagreement 64·θ/π ≈ 9 of
+  // 64 bits, where pigeonhole blocking genuinely prunes).
   private def d05(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", graft.functions.VectorFunctions.floatNorm(col("embedding")))
