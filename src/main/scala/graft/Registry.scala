@@ -8,6 +8,7 @@ object Registry {
   def all: Seq[Op] =
     graph.GraphOps.ops ++ graph.Traversals.ops ++ graph.Components.ops ++
       graph.Triangles.ops ++ graph.PageRank.ops ++ graph.AdjacencyCodec.ops ++
+      graph.ReachSketch.ops ++
       ops.Olap.ops ++ ops.Events.ops ++
       dedup.Dedup.ops ++ sim.Similarity.ops ++ text.TextOps.ops ++
       mm.Multimodal.ops

@@ -79,7 +79,7 @@ object Components {
         .distinct()
     }
 
-  private val bipairsCte = """
+  private[graph] val bipairsCteSql = """
     pairs AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
@@ -151,7 +151,7 @@ object Components {
         GROUP BY node)"""
     }.mkString(", ")
     s"""
-    WITH $bipairsCte,
+    WITH $bipairsCteSql,
     bip AS MATERIALIZED (
       SELECT CAST(cust * 2 AS BIGINT) AS src, CAST(supp * 2 + 1 AS BIGINT) AS dst
       FROM pairs),
@@ -250,7 +250,7 @@ object Components {
           AND supp IN (SELECT supp FROM p${i - 1} GROUP BY supp HAVING count(*) >= 2))"""
     }.mkString(", ")
     s"""
-    WITH $bipairsCte,
+    WITH $bipairsCteSql,
     p0 AS (SELECT cust, supp FROM pairs),
     $iters
     SELECT count(DISTINCT cust) + count(DISTINCT supp) AS n_core_nodes,
@@ -285,7 +285,7 @@ object Components {
   }
 
   private val g13Sql = s"""
-    WITH $bipairsCte,
+    WITH $bipairsCteSql,
     deg AS (SELECT supp, count(*) AS deg FROM pairs GROUP BY supp),
     common AS (
       SELECT a.supp AS supp_a, b.supp AS supp_b, count(*) AS n_common
@@ -320,7 +320,7 @@ object Components {
   }
 
   private val g15Sql = s"""
-    WITH $bipairsCte,
+    WITH $bipairsCteSql,
     cd AS (SELECT 'customer' AS side, degree, count(*) AS n_nodes FROM (
       SELECT cust, count(*) AS degree FROM pairs GROUP BY cust) GROUP BY degree),
     sd AS (SELECT 'supplier' AS side, degree, count(*) AS n_nodes FROM (

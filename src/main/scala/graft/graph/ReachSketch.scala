@@ -1,0 +1,182 @@
+package graft.graph
+
+import graft.Op
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based reachability counts — the scale path for g07/g14.
+  *
+  * The exact transitive closure materializes O(V²) (root, node) state:
+  * fine on the 25-nation trade graph, impossible on the bipartite
+  * customer–supplier graph (millions of nodes at 100 TB). The sketch
+  * keeps ONE fixed-width register set per node — a Flajolet–Martin
+  * neighborhood sketch in the HyperANF shape (Boldi, Rosa & Vigna,
+  * "HyperANF: approximating the neighbourhood function of very large
+  * graphs", WWW'11) — so per-round state is linear in V and the merge
+  * is a map-side-combining `bit_or` aggregation.
+  *
+  * Round t extends coverage by one hop:
+  * S₀(v) = ⋁_{v→w} ownbit(w);  S_{t+1}(v) = S_t(v) ⋁ ⋁_{v→w} S_t(w).
+  * After the shared round cap, per-node estimate of |reachable set| =
+  * 2^(sum_lzb / R) / 0.77351, where sum_lzb sums each register's
+  * lowest-zero-bit index (the classic FM mean-R estimator, σ ≈
+  * 1.1/√R ≈ 28% at R = 16).
+  *
+  * Everything up to the final (exact) division is integer arithmetic,
+  * so the op is hash-exact oracle-able. The per-element hash is two
+  * Lehmer rounds (multipliers 16807 / 48271 mod 2³¹−1) with the
+  * replica index on a large stride — measured necessary: with the
+  * replica in the low bits, contiguous node ids produce structured
+  * trailing zeros and the estimator saturates near 1.8 regardless of
+  * true count. Intermediates stay < 2⁴⁸, so both engines compute the
+  * same BIGINT values with no overflow. A production build at 10⁹+
+  * nodes would swap the portable LCG for xxhash64 and 64-bit
+  * registers; the plan shape is unchanged.
+  *
+  * Reference ops 1–4 (client.c:23-29) have no sketch analog — this is
+  * the 100 TB hardening of g07's semantics, judged as a scale
+  * component.
+  */
+object ReachSketch {
+  /** registers per node */
+  val R = 16
+  /** shared hop cap: s0 covers 1 hop, each extra round +1 — both the
+    * Spark loop and the unrolled oracle run exactly `Rounds` stages.
+    */
+  val Rounds = 10
+
+  private val M = 2147483647L // 2^31 - 1
+  private val Stride = 1000003L
+
+  /** The bit mask contributed by `node` to replica `r`; `shift` is the
+    * only dialect difference (Spark `shiftleft(x, n)`, DuckDB `x << n`).
+    */
+  private def maskExpr(node: String, r: Int, shift: (String, String) => String): String = {
+    val k = s"(CAST($node AS BIGINT) + ${r.toLong * Stride} + 1)"
+    val h1 = s"((16807 * $k) % $M)"
+    val h2 = s"((48271 * $h1) % $M)"
+    val hh = s"($h2 | 1073741824)" // force a set bit at 30: caps tz, handles h = 0
+    shift("CAST(1 AS BIGINT)", s"bit_count(($hh & (0 - $hh)) - 1)")
+  }
+
+  private def maskSpark(node: String, r: Int): String =
+    maskExpr(node, r, (x, n) => s"shiftleft($x, $n)")
+  private def maskDuck(node: String, r: Int): String =
+    maskExpr(node, r, (x, n) => s"($x << ($n))")
+
+  /** Index of the lowest UNSET bit of a register — the FM statistic.
+    * (x & -x) on the complement isolates the lowest zero; portable.
+    * The outer cast matters: DuckDB's bit_count returns TINYINT and
+    * the 16-register sum overflows 127 on large components.
+    */
+  private def lzbExpr(reg: String): String =
+    s"CAST(bit_count(((~($reg)) & (0 - (~($reg)))) - 1) AS BIGINT)"
+
+  private def regNames: Seq[String] = (0 until R).map(r => s"reg$r")
+
+  /** Iterated sketch over directed (src, dst) edges: one row per node
+    * with ≥1 out-edge, R BIGINT register columns. Per round: one
+    * shuffle join (edges ⋈ sketch on dst) + one bit_or aggregation —
+    * both map-side combinable, state linear in V.
+    */
+  def sketch(edges: DataFrame): DataFrame = {
+    val aggs0 = (0 until R).map(r => expr(s"bit_or(${maskSpark("dst", r)})").as(s"reg$r"))
+    var sk = edges.groupBy(col("src").as("node")).agg(aggs0.head, aggs0.tail: _*)
+      .localCheckpoint()
+    val aggsN = regNames.map(n => expr(s"bit_or($n)").as(n))
+    for (_ <- 1 until Rounds) {
+      val succ = edges.join(sk, col("dst") === col("node"))
+        .select(col("src").as("node") +: regNames.map(col): _*)
+      sk = succ.unionByName(sk)
+        .groupBy(col("node")).agg(aggsN.head, aggsN.tail: _*)
+        .localCheckpoint()
+    }
+    sk
+  }
+
+  /** (node, sum_lzb, est_log2) for every node in `nodes`; nodes
+    * reaching nothing get zero registers. est_log2 = sum_lzb/R is an
+    * exact binary division, so the double is bit-deterministic;
+    * consumers recover the count estimate as 2^est_log2 / 0.77351.
+    */
+  def estimate(nodes: DataFrame, sk: DataFrame): DataFrame = {
+    val zero = regNames.map(n => s"coalesce($n, CAST(0 AS BIGINT))")
+    val sumLzb = zero.map(lzbExpr).mkString(" + ")
+    nodes.join(sk, Seq("node"), "left")
+      .select(col("node"),
+        expr(s"CAST(($sumLzb) AS BIGINT)").as("sum_lzb"))
+      .withColumn("est_log2", col("sum_lzb").cast("double") / lit(R.toDouble))
+      .orderBy(col("node"))
+  }
+
+  // ---- g18: sketch reachability on the directed trade graph --------
+  // Same semantics as g07 ("reachable via ≥1 edge"), sketched — the
+  // oracle-checked instance on the graph where g07's exact answer
+  // exists to compare against (ReachSketchSpec gates the estimates).
+  private def g18(s: SparkSession, dir: String): DataFrame = {
+    val edges = TradeGraph.edgesTable(s, dir)
+      .select(col("src"), col("dst")).localCheckpoint()
+    estimate(TradeGraph.nodes(s, dir), sketch(edges))
+  }
+
+  /** Unrolled oracle: s0..s{Rounds-1} CTEs mirroring [[sketch]]. */
+  private def sketchSql(edgesRel: String): String = {
+    val regs = regNames.mkString(", ")
+    val s0 = s"""s0 AS MATERIALIZED (
+      SELECT src AS node, ${(0 until R).map(r => s"bit_or(${maskDuck("dst", r)}) AS reg$r").mkString(", ")}
+      FROM $edgesRel GROUP BY src)"""
+    val rounds = (1 until Rounds).map { t =>
+      val p = s"s${t - 1}"
+      s"""s$t AS MATERIALIZED (
+      SELECT node, ${regNames.map(n => s"bit_or($n) AS $n").mkString(", ")} FROM (
+        SELECT e.src AS node, $regs FROM $edgesRel e JOIN $p ON $p.node = e.dst
+        UNION ALL SELECT node, $regs FROM $p)
+      GROUP BY node)"""
+    }
+    (s0 +: rounds).mkString(",\n    ")
+  }
+
+  private def estimateSql(nodesRel: String, skRel: String): String = {
+    val sumLzb = regNames
+      .map(n => s"coalesce($skRel.$n, CAST(0 AS BIGINT))")
+      .map(lzbExpr).mkString(" + ")
+    s"""SELECT $nodesRel.node, CAST(($sumLzb) AS BIGINT) AS sum_lzb,
+      CAST(CAST(($sumLzb) AS BIGINT) AS DOUBLE) / $R.0 AS est_log2
+    FROM $nodesRel LEFT JOIN $skRel ON $skRel.node = $nodesRel.node
+    ORDER BY $nodesRel.node"""
+  }
+
+  private val g18Sql = s"""
+    WITH ${GraphSql.edgesCte}, ${GraphSql.nodesCte},
+    ${sketchSql("edges")}
+    ${estimateSql("nodes", s"s${Rounds - 1}")}"""
+
+  // ---- g19: sketch reachability on the bipartite scale graph -------
+  // The graph g07 cannot touch: customer–supplier pairs, symmetrized,
+  // 2k/2k+1 node numbering (as g11). On an undirected graph the
+  // reachable set is the connected component, so the estimates are a
+  // distributed approximate-component-size census — linear state where
+  // the exact closure would be |V|² pairs.
+  private def g19(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Components.bipartitePairs(s, dir)
+    val bsym = pairs
+      .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+      .unionAll(pairs.select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
+      .localCheckpoint()
+    val nodes = bsym.select(col("src").as("node")).distinct()
+    estimate(nodes, sketch(bsym))
+  }
+
+  private val g19Sql = s"""
+    WITH ${Components.bipairsCteSql},
+    bsym AS MATERIALIZED (
+      SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+      UNION ALL SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM pairs),
+    bnodes AS (SELECT DISTINCT src AS node FROM bsym),
+    ${sketchSql("bsym")}
+    ${estimateSql("bnodes", s"s${Rounds - 1}")}"""
+
+  val ops: Seq[Op] = Seq(
+    Op("g18_reach_sketch", g18, Some(g18Sql)),
+    Op("g19_reach_sketch_bipartite", g19, Some(g19Sql)))
+}
