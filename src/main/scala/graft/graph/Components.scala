@@ -266,13 +266,47 @@ object Components {
     * case ops.Skew.saltedJoin exists for; counts are exact integers,
     * the only double is the final ratio.
     */
+  /** Degree above which a customer's d² co-customer pairs are built
+    * through [[graft.ops.Skew.saltedJoin]] instead of the plain
+    * self-join. 48 is low enough to engage live on the sf0.01/0.1
+    * fixtures (max degree 67/102); production would set it orders of
+    * magnitude higher, keeping the hot-key set (≤ |pairs|/threshold)
+    * small.
+    */
+  private[graft] val SaltDegreeThreshold = 48
+  private[graft] val SaltFactor = 8
+
+  /** (supp_a, supp_b, n_common) co-customer counts with the skew
+    * switch: customers above `saltThreshold` suppliers take the salted
+    * self-join (their d² pair fan-out spreads across `salt` reducers
+    * instead of meeting on one), the rest take the plain join. The
+    * split is exact — a customer is entirely hot or cold, so the
+    * union of both pair sets equals the unsplit self-join's.
+    */
+  private[graft] def coCustomerCounts(pairs: DataFrame, saltThreshold: Int,
+      salt: Int): DataFrame = {
+    val hotKeys = pairs.groupBy(col("cust")).agg(count(lit(1)).as("cdeg"))
+      .filter(col("cdeg") > saltThreshold).select(col("cust"))
+    val hot = pairs.join(hotKeys, Seq("cust"), "left_semi")
+    val cold = pairs.join(hotKeys, Seq("cust"), "left_anti")
+    val coldPairs = cold.select(col("cust"), col("supp").as("supp_a"))
+      .join(cold.select(col("cust").as("cust_b"), col("supp").as("supp_b")),
+        col("cust") === col("cust_b") && col("supp_a") < col("supp_b"))
+      .select(col("supp_a"), col("supp_b"))
+    val hotPairs = graft.ops.Skew.saltedJoin(
+        hot.select(col("cust"), col("supp").as("supp_a")),
+        hot.select(col("cust"), col("supp").as("supp_b")),
+        "cust", salt)
+      .filter(col("supp_a") < col("supp_b"))
+      .select(col("supp_a"), col("supp_b"))
+    coldPairs.unionAll(hotPairs)
+      .groupBy(col("supp_a"), col("supp_b")).agg(count(lit(1)).as("n_common"))
+  }
+
   private def g13(s: SparkSession, dir: String): DataFrame = {
     val pairs = bipartitePairs(s, dir)
     val deg = pairs.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
-    val a = pairs.select(col("cust"), col("supp").as("supp_a"))
-    val b = pairs.select(col("cust").as("cust_b"), col("supp").as("supp_b"))
-    val common = a.join(b, col("cust") === col("cust_b") && col("supp_a") < col("supp_b"))
-      .groupBy(col("supp_a"), col("supp_b")).agg(count(lit(1)).as("n_common"))
+    val common = coCustomerCounts(pairs, SaltDegreeThreshold, SaltFactor)
     common
       .join(deg.toDF("supp_a", "deg_a"), Seq("supp_a"))
       .join(deg.toDF("supp_b", "deg_b"), Seq("supp_b"))

@@ -1,0 +1,64 @@
+package graft
+
+import graft.graph.Components
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The degree-threshold salt switch in g13's co-customer build must be
+  * invisible in the output: hot/cold is a partition of customers, so
+  * salted-hot ∪ plain-cold equals the unsplit self-join for ANY
+  * threshold. Proven here live on real pairs and on an extreme-skew
+  * fixture (one customer holding 30% of all edges — the shape AQE's
+  * partition splitting alone can't fix, since one grouping key must
+  * still meet on one reducer without the salt).
+  */
+class SkewSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def counts(pairs: org.apache.spark.sql.DataFrame, threshold: Int) =
+    Components.coCustomerCounts(pairs, threshold, salt = 8)
+      .orderBy(col("supp_a"), col("supp_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("salted and unsalted co-customer counts agree on real pairs") {
+    val pairs = Components.bipartitePairs(spark, sf)
+    val allCold = counts(pairs, Int.MaxValue)
+    val allHot = counts(pairs, 0)
+    val mixed = counts(pairs, Components.SaltDegreeThreshold)
+    assert(allCold.nonEmpty)
+    assert(allHot == allCold)
+    assert(mixed == allCold)
+  }
+
+  test("salted and unsalted agree on an extreme-skew fixture") {
+    import spark.implicits._
+    // customer 999 buys from 200 suppliers; 100 background customers
+    // with 3 suppliers each — the hot key carries ~200²/2 of the pairs
+    val hot = (1L to 200L).map(sp => (999L, sp))
+    val cold = for (c <- 1L to 100L; k <- 0L to 2L) yield (c, (c * 7 + k * 13) % 50 + 1)
+    val pairs = (hot ++ cold).toDF("cust", "supp")
+    val unsalted = counts(pairs, Int.MaxValue)
+    val salted = counts(pairs, 10)
+    assert(unsalted.nonEmpty)
+    assert(salted == unsalted)
+  }
+
+  test("g13 output is identical with the salt switch disabled") {
+    val expected = SparkEntry.queries("g13_supplier_overlap")(spark, sf).collect().toSeq
+    val pairs = Components.bipartitePairs(spark, sf)
+    val deg = pairs.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+    val plain = Components.coCustomerCounts(pairs, Int.MaxValue, 8)
+      .join(deg.toDF("supp_a", "deg_a"), Seq("supp_a"))
+      .join(deg.toDF("supp_b", "deg_b"), Seq("supp_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+      .select(col("supp_a"), col("supp_b"), col("n_common"),
+        col("deg_a"), col("deg_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("supp_a"), col("supp_b"))
+      .limit(50).collect().toSeq
+    assert(expected == plain)
+  }
+}
