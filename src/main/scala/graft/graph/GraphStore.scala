@@ -113,6 +113,29 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
     spark.read.parquet(dir.toString)
   }
 
+  /** Drop all but the newest `keepLast` snapshot versions of `name`
+    * (the published current version is always retained, even if older
+    * than the newest `keepLast`). Returns the dropped versions.
+    *
+    * Runs under the graph's writer lock so a concurrent put() can't
+    * publish while the keep set is computed — the newly-allocated
+    * version can never be vacuumed. Readers of retained snapshots are
+    * unaffected (snapshots are immutable and the vacuum never touches
+    * them); readers still scanning an already-vacuumed version keep
+    * their open file handles on POSIX but fail on re-scan — retention
+    * policy must exceed the longest query, same contract as any
+    * snapshot store.
+    */
+  def vacuum(name: String, keepLast: Int): Seq[Long] = writerLock(name).synchronized {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val vs = versions(name)
+    val keep = vs.takeRight(keepLast).toSet ++ currentVersion(name)
+    val dropped = vs.filterNot(keep)
+    val f = fs(graphDir(name))
+    dropped.foreach(v => f.delete(new Path(graphDir(name), s"v$v"), true))
+    dropped
+  }
+
   /** All retained snapshot versions of `name`, ascending. */
   def versions(name: String): Seq[Long] = {
     val dir = graphDir(name)

@@ -119,6 +119,56 @@ class GraphSpec extends AnyFunSuite {
     intercept[java.util.NoSuchElementException](store.read("G"))
   }
 
+  test("GraphStore vacuum retains newest versions and the current pointer") {
+    val dir = java.nio.file.Files.createTempDirectory("graphvacuum").toString
+    val store = new GraphStore(spark, dir)
+    (1 to 5).foreach(i => store.put("G", edgeDf((i, i + 1))))
+    assert(store.versions("G") == Seq(1L, 2L, 3L, 4L, 5L))
+    val dropped = store.vacuum("G", keepLast = 2)
+    assert(dropped == Seq(1L, 2L, 3L))
+    assert(store.versions("G") == Seq(4L, 5L))
+    assert(store.read("G").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((5, 6)))
+    // vacuumed history is gone; retained history still time-travels
+    intercept[java.util.NoSuchElementException](store.readVersion("G", 1L))
+    assert(store.readVersion("G", 4L).count() == 1)
+    // idempotent: nothing more to drop
+    assert(store.vacuum("G", keepLast = 2).isEmpty)
+    intercept[IllegalArgumentException](store.vacuum("G", keepLast = 0))
+  }
+
+  test("GraphStore readers of retained snapshots survive a concurrent vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graphvacrace").toString
+    val store = new GraphStore(spark, dir)
+    (1 to 8).foreach(i => store.put("G", edgeDf((i, i + 1))))
+    @volatile var failure: Option[String] = None
+    @volatile var running = true
+    // readers hammer the two versions every vacuum(keepLast=2) retains
+    val readers = Seq(7L, 8L).map { v =>
+      new Thread(() => {
+        while (running && failure.isEmpty) {
+          try {
+            if (store.readVersion("G", v).count() != 1)
+              failure = Some(s"v$v lost rows mid-vacuum")
+          } catch {
+            case e: Exception => failure = Some(s"v$v read failed: $e")
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    // repeated vacuums while writers add history behind the readers
+    (9 to 12).foreach { i =>
+      store.put("G", edgeDf((i, i + 1)))
+      store.vacuum("G", keepLast = 6)
+    }
+    running = false
+    readers.foreach(_.join(20000))
+    assert(failure.isEmpty, failure.getOrElse(""))
+    // the hammered versions are still within the retained window
+    assert(store.versions("G").toSet.intersect(Set(7L, 8L)) == Set(7L, 8L))
+  }
+
   test("bipartite components report consistent sides") {
     val got = SparkEntry.queries("g11_bipartite_cc")(spark, "/root/testdata/sf0.001")
       .collect()
