@@ -22,7 +22,16 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+      // whole-stage-codegen evidence: distinct `*(id)` spans in the
+      // executed plan — AQE only inserts WholeStageCodegen at stage
+      // execution, and it must be THIS df's plan that runs (count()
+      // executes a different query and leaves this one unfinalized)
+      df.collect()
+      val simple = df.queryExecution.executedPlan.toString
+      val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(simple).map(_.group(1)).toSet.size
+      println(s"[audit] $n codegen_spans=$spans")
     }
     spark.stop()
   }

