@@ -4,11 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: times every registered operator at the
   * driver-chosen scale factor and emits one JSON line.
+  *
+  * Self-defending against a noisy host: each query is timed three
+  * times and the MEDIAN is reported (a one-off scheduler stall can't
+  * triple a query's number), and /proc/loadavg is sampled before and
+  * after the run so a contended machine is visible in the artifact
+  * itself rather than looking like a code regression.
   */
 object Bench {
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,17 +28,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
+    val tStart = java.time.Instant.now().toString
     // Warm the JVM + parquet footers so per-query numbers measure the
     // plans, not first-touch class loading.
     SparkEntry.queries("q06_forecast_filter")(spark, sfDir).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // A failed operator reports -1, not its elapsed time — a broken
-      // query must not look like a fast success in the bench JSON.
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false
-      }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+
+    def freeState(): Unit = {
       // free cached/localCheckpoint blocks so one query's iteration
       // state can't pressure the next query's heap; the explicit GC
       // kicks ContextCleaner, which only releases old broadcast and
@@ -37,22 +44,42 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       System.gc()
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // A failed operator reports -1, not its elapsed time — a broken
+        // query must not look like a fast success in the bench JSON.
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false
+        }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        freeState()
+        dt
+      }
+      val dt =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.size / 2)
       name -> dt
     }
+    val loadEnd = loadavg()
+    val tEnd = java.time.Instant.now().toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Short summary line FIRST: the harness captures a bounded tail of
-    // stdout, and the full per-query line (70+ entries) is long enough
-    // that its head gets truncated mid-line, leaving nothing parseable.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    val env =
+      s""""reps":$reps,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$env,"sf":"$sfDir"}"""
+    // Long per-query line first; persist a copy where truncation can't
+    // reach it; SHORT summary line LAST — the harness captures a
+    // bounded TAIL of stdout, so whatever must survive goes at the end.
     println(full)
-    // Also persist the full JSON where truncation can't reach it.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"loadavg_end":"$loadEnd","sf":"$sfDir"}""")
   }
 }

@@ -266,15 +266,32 @@ object Components {
     * case ops.Skew.saltedJoin exists for; counts are exact integers,
     * the only double is the final ratio.
     */
-  /** Degree above which a customer's d² co-customer pairs are built
-    * through [[graft.ops.Skew.saltedJoin]] instead of the plain
-    * self-join. 48 is low enough to engage live on the sf0.01/0.1
-    * fixtures (max degree 67/102); production would set it orders of
-    * magnitude higher, keeping the hot-key set (≤ |pairs|/threshold)
-    * small.
+  /** Salting engages only when the hottest customer's degree is at
+    * least this many times the median degree — the regime where one
+    * key's d² pair fan-out dwarfs a typical reducer's share. Below the
+    * ratio the plain self-join wins: the semi/anti split plus the
+    * salted join's explode cost more than they save (measured: the old
+    * absolute threshold 48 engaged on the near-uniform sf0.1 fixture,
+    * max/median ≈ 3, and taxed g13 ~6× for nothing).
     */
-  private[graft] val SaltDegreeThreshold = 48
+  private[graft] val SkewRatio = 8L
   private[graft] val SaltFactor = 8
+
+  /** Measured-skew salt decision: one tiny aggregate over the customer
+    * degree distribution (the same statistic g15's histogram reports).
+    * Returns the degree threshold above which customers take the
+    * salted path, or None when the distribution is too uniform for
+    * salting to pay. Driver-side on two numbers only — the same shape
+    * of runtime-statistics decision AQE itself makes.
+    */
+  private[graft] def measuredSaltThreshold(pairs: DataFrame): Option[Int] = {
+    val row = pairs.groupBy(col("cust")).agg(count(lit(1)).as("cdeg"))
+      .agg(max(col("cdeg")).as("mx"),
+        expr("percentile_approx(cdeg, 0.5)").as("med")).head()
+    val mx = row.getLong(0)
+    val med = math.max(row.getLong(1), 1L)
+    if (mx >= SkewRatio * med) Some((SkewRatio * med).toInt) else None
+  }
 
   /** (supp_a, supp_b, n_common) co-customer counts with the skew
     * switch: customers above `saltThreshold` suppliers take the salted
@@ -285,6 +302,14 @@ object Components {
     */
   private[graft] def coCustomerCounts(pairs: DataFrame, saltThreshold: Int,
       salt: Int): DataFrame = {
+    if (saltThreshold == Int.MaxValue) {
+      // No hot keys possible — skip the semi/anti split entirely so the
+      // uniform-degree common case pays exactly one self-join.
+      return pairs.select(col("cust"), col("supp").as("supp_a"))
+        .join(pairs.select(col("cust").as("cust_b"), col("supp").as("supp_b")),
+          col("cust") === col("cust_b") && col("supp_a") < col("supp_b"))
+        .groupBy(col("supp_a"), col("supp_b")).agg(count(lit(1)).as("n_common"))
+    }
     val hotKeys = pairs.groupBy(col("cust")).agg(count(lit(1)).as("cdeg"))
       .filter(col("cdeg") > saltThreshold).select(col("cust"))
     val hot = pairs.join(hotKeys, Seq("cust"), "left_semi")
@@ -306,7 +331,8 @@ object Components {
   private def g13(s: SparkSession, dir: String): DataFrame = {
     val pairs = bipartitePairs(s, dir)
     val deg = pairs.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
-    val common = coCustomerCounts(pairs, SaltDegreeThreshold, SaltFactor)
+    val common = coCustomerCounts(pairs,
+      measuredSaltThreshold(pairs).getOrElse(Int.MaxValue), SaltFactor)
     common
       .join(deg.toDF("supp_a", "deg_a"), Seq("supp_a"))
       .join(deg.toDF("supp_b", "deg_b"), Seq("supp_b"))

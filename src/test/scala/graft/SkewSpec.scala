@@ -27,10 +27,26 @@ class SkewSpec extends AnyFunSuite {
     val pairs = Components.bipartitePairs(spark, sf)
     val allCold = counts(pairs, Int.MaxValue)
     val allHot = counts(pairs, 0)
-    val mixed = counts(pairs, Components.SaltDegreeThreshold)
+    val mixed = counts(pairs, 48)
     assert(allCold.nonEmpty)
     assert(allHot == allCold)
     assert(mixed == allCold)
+  }
+
+  test("measured skew engages on the extreme fixture, not on uniform pairs") {
+    import spark.implicits._
+    // Near-uniform real trade graph: max/median degree well under the
+    // SkewRatio, so the measured decision must choose the plain join.
+    val real = Components.bipartitePairs(spark, sf)
+    assert(Components.measuredSaltThreshold(real).isEmpty)
+    // One customer holding 200 of ~500 edges: max/median >= ratio, so
+    // salting engages, and only for the outlier (threshold > background
+    // degree 3).
+    val hot = (1L to 200L).map(sp => (999L, sp))
+    val cold = for (c <- 1L to 100L; k <- 0L to 2L) yield (c, (c * 7 + k * 13) % 50 + 1)
+    val skewed = (hot ++ cold).toDF("cust", "supp")
+    val t = Components.measuredSaltThreshold(skewed)
+    assert(t.nonEmpty && t.get > 3 && t.get < 200)
   }
 
   test("salted and unsalted agree on an extreme-skew fixture") {
