@@ -194,7 +194,153 @@ object ReachSketch {
     ${sketchSql("bsym")}
     ${estimateSql("bnodes", s"s${Rounds - 1}")}"""
 
+  // ---- g20: sketch closeness (HyperANF neighborhood function) ------
+  // g14's exact closeness holds O(V·diameter) frontier rows with
+  // V-wide frontiers — the last super-linear-state operator. HyperANF
+  // gives closeness from the SAME linear-state sketch: the per-round
+  // neighborhood function N(v,d) = |{w : dist(v,w) ≤ d}| yields
+  // sum_dist(v) = Σ_d d·(N(v,d) − N(v,d−1)), and closeness =
+  // N(v,T)/sum_dist — so recording the integer FM statistic per round
+  // is all the extra work over g19.
+
+  private val sumLzbSql: String =
+    "CAST(" + regNames.map(lzbExpr).mkString(" + ") + " AS BIGINT)"
+
+  /** Per-round FM statistic: one (node, slzb) frame per round 1..
+    * [[Rounds]] (round d covers distance ≤ d). Rounds past the
+    * fixpoint reuse the converged frame — OR-monotone registers make
+    * them provably identical to running the round, which is also why
+    * the early exit can't diverge from the fully-unrolled oracle.
+    */
+  def sketchSlzbRounds(edges: DataFrame): Seq[DataFrame] = {
+    val aggs0 = (0 until R).map(r => expr(s"bit_or(${maskSpark("dst", r)})").as(s"reg$r"))
+    var sk = edges.groupBy(col("src").as("node")).agg(aggs0.head, aggs0.tail: _*)
+      .localCheckpoint()
+    val aggsN = regNames.map(n => expr(s"bit_or($n)").as(n))
+    val bitsExpr = expr(regNames.map(n => s"CAST(bit_count($n) AS BIGINT)")
+      .mkString("sum(", " + ", ")"))
+    def slzbOf(df: DataFrame) = df.select(col("node"), expr(sumLzbSql).as("slzb"))
+    val frames = Seq.newBuilder[DataFrame]
+    frames += slzbOf(sk)
+    var bits = sk.agg(bitsExpr).head().getLong(0)
+    var round = 1
+    var converged = false
+    while (round < Rounds && !converged) {
+      round += 1
+      val succ = edges.join(sk.hint("shuffle_hash"), col("dst") === col("node"))
+        .select(col("src").as("node") +: regNames.map(col): _*)
+      sk = succ.unionByName(sk)
+        .groupBy(col("node")).agg(aggsN.head, aggsN.tail: _*)
+        .localCheckpoint()
+      frames += slzbOf(sk)
+      val nextBits = sk.agg(bitsExpr).head().getLong(0)
+      converged = nextBits == bits
+      bits = nextBits
+    }
+    val built = frames.result()
+    built ++ Seq.fill(Rounds - built.size)(built.last)
+  }
+
+  /** round(2^(r/16) · 2^20) for r = 0..15: the fractional power as a
+    * 2^20-scaled FIXED-POINT integer. The whole Σ d·(N_d − N_{d−1})
+    * chain then runs in exact BIGINT arithmetic — a double chain was
+    * tried first and missed hash-parity by 1 ulp (engines differ in
+    * where they contract a·b+c into FMA); with integers the only
+    * double ops left are one CAST + one division per output column,
+    * single IEEE operations that cannot reassociate.
+    */
+  private val Pow2FracFx = Seq(
+    1048576L, 1095000L, 1143480L, 1194106L, 1246974L, 1302182L, 1359835L,
+    1420040L, 1482910L, 1548564L, 1617125L, 1688722L, 1763488L, 1841564L,
+    1923097L, 2008240L)
+
+  /** φ · 2^20 to 17 significant digits — the single literal divisor
+    * that turns a scaled-integer estimate into 2^(slzb/R)/φ.
+    */
+  private val PhiFx = "811084.02176000003"
+
+  /** 2^20-scaled FM count estimate (1 << slzb/R) · Pow2FracFx(slzb%R)
+    * — BIGINT-exact in both dialects (max (1<<31)·2008240 < 2^52).
+    */
+  private def nscaledExpr(slzb: String, shift: (String, String) => String,
+      idiv: String): String = {
+    val q = s"($slzb $idiv $R)"
+    val frac = s"(CASE ($slzb % $R) " +
+      Pow2FracFx.zipWithIndex.map { case (c, i) => s"WHEN $i THEN $c" }.mkString(" ") +
+      " END)"
+    s"(${shift("CAST(1 AS BIGINT)", q)} * $frac)"
+  }
+
+  /** Projection (node, slzb_1..slzb_T) → closeness estimate columns.
+    * distsum = Σ d·(N_d − N_{d−1}) in exact scaled-integer arithmetic;
+    * φ and the 2^20 scale cancel in the closeness ratio.
+    */
+  private def closenessProj(shift: (String, String) => String,
+      idiv: String): Seq[String] = {
+    def ns(d: Int) = nscaledExpr(s"slzb_$d", shift, idiv)
+    val distsum = (1 to Rounds)
+      .map(d => s"(${d.toLong} * (${ns(d)} - ${if (d == 1) "0" else ns(d - 1)}))")
+      .mkString("(", " + ", ")")
+    Seq("node",
+      s"slzb_$Rounds AS sum_lzb",
+      s"(CAST(${ns(Rounds)} AS DOUBLE) / $PhiFx) AS est_n",
+      s"(CAST($distsum AS DOUBLE) / $PhiFx) AS est_sum_dist",
+      s"CASE WHEN $distsum > 0 THEN CAST(${ns(Rounds)} AS DOUBLE) / CAST($distsum AS DOUBLE) ELSE 0.0 END AS est_closeness")
+  }
+
+  private def sparkShift(x: String, n: String) = s"shiftleft($x, CAST($n AS INT))"
+  private def duckShift(x: String, n: String) = s"($x << ($n))"
+
+  /** Sketch closeness over directed (src, dst) edges for `nodes`: one
+    * union + aggregation pivots the per-round statistics into a wide
+    * row per node (single shuffle, not T joins), then the shared
+    * projection turns them into estimates.
+    */
+  def sketchCloseness(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val tagged = sketchSlzbRounds(edges).zipWithIndex
+      .map { case (df, i) => df.withColumn("rnd", lit(i + 1)) }
+      .reduce(_ unionAll _)
+    val roundCols = (1 to Rounds).map(d =>
+      coalesce(max(when(col("rnd") === d, col("slzb"))), lit(0L)).as(s"slzb_$d"))
+    val wide = nodes.join(
+      tagged.groupBy(col("node")).agg(roundCols.head, roundCols.tail: _*),
+      Seq("node"), "left")
+      .select(col("node") +:
+        (1 to Rounds).map(d => coalesce(col(s"slzb_$d"), lit(0L)).as(s"slzb_$d")): _*)
+    wide.selectExpr(closenessProj(sparkShift _, "div"): _*).orderBy(col("node"))
+  }
+
+  private def g20(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Components.bipartitePairs(s, dir)
+    val bsym = pairs
+      .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+      .unionAll(pairs.select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
+      .localCheckpoint()
+    sketchCloseness(bsym, bsym.select(col("src").as("node")).distinct())
+  }
+
+  private val g20Sql: String = {
+    val ls = (1 to Rounds).map(d =>
+      s"l$d AS (SELECT node, $sumLzbSql AS slzb FROM s${d - 1})").mkString(",\n    ")
+    val wideCols = (1 to Rounds)
+      .map(d => s"coalesce(l$d.slzb, CAST(0 AS BIGINT)) AS slzb_$d").mkString(", ")
+    val wideJoins = (1 to Rounds)
+      .map(d => s"LEFT JOIN l$d ON l$d.node = bnodes.node").mkString(" ")
+    s"""
+    WITH ${Components.bipairsCteSql},
+    bsym AS MATERIALIZED (
+      SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM pairs
+      UNION ALL SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM pairs),
+    bnodes AS (SELECT DISTINCT src AS node FROM bsym),
+    ${sketchSql("bsym")},
+    $ls,
+    wide AS (SELECT bnodes.node, $wideCols FROM bnodes $wideJoins)
+    SELECT ${closenessProj(duckShift _, "//").mkString(", ")}
+    FROM wide ORDER BY node"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("g18_reach_sketch", g18, Some(g18Sql)),
-    Op("g19_reach_sketch_bipartite", g19, Some(g19Sql)))
+    Op("g19_reach_sketch_bipartite", g19, Some(g19Sql)),
+    Op("g20_closeness_sketch", g20, Some(g20Sql)))
 }

@@ -308,4 +308,35 @@ class GraphSpec extends AnyFunSuite {
       .agg(sum("rank")).collect()(0).getDouble(0)
     assert(math.abs(total - 1.0) < 1e-9)
   }
+
+  test("DistinctPairView delta refresh equals full rebuild across deltas") {
+    val base = java.nio.file.Files.createTempDirectory("graphview").toString
+    val store = new GraphStore(spark, s"$base/store")
+    val view = new DistinctPairView(spark, store, "G", s"$base/view")
+    def viewSet() = view.read().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    def fullSet() = store.read("G").select("src", "dst").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+
+    // multiplicity matters: (1,2) twice, so the view must not need counts
+    store.add("G", edgeDf((0, 1), (1, 2), (1, 2), (2, 3)))
+    view.rebuild()
+    assert(view.isFresh && viewSet() == Set((0, 1), (1, 2), (2, 3)))
+
+    // delete a multi-edge key + a single key, add a new key and re-add
+    // a deleted one — the union/anti algebra's corner cases in one delta
+    view.applyDelta(additions = edgeDf((5, 6), (2, 3)),
+      deletions = edgeDf((1, 2), (2, 3)))
+    assert(view.isFresh && store.currentVersion("G").contains(2L))
+    assert(viewSet() == fullSet() && viewSet() == Set((0, 1), (2, 3), (5, 6)))
+
+    // second chained delta stays consistent
+    view.applyDelta(additions = edgeDf((7, 8)), deletions = edgeDf((0, 1)))
+    assert(view.isFresh && viewSet() == fullSet())
+
+    // store modified behind the view's back -> stale, next delta recovers
+    store.modify("G", edgeDf((9, 9)))
+    assert(!view.isFresh)
+    view.applyDelta(additions = edgeDf((4, 4)), deletions = edgeDf((9, 9)))
+    assert(view.isFresh && viewSet() == fullSet() && viewSet() == Set((4, 4)))
+  }
 }

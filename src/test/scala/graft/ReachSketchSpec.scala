@@ -42,6 +42,29 @@ class ReachSketchSpec extends AnyFunSuite {
     assertWithinFactor(rows, 3.0)
   }
 
+  test("g20 sketch closeness tracks exact g14 on the nation graph (factor 3)") {
+    val exact = SparkEntry.queries("g14_closeness")(spark, sf)
+      .select(col("node"), col("n_reachable"), col("sum_dist"))
+    val sym = graph.TradeGraph.symEdges(
+      graph.TradeGraph.edgesTable(spark, sf)).localCheckpoint()
+    val est = graph.ReachSketch.sketchCloseness(
+      sym, graph.TradeGraph.nodes(spark, sf))
+    val rows = exact.join(est, Seq("node"))
+      .filter(col("n_reachable") >= 8)
+      .collect()
+      .map(r => (r.getAs[Int]("node").toLong,
+        r.getAs[Double]("est_n"), r.getAs[Long]("n_reachable"),
+        r.getAs[Double]("est_sum_dist"), r.getAs[Long]("sum_dist")))
+      .toSeq
+    assert(rows.nonEmpty, "fixture has no node reaching >= 8 others")
+    // reachable-count estimate: the same gate g18/g19 pass
+    assertWithinFactor(rows.map(r => (r._1, r._2, r._3)), 3.0)
+    // distance-sum estimate: per-round diffs of correlated estimates
+    // are noisier than the final count, but factor 3 still holds and
+    // still catches a broken hash or a mis-telescoped sum
+    assertWithinFactor(rows.map(r => (r._1, r._4, r._5)), 3.0)
+  }
+
   test("g19 estimates track exact bipartite component sizes (factor 3, size >= 8)") {
     val comps = graph.Components.bipartiteComponents(
       graph.Components.bipartitePairs(spark, sf))
