@@ -24,6 +24,11 @@ final case class Transition(user_id: Long, from_type: String, to_type: String)
 /** Last-seen event state carried between micro-batches. */
 final case class TLast(es: Long, event_type: String)
 
+/** Watermarked-transition state: last emitted event plus the buffer of
+  * events still inside the disorder window (es above the watermark).
+  */
+final case class TBuf(last: Option[TLast], pending: Seq[TEvent])
+
 /** Structured Streaming surface: the reference's "server keeps serving
   * while clients add requests" behavior maps to continuous queries.
   * All transforms are mode-agnostic — the same plan runs on a batch
@@ -115,6 +120,70 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[TLast, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(processTransitions)
+  }
+
+  /** Watermarked transitions: equals the batch e08 answer whenever
+    * event disorder is bounded by `delay` — the guarantee
+    * [[transitionsStateful]] (which drops late events) cannot give.
+    *
+    * Events buffer in state until the event-time watermark passes
+    * their timestamp; only then are they sorted and emitted, so an
+    * out-of-order event that arrives within `delay` still lands in its
+    * correct position. State per user is O(events inside the disorder
+    * window), bounded by the watermark — the property that lets this
+    * run forever on an unbounded stream. An event-time timeout set to
+    * the newest buffered timestamp flushes users the stream stops
+    * mentioning.
+    */
+  def transitionsWatermarked(events: Dataset[TEvent],
+      delay: String = "10 minutes"): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", col("es").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .as[TEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TBuf, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(processWatermarked)
+  }
+
+  private def emitSorted(user: Long, last0: Option[TLast],
+      sealed0: Seq[TEvent]): (Seq[Transition], Option[TLast]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+    var last = last0.orNull
+    sealed0.sortBy(e => (e.es, e.event_id)).foreach { e =>
+      // es < last.es can only happen on a watermark violation (arrival
+      // later than `delay` after its timestamp); same drop policy as
+      // transitionsStateful so even then output stays a subsequence of
+      // the batch answer
+      if (last == null || e.es >= last.es) {
+        if (last != null) out += Transition(user, last.event_type, e.event_type)
+        last = TLast(e.es, e.event_type)
+      }
+    }
+    (out.toSeq, Option(last))
+  }
+
+  private[streaming] def processWatermarked(user: Long, events: Iterator[TEvent],
+      state: GroupState[TBuf]): Iterator[Transition] = {
+    if (state.hasTimedOut) {
+      val buf = state.get
+      val (out, last) = emitSorted(user, buf.last, buf.pending)
+      state.update(TBuf(last, Seq.empty))
+      return out.iterator
+    }
+    val buf = state.getOption.getOrElse(TBuf(None, Seq.empty))
+    val all = buf.pending ++ events
+    // watermark semantics: no event with ts <= watermark will arrive
+    // anymore (bounded disorder), so those events' order is final
+    val wmSec = state.getCurrentWatermarkMs() / 1000L
+    val (sealedEvs, pending) = all.partition(_.es <= wmSec)
+    val (out, last) = emitSorted(user, buf.last, sealedEvs)
+    state.update(TBuf(last, pending))
+    // pending es are all > wmSec, so es*1000 is provably above the
+    // current watermark — setTimeoutTimestamp rejects anything else
+    if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.es).max * 1000L)
+    out.iterator
   }
 
   private[streaming] def processTransitions(user: Long, events: Iterator[TEvent],

@@ -180,6 +180,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked transitions equal the batch answer under bounded disorder") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TEvent]
+    val q = StreamOps.transitionsWatermarked(in.toDS(), "10 minutes").writeStream
+      .format("memory").queryName("wm_transitions_out").outputMode("append").start()
+    try {
+      // user 1's signup (es=100) arrives AFTER its click (es=160) — in a
+      // later micro-batch, but within the 10-min disorder bound; the
+      // late-dropping transitionsStateful would lose the signup->click
+      // pair, the watermarked variant must reorder and keep it
+      in.addData(TEvent(1L, 2L, 160L, "click"), TEvent(2L, 5L, 100L, "view"))
+      q.processAllAvailable()
+      in.addData(TEvent(1L, 1L, 100L, "signup"), TEvent(1L, 3L, 220L, "purchase"),
+        TEvent(2L, 6L, 300L, "click"))
+      q.processAllAvailable()
+      in.addData(TEvent(1L, 4L, 400L, "view"))
+      q.processAllAvailable()
+      // sentinel pushes the watermark past every real event; the extra
+      // no-data micro-batch Spark runs on watermark advance fires the
+      // event-time timeouts that flush the buffered tails
+      in.addData(TEvent(99L, 9L, 10000L, "x"))
+      q.processAllAvailable()
+      val got = spark.table("wm_transitions_out").as[Transition].collect().toSet
+      // == batch e08 semantics: per user, sort by (es, event_id), pair up
+      val batch = Set(
+        Transition(1L, "signup", "click"),
+        Transition(1L, "click", "purchase"),
+        Transition(1L, "purchase", "view"),
+        Transition(2L, "view", "click"))
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits sessions incrementally on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SEvent]
