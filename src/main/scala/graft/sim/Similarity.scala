@@ -241,22 +241,32 @@ object Similarity {
       s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  private def s06(s: SparkSession, dir: String): DataFrame = {
-    val e = embWithNorm(s, dir)
-    // narrow signature index: one row per (vec_id, table, sig)
-    val sigArray = dimGroups.zipWithIndex.map { case (dims, t) =>
+  /** Candidate generation for a sign-LSH table family: one narrow
+    * (vec_id, table, sig) index row per table, query-side multi-probe,
+    * distinct surviving pairs. Shared by s06 (the calibrated 16×8-bit
+    * family) and the bits-parametrized scale family below.
+    */
+  private def signCandidates(e: DataFrame, groups: Seq[Seq[Int]],
+      masks: Seq[Int]): DataFrame = {
+    val sigArray = groups.zipWithIndex.map { case (dims, t) =>
       s"named_struct('t', $t, 'sig', ${sigExprSpark(dims)})"
     }.mkString("array(", ", ", ")")
     val sigs = e.select(col("vec_id"), explode(expr(sigArray)).as("ts"))
       .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
     val probes = sigs.select(col("vec_id").as("query_id"), col("t"),
-        explode(array(probeMasks.map(lit): _*)).as("m"), col("sig"))
+        explode(array(masks.map(lit): _*)).as("m"), col("sig"))
       .select(col("query_id"), col("t"), col("sig").bitwiseXOR(col("m")).as("psig"))
-    val cands = probes.join(
+    probes.join(
         sigs.select(col("vec_id").as("neighbor_id"), col("t").as("nt"), col("sig").as("nsig")),
         col("t") === col("nt") && col("psig") === col("nsig") &&
           col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
+  }
+
+  /** Exact cosine re-rank of candidate pairs to a top-3 graph —
+    * vectors are fetched only for surviving pairs.
+    */
+  private def rerankTop3(e: DataFrame, cands: DataFrame): DataFrame = {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
     val w = Window.partitionBy(col("query_id"))
@@ -267,6 +277,61 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def s06(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(s, dir)
+    rerankTop3(e, signCandidates(e, dimGroups, probeMasks))
+  }
+
+  // ---- bits-parametrized family: the documented scale knob, runnable -
+  // Table t draws bit j from dim (7t + 13j) mod 64 — distinct within a
+  // table because 13 is coprime to 64, decorrelated across tables by
+  // the 7t offset. Growing `bits` by log2(n growth) holds per-bucket
+  // occupancy n/2^bits constant, which holds candidate cost per query
+  // constant while n grows — SimilaritySpec records the measured data
+  // point (sf0.1 has 4× the vectors of sf0.01: +2 bits cuts candidate
+  // pairs while keeping recall@3 over the gate).
+  def scaledDimGroups(bits: Int, tables: Int = 16): Seq[Seq[Int]] = {
+    require(bits <= 31 && bits >= 1, s"bits out of range: $bits")
+    // Independent shuffle per table (fixed seed = table id, so the
+    // family is deterministic). An arithmetic-progression family
+    // ((7t+13j) mod 64) was tried first and measured recall 0.56 where
+    // theory said 0.88: its tables share runs of ALIGNED dims (t and
+    // t+2 overlap in 4 consecutive bit positions), so the L tables
+    // behave like far fewer independent ones. Random draws overlap too
+    // (they must, 64 physical dims), but not in aligned runs.
+    (0 until tables).map { t =>
+      val rnd = new java.util.Random(t)
+      val arr = Array.range(0, 64) // Fisher-Yates
+      for (i <- 63 to 1 by -1) {
+        val j = rnd.nextInt(i + 1)
+        val tmp = arr(i); arr(i) = arr(j); arr(j) = tmp
+      }
+      arr.take(bits).toSeq
+    }
+  }
+
+  /** 0-flip + every 1-flip probe, query side. */
+  private def scaledProbeMasks(bits: Int): Seq[Int] = 0 +: (0 until bits).map(1 << _)
+
+  /** Distinct LSH candidate pairs for the bits-parametrized family.
+    * `tables` is the companion knob: a longer signature lowers each
+    * table's collision probability for true neighbors (p^bits), so L
+    * must grow with bits (classic LSH L ~ n^ρ) — the candidate-pair
+    * cost L·probes·n²/2^bits still falls because 2^bits outruns L.
+    */
+  def annCandidates(s: SparkSession, dir: String, bits: Int,
+      tables: Int = 16): DataFrame = {
+    val e = embWithNorm(s, dir)
+    signCandidates(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits))
+  }
+
+  /** Top-3 ANN KNN graph for the bits-parametrized family. */
+  def annKnnGraphAt(s: SparkSession, dir: String, bits: Int,
+      tables: Int = 16): DataFrame = {
+    val e = embWithNorm(s, dir)
+    rerankTop3(e, signCandidates(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits)))
   }
 
   private val s06Sql: String = {

@@ -15,12 +15,44 @@ class SimilaritySpec extends AnyFunSuite {
   // on the real embeddings (see Similarity.s06 scaladoc).
   private val RecallTarget = 0.80
 
-  Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+  // sf0.1 included: 4x the vectors of sf0.01 — the gate must hold as n
+  // grows, not just on the calibration corpus (measured 0.88 at sf0.1)
+  Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { sf =>
     test(s"s06 ANN KNN graph reaches avg recall@3 >= $RecallTarget at $sf") {
       val recall = SparkEntry.queries("s07_knn_recall")(spark, sf)
         .agg(avg(col("recall_at_3"))).head().getDouble(0)
       assert(recall >= RecallTarget, f"avg recall@3 $recall%.3f < $RecallTarget")
     }
+  }
+
+  test("bits is the scale knob: +log2(n growth) bits cuts candidates, holds recall") {
+    val sf = "/root/testdata/sf0.1" // 2000 vectors = 4x sf0.01's 500
+    val exact = SparkEntry.queries("s04_knn_graph")(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallAt(bits: Int, tables: Int): Double = {
+      val approx = sim.Similarity.annKnnGraphAt(spark, sf, bits, tables)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      exact.join(approx,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+        .groupBy(col("query_id"))
+        .agg((count(col("q2")).cast("double") / lit(3.0)).as("r"))
+        .agg(avg(col("r"))).head().getDouble(0)
+    }
+    // 4x the vectors: +2 bits restores per-bucket occupancy, and tables
+    // grow 16 -> 40 (LSH L ~ n^rho: a longer signature retains true
+    // neighbors at P(<=1 flip of 10) = 0.046/table on this corpus's
+    // p~0.6 bit agreement, so L must rise to hold Sigma P) — candidate
+    // pairs still shrink because random collisions fall 2^-bits while L
+    // grows linearly. Measured intermediate points that pin this
+    // calibration: 10-bit/16t recall 0.495, 10-bit/24t 0.678 (theory
+    // 0.680) — bits is NOT a standalone knob.
+    val cands8 = sim.Similarity.annCandidates(spark, sf, 8, 16).count()
+    val cands10 = sim.Similarity.annCandidates(spark, sf, 10, 40).count()
+    val recall10 = recallAt(10, 40)
+    info(f"sf0.1: candidates 8-bit/16t=$cands8%d, 10-bit/40t=$cands10%d, recall@3(10-bit/40t)=$recall10%.3f")
+    assert(cands10 < cands8,
+      s"scaled family generated no fewer candidates ($cands10 vs $cands8)")
+    assert(recall10 >= RecallTarget, f"recall@3 $recall10%.3f < $RecallTarget at 10 bits/40 tables")
   }
 
   test("s06 emits at most 3 neighbors per query, ranked consistently with s04 on hits") {
