@@ -74,12 +74,16 @@ object ReachSketch {
 
   private def regNames: Seq[String] = (0 until R).map(r => s"reg$r")
 
-  /** Iterated sketch over directed (src, dst) edges: one row per node
-    * with ≥1 out-edge, R BIGINT register columns. Per round: one
-    * shuffle join (edges ⋈ sketch on dst) + one bit_or aggregation —
-    * both map-side combinable, state linear in V.
+  /** Iterated sketch over directed (src, dst) edges, one register
+    * frame per round 1..[[Rounds]] (round d covers distance ≤ d).
+    * Per round: one shuffle join (edges ⋈ sketch on dst) + one bit_or
+    * aggregation — both map-side combinable, state linear in V.
+    * Rounds past the fixpoint reuse the converged frame — OR-monotone
+    * registers make them provably identical to running the round,
+    * which is also why the early exit can't diverge from the
+    * fully-unrolled oracle.
     */
-  def sketch(edges: DataFrame): DataFrame = {
+  def sketchRegisterRounds(edges: DataFrame): Seq[DataFrame] = {
     val aggs0 = (0 until R).map(r => expr(s"bit_or(${maskSpark("dst", r)})").as(s"reg$r"))
     var sk = edges.groupBy(col("src").as("node")).agg(aggs0.head, aggs0.tail: _*)
       .localCheckpoint()
@@ -87,10 +91,11 @@ object ReachSketch {
     // Convergence scalar: registers are monotone under OR, so the
     // global set-bit count strictly grows until fixpoint — one tiny
     // aggregate over the (V-row) sketch per round replaces running the
-    // full cap. Extra oracle rounds past the fixpoint are no-ops, so
-    // early exit cannot diverge from the 10-round unrolled SQL.
+    // full cap.
     val bitsExpr = expr(regNames.map(n => s"CAST(bit_count($n) AS BIGINT)")
       .mkString("sum(", " + ", ")"))
+    val frames = Seq.newBuilder[DataFrame]
+    frames += sk
     var bits = sk.agg(bitsExpr).head().getLong(0)
     var round = 1
     var converged = false
@@ -105,12 +110,17 @@ object ReachSketch {
       sk = succ.unionByName(sk)
         .groupBy(col("node")).agg(aggsN.head, aggsN.tail: _*)
         .localCheckpoint()
+      frames += sk
       val nextBits = sk.agg(bitsExpr).head().getLong(0)
       converged = nextBits == bits
       bits = nextBits
     }
-    sk
+    val built = frames.result()
+    built ++ Seq.fill(Rounds - built.size)(built.last)
   }
+
+  /** Final-round sketch only (round cap reached or converged). */
+  def sketch(edges: DataFrame): DataFrame = sketchRegisterRounds(edges).last
 
   /** (node, sum_lzb, est_log2) for every node in `nodes`; nodes
     * reaching nothing get zero registers. est_log2 = sum_lzb/R is an
@@ -176,13 +186,9 @@ object ReachSketch {
   // distributed approximate-component-size census — linear state where
   // the exact closure would be |V|² pairs.
   private def g19(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Components.bipartitePairs(s, dir)
-    val bsym = pairs
-      .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
-      .unionAll(pairs.select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
-      .localCheckpoint()
-    val nodes = bsym.select(col("src").as("node")).distinct()
-    estimate(nodes, sketch(bsym))
+    val finalRound = bipartiteSketchRounds(s, dir)
+      .filter(col("rnd") === Rounds).drop("rnd")
+    estimate(bipartiteNodes(s, dir), finalRound)
   }
 
   private val g19Sql = s"""
@@ -206,40 +212,14 @@ object ReachSketch {
   private val sumLzbSql: String =
     "CAST(" + regNames.map(lzbExpr).mkString(" + ") + " AS BIGINT)"
 
-  /** Per-round FM statistic: one (node, slzb) frame per round 1..
-    * [[Rounds]] (round d covers distance ≤ d). Rounds past the
-    * fixpoint reuse the converged frame — OR-monotone registers make
-    * them provably identical to running the round, which is also why
-    * the early exit can't diverge from the fully-unrolled oracle.
+  /** Per-round FM statistic as one tagged frame (node, rnd, slzb),
+    * rnd = 1..[[Rounds]].
     */
-  def sketchSlzbRounds(edges: DataFrame): Seq[DataFrame] = {
-    val aggs0 = (0 until R).map(r => expr(s"bit_or(${maskSpark("dst", r)})").as(s"reg$r"))
-    var sk = edges.groupBy(col("src").as("node")).agg(aggs0.head, aggs0.tail: _*)
-      .localCheckpoint()
-    val aggsN = regNames.map(n => expr(s"bit_or($n)").as(n))
-    val bitsExpr = expr(regNames.map(n => s"CAST(bit_count($n) AS BIGINT)")
-      .mkString("sum(", " + ", ")"))
-    def slzbOf(df: DataFrame) = df.select(col("node"), expr(sumLzbSql).as("slzb"))
-    val frames = Seq.newBuilder[DataFrame]
-    frames += slzbOf(sk)
-    var bits = sk.agg(bitsExpr).head().getLong(0)
-    var round = 1
-    var converged = false
-    while (round < Rounds && !converged) {
-      round += 1
-      val succ = edges.join(sk.hint("shuffle_hash"), col("dst") === col("node"))
-        .select(col("src").as("node") +: regNames.map(col): _*)
-      sk = succ.unionByName(sk)
-        .groupBy(col("node")).agg(aggsN.head, aggsN.tail: _*)
-        .localCheckpoint()
-      frames += slzbOf(sk)
-      val nextBits = sk.agg(bitsExpr).head().getLong(0)
-      converged = nextBits == bits
-      bits = nextBits
-    }
-    val built = frames.result()
-    built ++ Seq.fill(Rounds - built.size)(built.last)
-  }
+  private def taggedSlzb(registerRounds: Seq[DataFrame]): DataFrame =
+    registerRounds.zipWithIndex
+      .map { case (df, i) =>
+        df.select(col("node"), lit(i + 1).as("rnd"), expr(sumLzbSql).as("slzb")) }
+      .reduce(_ unionAll _)
 
   /** round(2^(r/16) · 2^20) for r = 0..15: the fractional power as a
     * 2^20-scaled FIXED-POINT integer. The whole Σ d·(N_d − N_{d−1})
@@ -291,15 +271,12 @@ object ReachSketch {
   private def sparkShift(x: String, n: String) = s"shiftleft($x, CAST($n AS INT))"
   private def duckShift(x: String, n: String) = s"($x << ($n))"
 
-  /** Sketch closeness over directed (src, dst) edges for `nodes`: one
+  /** Closeness estimates from a tagged (node, rnd, slzb) frame: one
     * union + aggregation pivots the per-round statistics into a wide
     * row per node (single shuffle, not T joins), then the shared
     * projection turns them into estimates.
     */
-  def sketchCloseness(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    val tagged = sketchSlzbRounds(edges).zipWithIndex
-      .map { case (df, i) => df.withColumn("rnd", lit(i + 1)) }
-      .reduce(_ unionAll _)
+  private def closenessFromTagged(tagged: DataFrame, nodes: DataFrame): DataFrame = {
     val roundCols = (1 to Rounds).map(d =>
       coalesce(max(when(col("rnd") === d, col("slzb"))), lit(0L)).as(s"slzb_$d"))
     val wide = nodes.join(
@@ -310,13 +287,39 @@ object ReachSketch {
     wide.selectExpr(closenessProj(sparkShift _, "div"): _*).orderBy(col("node"))
   }
 
-  private def g20(s: SparkSession, dir: String): DataFrame = {
+  /** Sketch closeness over directed (src, dst) edges for `nodes`. */
+  def sketchCloseness(edges: DataFrame, nodes: DataFrame): DataFrame =
+    closenessFromTagged(taggedSlzb(sketchRegisterRounds(edges)), nodes)
+
+  /** The bipartite (2k/2k+1 symmetrized) graph's per-round register
+    * table, materialized once per (session, corpus) and shared by
+    * g19 and g20 — the same amortized-index pattern as d02's
+    * signature store: both ops need the identical 10-round sketch
+    * loop, so it runs once. Schema (node, rnd, reg0..reg15).
+    */
+  private def bipartiteSketchRounds(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"bsketch:$dir", "graft_bsketch") {
+      val pairs = Components.bipartitePairs(s, dir)
+      val bsym = pairs
+        .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+        .unionAll(pairs.select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
+        .localCheckpoint()
+      sketchRegisterRounds(bsym).zipWithIndex
+        .map { case (df, i) =>
+          df.select(col("node") +: lit(i + 1).as("rnd") +: regNames.map(col): _*) }
+        .reduce(_ unionAll _)
+    }
+
+  private def bipartiteNodes(s: SparkSession, dir: String): DataFrame = {
     val pairs = Components.bipartitePairs(s, dir)
-    val bsym = pairs
-      .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
-      .unionAll(pairs.select((col("supp") * 2 + 1).as("src"), (col("cust") * 2).as("dst")))
-      .localCheckpoint()
-    sketchCloseness(bsym, bsym.select(col("src").as("node")).distinct())
+    pairs.select((col("cust") * 2).as("node"))
+      .unionAll(pairs.select((col("supp") * 2 + 1).as("node"))).distinct()
+  }
+
+  private def g20(s: SparkSession, dir: String): DataFrame = {
+    val tagged = bipartiteSketchRounds(s, dir)
+      .select(col("node"), col("rnd"), expr(sumLzbSql).as("slzb"))
+    closenessFromTagged(tagged, bipartiteNodes(s, dir))
   }
 
   private val g20Sql: String = {
