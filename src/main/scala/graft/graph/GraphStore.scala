@@ -33,15 +33,53 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
   private def writerLock(name: String): Object =
     writerLocks.computeIfAbsent(name, _ => new Object)
 
+  /** Allocate the next snapshot version via an atomic exclusive-create
+    * claim marker — the piece the in-JVM writer lock cannot give: two
+    * store instances (two driver processes) racing put() must never
+    * write the same v<k> directory, or one silently clobbers the
+    * other's snapshot mid-write. Exclusive create is atomic on POSIX
+    * (java.nio createFile) and on HDFS/object-store semantics (Hadoop
+    * create(overwrite=false)); a lost race just bumps to the next
+    * number.
+    */
+  private def claimVersion(name: String): Long = {
+    val dir = graphDir(name)
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    var v = currentVersion(name).getOrElse(0L) + 1L
+    var claimed = false
+    while (!claimed) {
+      val claim = new Path(dir, s"_claim.v$v")
+      claimed =
+        if (scheme == "file") {
+          try {
+            java.nio.file.Files.createFile(java.nio.file.Paths.get(claim.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else {
+          try { f.create(claim, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        }
+      if (!claimed) v += 1
+    }
+    v
+  }
+
   /** Store a graph's edge DataFrame under `name` (create or overwrite —
     * reference ops "add graph" and "modify graph" share this path).
     */
   def put(name: String, edges: DataFrame): Unit = writerLock(name).synchronized {
     val dir = graphDir(name)
     val f = fs(dir)
-    val version = currentVersion(name).getOrElse(0L) + 1L
+    val version = claimVersion(name)
     val target = new Path(dir, s"v$version")
     edges.write.mode("overwrite").parquet(target.toString)
+    // A concurrent writer may have published a NEWER version while
+    // this snapshot was writing; last-writer-wins on the pointer would
+    // silently roll the store back, so leave the pointer alone when it
+    // is already ahead — this snapshot stays readable via time travel.
+    if (currentVersion(name).exists(_ > version)) return
     // Publish atomically: write pointer to a temp file, then rename
     // over the live pointer with OVERWRITE semantics — no
     // delete/rename window where readers see no pointer at all.
@@ -132,7 +170,12 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
     val keep = vs.takeRight(keepLast).toSet ++ currentVersion(name)
     val dropped = vs.filterNot(keep)
     val f = fs(graphDir(name))
-    dropped.foreach(v => f.delete(new Path(graphDir(name), s"v$v"), true))
+    dropped.foreach { v =>
+      f.delete(new Path(graphDir(name), s"v$v"), true)
+      // the claim marker is never reused (claims only move forward
+      // from the retained current version), so it can go too
+      f.delete(new Path(graphDir(name), s"_claim.v$v"), false)
+    }
     dropped
   }
 

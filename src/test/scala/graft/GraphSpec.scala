@@ -309,6 +309,36 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < 1e-9)
   }
 
+  test("racing writers from separate store instances never share a version") {
+    // Two GraphStore instances on one directory model two driver
+    // processes: the in-JVM writer lock cannot serialize them, so the
+    // atomic claim-file allocation must — a shared version number
+    // would mean one writer's parquet overwrite clobbers the other's
+    // snapshot mid-write.
+    val dir = java.nio.file.Files.createTempDirectory("graphrace2").toString
+    val a = new GraphStore(spark, dir)
+    val b = new GraphStore(spark, dir)
+    a.add("G", edgeDf((0, 1)))
+    val dfs = (1 to 12).map(i => edgeDf((i, i + 1)))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => try {
+        val st = if (t % 2 == 0) a else b
+        (0 until 3).foreach(j => st.put("G", dfs(t * 3 + j)))
+      } catch { case e: Throwable => failures.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    // 1 initial + 12 racing puts: 13 DISTINCT versions, no clobbers
+    assert(a.versions("G") == (1L to 13L))
+    // the pointer resolves to a readable snapshot that is one of the
+    // racing writers' single-edge frames
+    assert(a.read("G").count() == 1L)
+    // every snapshot is intact (none half-overwritten)
+    (1L to 13L).foreach(v => assert(a.readVersion("G", v).count() == 1L))
+  }
+
   test("DistinctPairView delta refresh equals full rebuild across deltas") {
     val base = java.nio.file.Files.createTempDirectory("graphview").toString
     val store = new GraphStore(spark, s"$base/store")

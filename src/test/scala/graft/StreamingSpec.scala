@@ -213,6 +213,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked transitions equal batch on random bounded-disorder streams") {
+    // Property: for ANY event set delivered in ANY order whose
+    // disorder stays inside the watermark delay, the streaming output
+    // is exactly the batch per-user (es, event_id) transition multiset.
+    // Delivery order = sort by (es + jitter) with |jitter| <= 250s:
+    // when an event arrives, the max es already seen is at most
+    // es + 2*250 < the 600s delay, so no event is ever late-violating.
+    val types = Vector("signup", "click", "view", "purchase")
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { caseNo =>
+      val events = for {
+        u <- 1L to 3L
+        n = 3 + rnd.nextInt(6)
+        (es, i) <- Iterator.iterate(1000L)(_ + 60L + rnd.nextInt(240)).take(n).toSeq.zipWithIndex
+      } yield TEvent(u, u * 100 + i, es, types(rnd.nextInt(types.size)))
+      val batchAnswer = events.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+        evs.sortBy(e => (e.es, e.event_id)).sliding(2).collect {
+          case Seq(a, b) => Transition(u, a.event_type, b.event_type)
+        }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+
+      val delivery = events.sortBy(e => e.es + rnd.nextInt(501) - 250)
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[TEvent]
+      val qname = s"wm_prop_out_$caseNo"
+      val q = StreamOps.transitionsWatermarked(in.toDS(), "10 minutes").writeStream
+        .format("memory").queryName(qname).outputMode("append").start()
+      try {
+        delivery.grouped(1 + rnd.nextInt(4)).foreach { chunk =>
+          in.addData(chunk.toSeq: _*)
+          q.processAllAvailable()
+        }
+        in.addData(TEvent(9999L, 1L, events.map(_.es).max + 100000L, "x"))
+        q.processAllAvailable()
+        val got = spark.table(qname).as[Transition].collect().toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(got == batchAnswer, s"case $caseNo: $got != $batchAnswer")
+      } finally q.stop()
+    }
+  }
+
   test("stateful sessionizer emits sessions incrementally on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SEvent]
