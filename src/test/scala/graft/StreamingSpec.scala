@@ -254,6 +254,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermarked transitions survive a query restart from checkpoint") {
+    // The production property: GroupState (buffered events + last
+    // emitted) and the watermark are durable — stop the query
+    // mid-stream, restart from the same checkpoint, and the output
+    // across both runs is exactly the batch answer, with the
+    // cross-restart transition (click -> purchase) emitted once.
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val in = MemoryStream[TEvent]
+    // memory sink cannot recover; the parquet sink is the
+    // fault-tolerant one (exactly-once via the checkpoint's commit log)
+    def start() = StreamOps.transitionsWatermarked(in.toDS(), "10 minutes").writeStream
+      .format("parquet").option("path", out).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      in.addData(TEvent(1L, 1L, 100L, "signup"), TEvent(1L, 2L, 160L, "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(TEvent(1L, 3L, 900L, "purchase"))
+      q2.processAllAvailable()
+      in.addData(TEvent(99L, 9L, 100000L, "x")) // watermark push -> flush
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[Transition].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == Map(
+        Transition(1L, "signup", "click") -> 1,
+        Transition(1L, "click", "purchase") -> 1), got.toString)
+    } finally q2.stop()
+  }
+
   test("stateful sessionizer emits sessions incrementally on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SEvent]
