@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{GraphTextIO, JsonlIO}
+import graft.sources.{CsvIO, GraphTextIO, JsonlIO}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -50,6 +50,29 @@ class SourcesSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/docs/zz_bad.json"), "{not json\n")
     val dirty = JsonlIO.read(spark, s"$dir/docs", docs.schema).cache()
+    assert(dirty.filter(dirty("_corrupt").isNotNull).count() == 1)
+    assert(dirty.filter(dirty("_corrupt").isNull).count() == a.size)
+    dirty.unpersist()
+  }
+
+  test("CSV roundtrip with pinned schema and corrupt-row capture") {
+    val dir = java.nio.file.Files.createTempDirectory("csvio").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "lang", "text") // CSV has no array columns
+    CsvIO.write(docs, s"$dir/docs")
+    val back = CsvIO.read(spark, s"$dir/docs", docs.schema).cache()
+    assert(back.filter(back("_corrupt").isNotNull).count() == 0)
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = back.drop("_corrupt").select(docs.columns.map(back(_)): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    back.unpersist()
+    // a wrong-type row degrades to _corrupt, not a failed read; CSV
+    // part files carry a header line, so the bad file needs one too
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/docs/zz_bad.csv"),
+      "doc_id,source,lang,text\nnot_a_number,web,en,hello\n")
+    val dirty = CsvIO.read(spark, s"$dir/docs", docs.schema).cache()
     assert(dirty.filter(dirty("_corrupt").isNotNull).count() == 1)
     assert(dirty.filter(dirty("_corrupt").isNull).count() == a.size)
     dirty.unpersist()
