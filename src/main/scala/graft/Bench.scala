@@ -36,14 +36,10 @@ object Bench {
 
     def freeState(): Unit = {
       // free cached/localCheckpoint blocks so one query's iteration
-      // state can't pressure the next query's heap; the explicit GC
-      // kicks ContextCleaner, which only releases old broadcast and
-      // shuffle state on collection (a large heap may never collect
-      // on its own, and 30+ accumulated broadcasts slow later joins)
+      // state can't pressure the next query's heap
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
-      System.gc()
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -58,6 +54,12 @@ object Bench {
         freeState()
         dt
       }
+      // One explicit GC per QUERY (not per rep — reps x queries gc
+      // pauses cost ~1 min of wall clock): kicks ContextCleaner, which
+      // only releases old broadcast and shuffle state on collection (a
+      // large heap may never collect on its own, and 30+ accumulated
+      // broadcasts slow later joins)
+      System.gc()
       val dt =
         if (times.contains(-1.0)) -1.0
         else times.sorted.apply(times.size / 2)
