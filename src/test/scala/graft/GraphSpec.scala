@@ -339,6 +339,28 @@ class GraphSpec extends AnyFunSuite {
     (1L to 13L).foreach(v => assert(a.readVersion("G", v).count() == 1L))
   }
 
+  test("bipairs delta refresh on real testdata equals full rebuild") {
+    // The concrete instance of the incremental story: the bipartite
+    // customer-supplier pair index maintained under a stream of trade
+    // deltas without rescanning the fact data.
+    val base = java.nio.file.Files.createTempDirectory("bipairsview").toString
+    val store = new GraphStore(spark, s"$base/store")
+    val view = new DistinctPairView(spark, store, "bipairs", s"$base/view")
+    val pairs = Components.bipartitePairs(spark, "/root/testdata/sf0.001")
+      .select(col("cust").as("src"), col("supp").as("dst"))
+    store.add("bipairs", pairs)
+    view.rebuild()
+    // new trade relationships + a churned one, as a delta
+    val adds = Seq((900001L, 1L), (900001L, 2L), (900002L, 3L)).toDF("src", "dst")
+    val dels = pairs.limit(5)
+    view.applyDelta(adds, dels)
+    val got = view.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = store.read("bipairs").select("src", "dst").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == full && got.contains((900001L, 1L)))
+    assert(view.isFresh)
+  }
+
   test("DistinctPairView delta refresh equals full rebuild across deltas") {
     val base = java.nio.file.Files.createTempDirectory("graphview").toString
     val store = new GraphStore(spark, s"$base/store")
