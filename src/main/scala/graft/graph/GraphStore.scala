@@ -45,9 +45,13 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
   private def claimVersion(name: String): Long = {
     val dir = graphDir(name)
     val f = fs(dir)
+    // read the version BEFORE mkdirs: a fresh graph must look like
+    // "no dir" to currentVersion (immediate None), not "dir without
+    // pointer" (the non-file publish-in-flight retry path)
+    val base = currentVersion(name).getOrElse(0L)
     f.mkdirs(dir)
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
-    var v = currentVersion(name).getOrElse(0L) + 1L
+    var v = base + 1L
     var claimed = false
     while (!claimed) {
       val claim = new Path(dir, s"_claim.v$v")
