@@ -288,6 +288,7 @@ object Components {
     val row = pairs.groupBy(col("cust")).agg(count(lit(1)).as("cdeg"))
       .agg(max(col("cdeg")).as("mx"),
         expr("percentile_approx(cdeg, 0.5)").as("med")).head()
+    if (row.isNullAt(0)) return None // empty graph: nothing to salt
     val mx = row.getLong(0)
     val med = math.max(row.getLong(1), 1L)
     if (mx >= SkewRatio * med) Some((SkewRatio * med).toInt) else None
