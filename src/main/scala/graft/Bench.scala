@@ -63,17 +63,31 @@ object Bench {
       val dt =
         if (times.contains(-1.0)) -1.0
         else times.sorted.apply(times.size / 2)
-      name -> dt
+      (name, dt, times)
     }
     val loadEnd = loadavg()
     val tEnd = java.time.Instant.now().toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-rep times, in execution order. Rep 1 is the COLD run: for the
+    // operators backed by MatStore's session-level memoization (shared
+    // signature/edge/sketch/KNN index tables) it includes the one-time
+    // index build; later reps re-read the memoized parquet. The median
+    // therefore measures steady-state session cost, cold_value measures
+    // first-touch cost — both are real, so both are reported instead of
+    // letting the median silently hide the builds.
+    val qreps = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val coldTotal = results.map(_._3.head).filter(_ >= 0).sum
+    val note = "rep 1 is cold (includes one-time MatStore index builds " +
+      "shared across operators); reps 2+ re-use session-memoized index " +
+      "tables; value=sum of per-query medians, cold_value=sum of rep-1 times"
     val env =
       s""""reps":$reps,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"note":"$note",$env,"sf":"$sfDir"}"""
     // Long per-query line first; persist a copy where truncation can't
     // reach it; SHORT summary line LAST — the harness captures a
     // bounded TAIL of stdout, so whatever must survive goes at the end.
@@ -82,6 +96,6 @@ object Bench {
       java.nio.file.Paths.get("bench.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"reps":$reps,"loadavg_end":"$loadEnd","sf":"$sfDir"}""")
   }
 }

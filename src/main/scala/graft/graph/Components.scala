@@ -291,7 +291,12 @@ object Components {
     if (row.isNullAt(0)) return None // empty graph: nothing to salt
     val mx = row.getLong(0)
     val med = math.max(row.getLong(1), 1L)
-    if (mx >= SkewRatio * med) Some((SkewRatio * med).toInt) else None
+    // Clamp before narrowing: at extreme medians (plausible at 100 TB)
+    // SkewRatio * med exceeds Int range, and an overflowed negative
+    // threshold would silently send EVERY customer down the salted path.
+    if (mx >= SkewRatio * med)
+      Some(math.min(SkewRatio * med, (Int.MaxValue - 1).toLong).toInt)
+    else None
   }
 
   /** (supp_a, supp_b, n_common) co-customer counts with the skew

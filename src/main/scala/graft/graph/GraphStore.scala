@@ -84,10 +84,38 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
     // silently roll the store back, so leave the pointer alone when it
     // is already ahead — this snapshot stays readable via time travel.
     if (currentVersion(name).exists(_ > version)) return
-    // Publish atomically: write pointer to a temp file, then rename
-    // over the live pointer with OVERWRITE semantics — no
-    // delete/rename window where readers see no pointer at all.
-    val tmp = new Path(dir, s"_CURRENT.tmp$version")
+    publishPointer(name, version)
+    // The guard above is check-then-publish: a cross-process writer can
+    // publish a newer version BETWEEN the check and the rename, and the
+    // rename just rolled the pointer back to this (older) snapshot. The
+    // claim marker only prevents directory clobbering — pointer
+    // monotonicity needs this post-publish fix-up: re-read the pointer
+    // and re-publish the newest COMPLETE snapshot (its _SUCCESS marker
+    // exists, so the parquet commit finished) until the published
+    // version has caught up. Any writer that momentarily rolls the
+    // pointer back runs this same loop, so the store converges to the
+    // max published version rather than staying rolled back.
+    var published = currentVersion(name).getOrElse(version)
+    var newest = latestCompleteVersion(name).getOrElse(version)
+    while (published < newest) {
+      publishPointer(name, newest)
+      published = currentVersion(name).getOrElse(newest)
+      newest = latestCompleteVersion(name).getOrElse(newest)
+    }
+  }
+
+  /** Atomically point `name`'s `_CURRENT` at `v<version>`: write the
+    * pointer to a temp file, then rename over the live pointer with
+    * OVERWRITE semantics — no delete/rename window where readers see no
+    * pointer at all.
+    */
+  private def publishPointer(name: String, version: Long): Unit = {
+    val dir = graphDir(name)
+    val f = fs(dir)
+    // tmp name unique PER ATTEMPT, not per version: the fix-up loop can
+    // have two writers publishing the same newest version, and a shared
+    // tmp name lets one rename the other's file out from under it
+    val tmp = new Path(dir, s"_CURRENT.tmp$version.${java.util.UUID.randomUUID}")
     val out = f.create(tmp, true)
     out.write(s"v$version".getBytes("UTF-8"))
     out.close()
@@ -106,6 +134,18 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
     } else {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, hadoopConf)
       fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Newest version whose snapshot write COMMITTED (the `_SUCCESS`
+    * marker the parquet committer writes last is present) — a claimed
+    * version still being written never qualifies, so the publish
+    * fix-up can never point readers at a half-written directory.
+    */
+  private def latestCompleteVersion(name: String): Option[Long] = {
+    val f = fs(graphDir(name))
+    versions(name).reverse.find { v =>
+      f.exists(new Path(graphDir(name), s"v$v/_SUCCESS"))
     }
   }
 

@@ -298,9 +298,10 @@ object Similarity {
     annGraphTable(s, dir).orderBy(col("query_id"), col("rank"))
 
   // ---- bits-parametrized family: the documented scale knob, runnable -
-  // Table t draws bit j from dim (7t + 13j) mod 64 — distinct within a
-  // table because 13 is coprime to 64, decorrelated across tables by
-  // the 7t offset. Growing `bits` by log2(n growth) holds per-bucket
+  // Table t draws its `bits` dims as the prefix of a seeded
+  // Fisher-Yates shuffle of 0..63 (seed = t): distinct within a table
+  // by construction, decorrelated across tables because the draws are
+  // independent random subsets. Growing `bits` by log2(n growth) holds per-bucket
   // occupancy n/2^bits constant, which holds candidate cost per query
   // constant while n grows — SimilaritySpec records the measured data
   // point (sf0.1 has 4× the vectors of sf0.01: +2 bits cuts candidate

@@ -332,6 +332,11 @@ class GraphSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
     // 1 initial + 12 racing puts: 13 DISTINCT versions, no clobbers
     assert(a.versions("G") == (1L to 13L))
+    // pointer monotonicity at quiescence: a slow writer's rename can
+    // transiently roll the pointer back, but its post-publish fix-up
+    // must re-publish the newest complete snapshot — once all writers
+    // finish, the pointer is the max version, never a rolled-back one
+    assert(a.currentVersion("G").contains(13L))
     // the pointer resolves to a readable snapshot that is one of the
     // racing writers' single-edge frames
     assert(a.read("G").count() == 1L)

@@ -78,6 +78,24 @@ class SourcesSpec extends AnyFunSuite {
     dirty.unpersist()
   }
 
+  test("CSV roundtrip survives embedded newlines, commas, quotes, and null vs empty") {
+    val dir = java.nio.file.Files.createTempDirectory("csvhostile").toString
+    val rows = Seq(
+      (1L, "line one\nline two", "a,b,c"),
+      (2L, "she said \"hi\"", null.asInstanceOf[String]),
+      (3L, "", "plain"),
+      (4L, "tab\there, and a trailing newline\n", "\"quoted,comma\"\nnext"))
+      .toDF("id", "text", "extra")
+    CsvIO.write(rows, s"$dir/rows")
+    val back = CsvIO.read(spark, s"$dir/rows", rows.schema).cache()
+    assert(back.filter(back("_corrupt").isNotNull).count() == 0)
+    val a = rows.orderBy("id").collect().toSeq
+    val b = back.drop("_corrupt").select(rows.columns.map(back(_)): _*)
+      .orderBy("id").collect().toSeq
+    assert(a == b) // Row equality distinguishes null from "" per field
+    back.unpersist()
+  }
+
   test("GraftExtensions registers SQL vector functions") {
     // make sure we don't get handed the shared extension-less session
     val prev = SparkSession.getDefaultSession
