@@ -396,4 +396,49 @@ class GraphSpec extends AnyFunSuite {
     view.applyDelta(additions = edgeDf((4, 4)), deletions = edgeDf((9, 9)))
     assert(view.isFresh && viewSet() == fullSet() && viewSet() == Set((4, 4)))
   }
+
+  test("DegreeView delta refresh equals full rebuild, multiplicity counted") {
+    val base = java.nio.file.Files.createTempDirectory("degview").toString
+    val store = new GraphStore(spark, s"$base/store")
+    val view = new DegreeView(spark, store, "G", s"$base/view")
+    def viewMap() = view.read().collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def fullMap() = {
+      val e = store.read("G")
+      val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("o"))
+      val in = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("i"))
+      out.join(in, Seq("node"), "full_outer").collect().map { r =>
+        val o = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val i = if (r.isNullAt(2)) 0L else r.getLong(2)
+        r.getInt(0) -> (o, i, o + i)
+      }.toMap
+    }
+
+    // (1,2) twice: degrees MUST count multi-edges, unlike the pair view
+    store.add("G", edgeDf((0, 1), (1, 2), (1, 2), (2, 3)))
+    view.rebuild()
+    assert(view.isFresh && viewMap() == fullMap())
+    assert(viewMap()(1) == ((2L, 1L, 3L))) // out counts both (1,2) rows
+
+    // delete the multi-edge key (removes BOTH rows), re-add it once,
+    // stack an extra row on a surviving key, add a brand-new key
+    view.applyDelta(
+      additions = edgeDf((1, 2), (0, 1), (5, 6)),
+      deletions = edgeDf((1, 2)))
+    assert(view.isFresh && viewMap() == fullMap())
+    assert(viewMap()(1) == ((1L, 2L, 3L))) // (1,2) back to one row; in from 0 twice
+    assert(viewMap()(0) == ((2L, 0L, 2L))) // (0,1) stacked to multiplicity 2
+
+    // chained delta: a node whose degree drops to zero leaves the view
+    view.applyDelta(additions = edgeDf(), deletions = edgeDf((5, 6)))
+    assert(view.isFresh && viewMap() == fullMap() && !viewMap().contains(5))
+
+    // store modified behind the view's back -> stale, next delta recovers
+    store.modify("G", edgeDf((9, 8)))
+    assert(!view.isFresh)
+    view.applyDelta(additions = edgeDf((4, 3)), deletions = edgeDf())
+    assert(view.isFresh && viewMap() == fullMap())
+    assert(viewMap() == Map(9 -> ((1L, 0L, 1L)), 8 -> ((0L, 1L, 1L)),
+      4 -> ((1L, 0L, 1L)), 3 -> ((0L, 1L, 1L))))
+  }
 }
