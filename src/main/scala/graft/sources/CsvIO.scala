@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, regexp_replace}
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** CSV source/sink — the other interchange format bulk data arrives
   * in. Same contract as [[JsonlIO]]:
@@ -19,16 +20,41 @@ object CsvIO {
     * field), so the writer emits `\N` for null (the classic
     * mysqldump/Hive convention) and the reader maps it back. Pinned on
     * BOTH sides or a roundtrip silently turns nulls into "".
+    *
+    * Sentinel collision: a field whose literal string CONTENT is `\N`
+    * would otherwise be written unquoted and read back as SQL NULL
+    * (quoting does not help — Spark's reader compares `nullValue`
+    * AFTER unquoting). The writer therefore escapes the whole `\+N`
+    * family by one extra backslash (`\N` → `\\N`, `\\N` → `\\\N`, …)
+    * and the reader strips one back — a total bijection, so null and
+    * every literal backslash-run-then-N string roundtrip exactly.
+    * Applied only to exact `\+N` matches; all other content unchanged.
     */
   private val NullToken = "\\N"
+
+  // matches a string that is entirely backslashes followed by N
+  private val SentinelFamily = "^(\\\\+N)$"
+
+  private def escapeSentinel(c: Column): Column =
+    regexp_replace(c, SentinelFamily, "\\\\$1")
+
+  // strips one backslash from a two-or-more-backslash `\\+N` value;
+  // plain `\N` never reaches the reader as content (nullValue eats it
+  // first, and the writer never emits it for non-null content)
+  private def unescapeSentinel(c: Column): Column =
+    regexp_replace(c, "^\\\\(\\\\+N)$", "$1")
 
   /** Write a DataFrame as headered CSV. The default writer quotes
     * fields containing separators, quotes, or newlines (RFC 4180), so
     * arbitrary text survives — provided the reader is multiLine-aware
     * (see [[read]]).
     */
-  def write(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite")
+  def write(df: DataFrame, path: String): Unit = {
+    val escaped = df.select(df.schema.fields.map { f =>
+      if (f.dataType == StringType) escapeSentinel(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+    escaped.write.mode("overwrite")
       .option("header", "true")
       .option("nullValue", NullToken)
       // the CSV WRITER defaults these to true (the reader to false) and
@@ -36,6 +62,7 @@ object CsvIO {
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
+  }
 
   /** Read CSV with a pinned schema; malformed rows land in `_corrupt`
     * (null elsewhere) rather than failing the read.
@@ -52,8 +79,8 @@ object CsvIO {
     * splittable unconditionally.
     */
   def read(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true, multiLine: Boolean = true): DataFrame =
-    spark.read
+      header: Boolean = true, multiLine: Boolean = true): DataFrame = {
+    val raw = spark.read
       .schema(schema.add("_corrupt", "string"))
       .option("header", header.toString)
       .option("multiLine", multiLine.toString)
@@ -62,4 +89,12 @@ object CsvIO {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
+    // invert the writer's sentinel-family escape; `_corrupt` carries
+    // the raw line and stays untouched
+    raw.select(raw.schema.fields.map { f =>
+      if (f.dataType == StringType && f.name != "_corrupt")
+        unescapeSentinel(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
 }

@@ -84,7 +84,12 @@ class SourcesSpec extends AnyFunSuite {
       (1L, "line one\nline two", "a,b,c"),
       (2L, "she said \"hi\"", null.asInstanceOf[String]),
       (3L, "", "plain"),
-      (4L, "tab\there, and a trailing newline\n", "\"quoted,comma\"\nnext"))
+      (4L, "tab\there, and a trailing newline\n", "\"quoted,comma\"\nnext"),
+      // the null-sentinel family: literal \N content must survive as a
+      // STRING (not collapse to SQL NULL), and the escape must be a
+      // bijection one level up (\\N) and leave near-misses alone
+      (5L, "\\N", "\\\\N"),
+      (6L, "back\\slash and \\N inside", "\\Nx"))
       .toDF("id", "text", "extra")
     CsvIO.write(rows, s"$dir/rows")
     val back = CsvIO.read(spark, s"$dir/rows", rows.schema).cache()
