@@ -82,8 +82,46 @@ object GraphOps {
     LEFT JOIN i ON i.node = n.node
     ORDER BY n.node"""
 
+  /** g21: degrees SERVED through the incrementally-maintained
+    * [[DegreeView]] over a [[GraphStore]] snapshot — the reference's
+    * "modify graph" op (client.c:23-29) the way a graph database runs
+    * it at 100 TB: load the edge list into the store once, publish a
+    * keyed delta, refresh the degree index from the previous view +
+    * delta only (no base rescan — proven by spec), and serve reads
+    * from the view. The delta retires every edge out of nation 0 and
+    * adds a doubled 0→1 corridor plus a 1→0 backflow, so the served
+    * result exercises multiplicity (stacked keys) end-to-end.
+    */
+  private def g21(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_g21").toString
+    val store = new GraphStore(s, s"$base/store")
+    val view = new DegreeView(s, store, "trade", s"$base/view")
+    val e = TradeGraph.edgesTable(s, dir).select(col("src"), col("dst"))
+    store.add("trade", e)
+    view.rebuild()
+    val adds = s.createDataFrame(Seq((0, 1), (0, 1), (1, 0))).toDF("src", "dst")
+    val dels = e.filter(col("src") === 0)
+    view.applyDelta(adds, dels) // fresh view -> incremental refresh path
+    view.read().orderBy(col("node"))
+  }
+
+  private val g21Sql = s"""
+    WITH ${GraphSql.edgesCte},
+    delta AS (
+      SELECT src, dst FROM edges WHERE src <> 0
+      UNION ALL SELECT * FROM (VALUES (0, 1), (0, 1), (1, 0)) AS t(src, dst)),
+    o AS (SELECT src AS node, count(*) AS out_deg FROM delta GROUP BY 1),
+    i AS (SELECT dst AS node, count(*) AS in_deg FROM delta GROUP BY 1)
+    SELECT COALESCE(o.node, i.node) AS node,
+      COALESCE(o.out_deg, 0) AS out_deg,
+      COALESCE(i.in_deg, 0) AS in_deg,
+      COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
+    FROM o FULL OUTER JOIN i ON o.node = i.node
+    ORDER BY node"""
+
   val ops: Seq[Op] = Seq(
     Op("g01_build_edges", g01, Some(g01Sql)),
     Op("g02_degrees", g02, Some(g02Sql)),
-    Op("g17_two_hop_flows", g17, Some(g17Sql)))
+    Op("g17_two_hop_flows", g17, Some(g17Sql)),
+    Op("g21_stored_degrees", g21, Some(g21Sql)))
 }

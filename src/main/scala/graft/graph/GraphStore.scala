@@ -95,6 +95,13 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
     // version has caught up. Any writer that momentarily rolls the
     // pointer back runs this same loop, so the store converges to the
     // max published version rather than staying rolled back.
+    //
+    // Known crash window (best-effort by design): a process that dies
+    // BETWEEN its rollback rename and this fix-up loop leaves the
+    // pointer rolled back until the next put() — or until someone
+    // calls [[repair]], the reader-side hook for exactly that state.
+    // A CAS-capable pointer would close it atomically where the FS
+    // supports one; plain rename-over is the portable floor.
     var published = currentVersion(name).getOrElse(version)
     var newest = latestCompleteVersion(name).getOrElse(version)
     while (published < newest) {
@@ -102,6 +109,27 @@ final class GraphStore(spark: SparkSession, baseDir: String) {
       published = currentVersion(name).getOrElse(newest)
       newest = latestCompleteVersion(name).getOrElse(newest)
     }
+  }
+
+  /** Reader-side repair for the put() crash window above: if the
+    * pointer lags the newest COMPLETE snapshot (a writer died between
+    * its rollback rename and the fix-up loop), re-publish that
+    * snapshot. Returns the version the pointer resolves to afterwards.
+    *
+    * Explicitly opt-in rather than wired into read(): a normal put()
+    * in another process also shows a momentary pointer<newest state
+    * (parquet committed, pointer not yet renamed), and repairing then
+    * merely publishes the same version that writer is about to publish
+    * — harmless, the fix-up loop converges — but an automatic repair
+    * on every read would turn read-only consumers into writers (and
+    * fail on read-only mounts).
+    */
+  def repair(name: String): Option[Long] = writerLock(name).synchronized {
+    val newest = latestCompleteVersion(name)
+    newest.foreach { n =>
+      if (currentVersion(name).forall(_ < n)) publishPointer(name, n)
+    }
+    currentVersion(name)
   }
 
   /** Atomically point `name`'s `_CURRENT` at `v<version>`: write the

@@ -31,11 +31,18 @@ final class DistinctPairView(spark: SparkSession, store: GraphStore,
   private def dir = new Path(viewDir)
   private def fs = dir.getFileSystem(hadoopConf)
 
-  /** Graph version the newest materialized view reflects, if any. */
+  /** Graph version the newest COMPLETE materialized view reflects, if
+    * any. A snapshot only counts once the parquet committer's
+    * `_SUCCESS` marker exists — a writer that crashed mid-write leaves
+    * a markerless `v<k>` that is invisible here, so version()/read()
+    * keep serving the previous snapshot and the next applyDelta sees
+    * stale (view version < graph version) and takes the rebuild path.
+    */
   def version: Option[Long] = {
     if (!fs.exists(dir)) None
     else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong)
+      .filter(v => fs.exists(new Path(dir, s"v$v/_SUCCESS")))
       .sorted.lastOption
   }
 
@@ -78,6 +85,25 @@ final class DistinctPairView(spark: SparkSession, store: GraphStore,
       .distinct()
     write(next, store.currentVersion(graph).get)
   }
+
+  /** Drop all but the newest `keepLast` complete view snapshots (the
+    * newest — the one read() serves — is always retained), plus any
+    * markerless crash leftovers older than it. Same retention contract
+    * as [[GraphStore.vacuum]]: single writer per view, so no snapshot
+    * write is in flight during a vacuum, and readers of retained
+    * snapshots are unaffected. Returns the dropped versions.
+    */
+  def vacuum(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    if (!fs.exists(dir)) return Seq.empty
+    val all = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).toSeq.sorted
+    val complete = all.filter(v => fs.exists(new Path(dir, s"v$v/_SUCCESS")))
+    val keep = complete.takeRight(keepLast).toSet
+    val dropped = all.filterNot(keep)
+    dropped.foreach(v => fs.delete(new Path(dir, s"v$v"), true))
+    dropped
+  }
 }
 
 /** Incrementally-maintained per-node degree view of a [[GraphStore]]
@@ -110,11 +136,23 @@ final class DegreeView(spark: SparkSession, store: GraphStore,
   private def dir = new Path(viewDir)
   private def fs = dir.getFileSystem(hadoopConf)
 
-  /** Graph version the newest materialized view reflects, if any. */
+  // Completion marker making the TWO-table publish atomic-enough: kcnt
+  // and deg are separate parquet writes, so a crash between them would
+  // otherwise leave a v<k> that version() reports as newest but whose
+  // read()/applyDelta fail on the missing deg table. The marker is
+  // created only after BOTH commits; version() ignores markerless dirs,
+  // so a half-published snapshot is invisible and the next applyDelta
+  // sees stale → rebuild().
+  private val Marker = "_VIEW_OK"
+
+  /** Graph version the newest COMPLETE materialized view reflects
+    * (both tables committed + [[Marker]] present), if any.
+    */
   def version: Option[Long] = {
     if (!fs.exists(dir)) None
     else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong)
+      .filter(v => fs.exists(new Path(dir, s"v$v/$Marker")))
       .sorted.lastOption
   }
 
@@ -134,6 +172,7 @@ final class DegreeView(spark: SparkSession, store: GraphStore,
       .write.mode("overwrite").parquet(new Path(dir, s"v$v/kcnt").toString)
     deg.select(col("node"), col("out_deg"), col("in_deg"), col("deg"))
       .write.mode("overwrite").parquet(new Path(dir, s"v$v/deg").toString)
+    fs.create(new Path(dir, s"v$v/$Marker"), true).close()
   }
 
   private def degreesOf(kcnt: DataFrame): DataFrame = {
@@ -166,7 +205,18 @@ final class DegreeView(spark: SparkSession, store: GraphStore,
     val wasFresh = isFresh
     store.applyDelta(graph, additions, deletions)
     if (!wasFresh) { rebuild(); return }
+    refreshIncremental(additions, deletions)
+  }
 
+  /** The incremental half of [[applyDelta]]: fold a delta the store
+    * has ALREADY published into the view's previous materialization.
+    * Precondition: the view reflects the store version immediately
+    * before that publish. Reads only the view's own `kcnt`/`deg`
+    * snapshots and the delta — never the base edge table (the spec
+    * proves it by deleting the base parquet before calling this).
+    */
+  private[graft] def refreshIncremental(
+      additions: DataFrame, deletions: DataFrame): Unit = {
     val delKeys = deletions.select(col("src"), col("dst")).distinct()
     val addCnt = additions.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("acnt"))
@@ -209,5 +259,23 @@ final class DegreeView(spark: SparkSession, store: GraphStore,
     // parquet, which an eager overwrite of the same version dir would
     // corrupt mid-plan. New version dir = new files; no such hazard.
     write(newK, newDeg, store.currentVersion(graph).get)
+  }
+
+  /** Drop all but the newest `keepLast` complete view snapshots (the
+    * newest — the one read() serves — is always retained), plus any
+    * markerless crash leftovers. Same retention contract as
+    * [[GraphStore.vacuum]]: single writer per view, so no snapshot
+    * write is in flight during a vacuum. Returns the dropped versions.
+    */
+  def vacuum(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    if (!fs.exists(dir)) return Seq.empty
+    val all = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).toSeq.sorted
+    val complete = all.filter(v => fs.exists(new Path(dir, s"v$v/$Marker")))
+    val keep = complete.takeRight(keepLast).toSet
+    val dropped = all.filterNot(keep)
+    dropped.foreach(v => fs.delete(new Path(dir, s"v$v"), true))
+    dropped
   }
 }

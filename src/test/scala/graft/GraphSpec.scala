@@ -441,4 +441,110 @@ class GraphSpec extends AnyFunSuite {
     assert(viewMap() == Map(9 -> ((1L, 0L, 1L)), 8 -> ((0L, 1L, 1L)),
       4 -> ((1L, 0L, 1L)), 3 -> ((0L, 1L, 1L))))
   }
+
+  test("DegreeView half-published snapshot is invisible and recovered") {
+    val base = java.nio.file.Files.createTempDirectory("degviewcrash").toString
+    val store = new GraphStore(spark, s"$base/store")
+    val view = new DegreeView(spark, store, "G", s"$base/view")
+    store.add("G", edgeDf((0, 1), (1, 2)))
+    view.rebuild()
+    view.applyDelta(additions = edgeDf((2, 3)), deletions = edgeDf())
+    assert(view.version.contains(2L) && view.isFresh)
+
+    // a writer that crashed between the kcnt and deg writes leaves a
+    // markerless v3: must not become the served version
+    val p = java.nio.file.Paths.get(s"$base/view/v3/kcnt")
+    java.nio.file.Files.createDirectories(p)
+    assert(view.version.contains(2L) && view.isFresh)
+    assert(view.read().count() == 4) // v2 still serves (nodes 0,1,2,3)
+
+    // crash AFTER the marker was removed (simulates marker-less newest
+    // at the CURRENT graph version): view reports the older complete
+    // snapshot, shows stale, and the next delta recovers via rebuild
+    val marker = java.nio.file.Paths.get(s"$base/view/v2/_VIEW_OK")
+    java.nio.file.Files.delete(marker)
+    assert(view.version.contains(1L) && !view.isFresh)
+    view.applyDelta(additions = edgeDf((5, 6)), deletions = edgeDf((0, 1)))
+    assert(view.isFresh && view.version.contains(3L))
+    val got = view.read().collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(got == Map(1 -> 1L, 2 -> 2L, 3 -> 1L, 5 -> 1L, 6 -> 1L))
+  }
+
+  test("view vacuum retains the served snapshot and drops history + crash leftovers") {
+    val base = java.nio.file.Files.createTempDirectory("viewvacuum").toString
+    val store = new GraphStore(spark, s"$base/store")
+    val dv = new DegreeView(spark, store, "G", s"$base/dv")
+    val pv = new DistinctPairView(spark, store, "G", s"$base/pv")
+    store.add("G", edgeDf((0, 1), (1, 2)))
+    dv.rebuild(); pv.rebuild()
+    dv.applyDelta(additions = edgeDf((2, 3)), deletions = edgeDf())
+    pv.applyDelta(additions = edgeDf((3, 4)), deletions = edgeDf())
+    // view versions now: dv {1,2}, pv {1,3} (pv's delta bumped store to 3)
+    intercept[IllegalArgumentException](dv.vacuum(0))
+    // plant a markerless crash leftover; vacuum sweeps it too
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/dv/v9/kcnt"))
+    assert(dv.vacuum(1).toSet == Set(1L, 9L))
+    assert(dv.version.contains(2L) && dv.read().count() == 4)
+    assert(pv.vacuum(1) == Seq(1L))
+    assert(pv.version.contains(3L))
+    assert(pv.read().collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((0, 1), (1, 2), (2, 3), (3, 4)))
+    // vacuum keeps everything when keepLast covers all versions
+    assert(dv.vacuum(5).isEmpty)
+  }
+
+  test("DegreeView incremental refresh never scans the base edge table") {
+    // The g21 serve-path guarantee, proven the brutal way: after the
+    // store publishes the delta, DELETE every base snapshot's data
+    // files — the incremental refresh must still succeed (it reads only
+    // the view's own kcnt/deg snapshots + the delta) and produce the
+    // same degrees a full rebuild would have.
+    val base = java.nio.file.Files.createTempDirectory("degviewnoscan").toString
+    val store = new GraphStore(spark, s"$base/store")
+    val view = new DegreeView(spark, store, "G", s"$base/view")
+    store.add("G", edgeDf((0, 1), (1, 2), (1, 2), (2, 3)))
+    view.rebuild()
+    assert(view.isFresh)
+    val adds = edgeDf((3, 4), (1, 2))
+    val dels = edgeDf((0, 1))
+    // expected result of (base ∖ {(0,1)}) ∪ adds, multiplicity counted:
+    // edges (1,2)x3, (2,3), (3,4)
+    val expected = Map(
+      1 -> ((3L, 0L, 3L)), 2 -> ((1L, 3L, 4L)),
+      3 -> ((1L, 1L, 2L)), 4 -> ((0L, 1L, 1L)))
+    store.applyDelta("G", adds, dels) // view now one version behind
+    // scorched earth: no base data left to scan
+    store.versions("G").foreach { v =>
+      val d = java.nio.file.Paths.get(s"$base/store/G/v$v")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    view.refreshIncremental(adds, dels)
+    assert(view.isFresh && view.version.contains(2L))
+    val got = view.read().collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("GraphStore.repair re-publishes the newest complete snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graphrepair").toString
+    val store = new GraphStore(spark, dir)
+    store.add("G", edgeDf((0, 1)))
+    store.modify("G", edgeDf((1, 2)))
+    assert(store.currentVersion("G").contains(2L))
+    // simulate a writer that died between its rollback rename and the
+    // fix-up loop: pointer rolled back to v1 while complete v2 exists
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/G/_CURRENT"), "v1".getBytes("UTF-8"))
+    assert(store.currentVersion("G").contains(1L))
+    assert(store.repair("G").contains(2L))
+    assert(store.currentVersion("G").contains(2L))
+    assert(store.read("G").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 2)))
+    // repair on a healthy store is a no-op
+    assert(store.repair("G").contains(2L))
+  }
 }
