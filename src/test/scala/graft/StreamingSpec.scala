@@ -70,6 +70,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming degrees converge to DegreeView after the same deltas") {
+    // Ties the streaming half to the stored half: the same edge batches
+    // fed (a) as micro-batches through streamingDegrees and (b) as
+    // GraphStore deltas through the incremental DegreeView must agree
+    // at quiescence — the continuous and the materialized degree views
+    // are two consumers of one delta stream, not two definitions.
+    import graft.graph.{DegreeView, GraphStore}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, Int, Long)]
+    val q = StreamOps.streamingDegrees(in.toDF().toDF("src", "dst", "weight"))
+      .writeStream.format("memory").queryName("deg_conv")
+      .outputMode("complete").start()
+    val base = java.nio.file.Files.createTempDirectory("degconv").toString
+    val store = new GraphStore(spark, s"$base/store")
+    val view = new DegreeView(spark, store, "G", s"$base/view")
+    def streamed() = spark.table("deg_conv")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def viewed() = view.read().filter(col("out_deg") > 0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    try {
+      val b1 = Seq((0, 1, 1L), (0, 2, 1L), (1, 2, 1L))
+      in.addData(b1: _*)
+      store.add("G", b1.map(t => (t._1, t._2)).toDF("src", "dst"))
+      view.rebuild()
+      q.processAllAvailable()
+      assert(streamed() == viewed() && streamed() == Map(0 -> 2L, 1 -> 1L))
+      // second batch stacks a multi-edge (0,1) and a new key — streamed
+      // as a micro-batch, stored as an incremental delta
+      val b2 = Seq((0, 3, 1L), (0, 1, 1L))
+      in.addData(b2: _*)
+      view.applyDelta(
+        additions = b2.map(t => (t._1, t._2)).toDF("src", "dst"),
+        deletions = Seq.empty[(Int, Int)].toDF("src", "dst"))
+      q.processAllAvailable()
+      assert(streamed() == viewed() && streamed() == Map(0 -> 4L, 1 -> 1L))
+    } finally q.stop()
+  }
+
   test("file-source streaming matches the batch tumbling aggregate on finalized windows") {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
