@@ -46,4 +46,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.select(countDistinct(col("doc_id"))).head().getLong(0) == nGated)
     back.unpersist()
   }
+
+  test("MinHashIndex delta append equals full rebuild on the appended corpus") {
+    import graft.dedup.{Dedup, MinHashIndex}
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    // split the corpus into yesterday's crawl and two daily increments
+    val dayZero = docs.filter(col("doc_id") % 5 < 3)
+    val dayOne = docs.filter(col("doc_id") % 5 === 3)
+    val dayTwo = docs.filter(col("doc_id") % 5 === 4)
+
+    val idxDir = java.nio.file.Files.createTempDirectory("mhindex").toString
+    val idx = new MinHashIndex(spark, idxDir)
+    intercept[java.util.NoSuchElementException](idx.signatures())
+    idx.build(dayZero)
+    assert(idx.version.contains(1L))
+
+    def sigSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    def candSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def assertEqualsRebuild(corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val fullSig = Dedup.minhashes(corpus)
+      assert(sigSet(idx.signatures()) == sigSet(fullSig))
+      assert(candSet(idx.candidates()) == candSet(Dedup.candidates(fullSig)))
+    }
+
+    // delta-refresh day one: only dayOne is shingled, candidates extend
+    // by new-vs-all band matches — must equal the from-scratch index
+    idx.append(dayOne)
+    assert(idx.version.contains(2L))
+    assertEqualsRebuild(dayZero.unionByName(dayOne))
+
+    // chained second append stays equal
+    idx.append(dayTwo)
+    assert(idx.version.contains(3L))
+    assertEqualsRebuild(docs)
+
+    // replaying an overlapping batch is idempotent (first-writer-wins
+    // per doc_id): nothing changes but the version
+    idx.append(dayTwo)
+    assert(idx.version.contains(4L))
+    assertEqualsRebuild(docs)
+
+    // retention sweeps history, keeps the served snapshot
+    assert(idx.vacuum(1).toSet == Set(1L, 2L, 3L))
+    assertEqualsRebuild(docs)
+  }
 }
