@@ -32,6 +32,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CSV roundtrip preserves arbitrary hostile strings and nulls") {
+    // drives the sentinel-escape bijection (and RFC-4180 quoting) with
+    // generated content: backslash runs, the \N family, newlines,
+    // commas, quotes, empties, and nulls must all come back exactly
+    import graft.sources.CsvIO
+    val hostile: Gen[String] = Gen.oneOf(
+      Gen.listOfN(3, Gen.oneOf("\\", "N", "\n", ",", "\"", "x", "")).map(_.mkString),
+      Gen.choose(0, 4).map(k => "\\" * k + "N"),
+      Gen.oneOf("\\N", "\\\\N", "", " ", "\\n", "N\\", "a,b\nc"))
+    val genRow = Gen.zip(Gen.option(hostile), Gen.option(hostile))
+    val rows = samples(genRow, 40).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a.orNull, b.orNull) }
+    val df = rows.toDF("id", "s1", "s2")
+    val dir = java.nio.file.Files.createTempDirectory("csvprop").toString
+    CsvIO.write(df, s"$dir/rows")
+    val back = CsvIO.read(spark, s"$dir/rows", df.schema).cache()
+    assert(back.filter(col("_corrupt").isNotNull).count() == 0)
+    val got = back.select("id", "s1", "s2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    back.unpersist()
+    assert(got == rows.sortBy(_._1), "CSV roundtrip mutated a value")
+  }
+
   test("codegen dot/norm are bit-identical to an in-order Scala fold") {
     val genVecs = for {
       n <- Gen.choose(1, 80)
