@@ -91,5 +91,16 @@ class PipelineSpec extends AnyFunSuite {
     // retention sweeps history, keeps the served snapshot
     assert(idx.vacuum(1).toSet == Set(1L, 2L, 3L))
     assertEqualsRebuild(docs)
+
+    // a markerless crash leftover (writer died between the sig and
+    // cand writes) is invisible: version() stays at the newest COMPLETE
+    // snapshot and the next append publishes right past the garbage
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idxDir/v9/sig"))
+    assert(idx.version.contains(4L))
+    assertEqualsRebuild(docs)
+    idx.append(dayTwo) // still idempotent, now writes v5
+    assert(idx.version.contains(5L))
+    assertEqualsRebuild(docs)
   }
 }
