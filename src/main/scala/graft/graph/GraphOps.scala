@@ -94,6 +94,9 @@ object GraphOps {
     */
   private def g21(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_g21").toString
+    // the returned frame lazily reads the view parquet, so the dirs
+    // must outlive this call; reclaimed at JVM exit like MatStore's
+    graft.util.MatStore.cleanupAtExit(base)
     val store = new GraphStore(s, s"$base/store")
     val view = new DegreeView(s, store, "trade", s"$base/view")
     val e = TradeGraph.edgesTable(s, dir).select(col("src"), col("dst"))

@@ -72,6 +72,14 @@ object MatStore {
     dirs.values().forEach(d => deleteRecursively(new java.io.File(d)))
   }))
 
+  /** Register a directory for deletion at JVM exit — for callers whose
+    * lazily-read temp tables must outlive their builder (e.g. g21's
+    * per-invocation GraphStore/view dirs, still referenced by the
+    * returned DataFrame until the caller executes it).
+    */
+  private[graft] def cleanupAtExit(path: String): Unit =
+    dirs.put(s"exit:${java.util.UUID.randomUUID()}", path): Unit
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
