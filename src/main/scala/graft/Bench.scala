@@ -5,16 +5,60 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: times every registered operator at the
   * driver-chosen scale factor and emits one JSON line.
   *
-  * Self-defending against a noisy host: each query is timed three
-  * times and the MEDIAN is reported (a one-off scheduler stall can't
-  * triple a query's number), and /proc/loadavg is sampled before and
-  * after the run so a contended machine is visible in the artifact
-  * itself rather than looking like a code regression.
+  * Self-defending against a noisy host, at two granularities:
+  *   - per REP: the FOREIGN CPU share — (/proc/stat busy ticks minus
+  *     this JVM's own /proc/self/stat ticks) over total machine ticks
+  *     — is measured across every rep. Loadavg can't serve here: the
+  *     bench's own 32 threads push loadavg far past any threshold, so
+  *     a loadavg gate flags every rep of a healthy run. Foreign share
+  *     is exactly zero for our own work and exactly what contaminated
+  *     round 7 (another process eating the core budget). Pre-rep
+  *     loadavg is still recorded as corroborating evidence.
+  *   - per QUERY: when warm reps disagree by >3x (rep 1 is excluded —
+  *     cold-vs-warm is legitimately 8x for the MatStore-backed index
+  *     builds) or any rep saw foreign share >15%, extra reps are run
+  *     and the median is taken over the CLEAN (low-foreign-share) reps
+  *     when at least two exist. A query whose clean warm reps still
+  *     disagree (or that never got two) lands in "contended" in the
+  *     artifact, so a burst spanning all reps self-identifies instead
+  *     of masquerading as a code regression (round-7 lesson: a host
+  *     burst made a 37s run report 95s).
   */
 object Bench {
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     catch { case _: Throwable => "" }
+
+  /** (total machine ticks, busy machine ticks, own-process ticks) from
+    * /proc/stat + /proc/self/stat; all -1 when unreadable (non-Linux).
+    * Same clock-tick unit throughout, so ratios need no HZ constant.
+    */
+  private def cpuTicks(): (Long, Long, Long) =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().split("\\s+").drop(1).map(_.toLong)
+      val total = cpu.sum
+      val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L) // idle + iowait
+      val self = scala.io.Source.fromFile("/proc/self/stat").mkString
+        .split("\\s+")
+      val own = self(13).toLong + self(14).toLong // utime + stime, all threads
+      (total, total - idle, own)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
+
+  /** Fraction of the whole machine's CPU burned by OTHER processes
+    * between two [[cpuTicks]] samples; -1 when unmeasurable.
+    */
+  private def foreignShare(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+    if (a._1 < 0 || b._1 < 0 || b._1 <= a._1) return -1.0
+    val foreign = (b._2 - a._2) - (b._3 - a._3)
+    math.max(0.0, foreign.toDouble / (b._1 - a._1).toDouble)
+  }
+
+  /** max/min over successful rep times; 1.0 when fewer than 2. */
+  private def spread(ts: Seq[Double]): Double = {
+    val good = ts.filter(_ > 0)
+    if (good.size < 2) 1.0 else good.max / math.max(good.min, 1e-9)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,8 +86,19 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // Above this fraction of the machine burned by OTHER processes, a
+    // rep's timing is suspect. 15% of 32 cores ≈ 5 foreign cores —
+    // comfortably above normal daemon noise, well below the round-7
+    // burst that tripled timings.
+    val foreignThreshold = 0.15
+    val extraReps = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt)
+
+    case class Rep(idx: Int, dt: Double, load: String, foreign: Double)
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def runRep(idx: Int): Rep = {
+        val la = loadavg()
+        val c0 = cpuTicks()
         val t0 = System.nanoTime()
         // A failed operator reports -1, not its elapsed time — a broken
         // query must not look like a fast success in the bench JSON.
@@ -51,23 +106,46 @@ object Bench {
           case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false
         }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val fg = foreignShare(c0, cpuTicks())
         freeState()
-        dt
+        Rep(idx, dt, la, fg)
       }
+      val initial = (0 until reps).map(runRep)
+      def warm(rs: Seq[Rep]) = rs.filter(_.idx > 0)
+      // Contention check on the initial reps: warm reps of deterministic
+      // code disagreeing >3x, or a rep that ran while other processes
+      // ate the core budget, mean the median may be polluted — buy more
+      // evidence. (Rep 0 is exempt from the spread check: cold-vs-warm
+      // is a legitimate 8x for the MatStore-backed index builds.)
+      val suspicious = spread(warm(initial).map(_.dt)) > 3.0 ||
+        initial.exists(r => r.dt > 0 && r.foreign > foreignThreshold)
+      val all =
+        if (suspicious) initial ++ (reps until reps + extraReps).map(runRep)
+        else initial
       // One explicit GC per QUERY (not per rep — reps x queries gc
       // pauses cost ~1 min of wall clock): kicks ContextCleaner, which
       // only releases old broadcast and shuffle state on collection (a
       // large heap may never collect on its own, and 30+ accumulated
       // broadcasts slow later joins)
       System.gc()
+      val good = all.filter(_.dt >= 0)
+      // Prefer reps that ran on a quiet host; rep 0 (cold) keeps its
+      // role in cold_value regardless of which reps feed the median.
+      val clean = good.filter(r => r.foreign < 0 || r.foreign <= foreignThreshold)
+      val pool = (if (clean.size >= 2) clean else good).map(_.dt)
       val dt =
-        if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(times.size / 2)
-      (name, dt, times)
+        if (good.size < all.size || pool.isEmpty) -1.0
+        else pool.sorted.apply(pool.size / 2)
+      // Still contended after extra reps: no two clean warm reps, or
+      // the clean warm reps themselves disagree by >3x. The number is
+      // reported anyway but the artifact says not to trust it.
+      val contended = suspicious &&
+        (warm(clean).size < 2 || spread(warm(clean).map(_.dt)) > 3.0)
+      (name, dt, all.map(_.dt), all.map(r => (r.load, r.foreign)), contended)
     }
     val loadEnd = loadavg()
     val tEnd = java.time.Instant.now().toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-rep times, in execution order. Rep 1 is the COLD run: for the
     // operators backed by MatStore's session-level memoization (shared
@@ -76,18 +154,34 @@ object Bench {
     // therefore measures steady-state session cost, cold_value measures
     // first-touch cost — both are real, so both are reported instead of
     // letting the median silently hide the builds.
-    val qreps = results.map { case (k, _, ts) =>
+    val qreps = results.map { case (k, _, ts, _, _) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Per-rep host-noise evidence, aligned with queries_reps: the
+    // pre-rep loadavg (corroboration) and the foreign CPU share across
+    // the rep (the decision signal) — the trail for which specific
+    // timings a host burst touched.
+    val qloads = results.map { case (k, _, _, ev, _) =>
+      "\"" + k + "\":" + ev.map(e => "\"" + e._1.split("\\s+").headOption.getOrElse("") + "\"")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qforeign = results.map { case (k, _, _, ev, _) =>
+      "\"" + k + "\":" + ev.map(e => f"${e._2}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val contendedKeys = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._3.head).filter(_ >= 0).sum
     val note = "rep 1 is cold (includes one-time MatStore index builds " +
       "shared across operators); reps 2+ re-use session-memoized index " +
-      "tables; value=sum of per-query medians, cold_value=sum of rep-1 times"
+      "tables; value=sum of per-query medians, cold_value=sum of rep-1 times; " +
+      "queries_foreign is the fraction of machine CPU burned by OTHER " +
+      "processes during each rep (own Spark load excluded); queries listed " +
+      "in contended never got 2 agreeing warm reps with foreign share<=" +
+      f"$foreignThreshold%.2f — do not trust their numbers"
     val env =
-      s""""reps":$reps,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
+      s""""reps":$reps,"foreign_threshold":$foreignThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"note":"$note",$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"note":"$note",$env,"sf":"$sfDir"}"""
     // Long per-query line first; persist a copy where truncation can't
     // reach it; SHORT summary line LAST — the harness captures a
     // bounded TAIL of stdout, so whatever must survive goes at the end.
@@ -96,6 +190,6 @@ object Bench {
       java.nio.file.Paths.get("bench.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"reps":$reps,"loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"reps":$reps,"contended_count":${contendedKeys.size},"loadavg_end":"$loadEnd","sf":"$sfDir"}""")
   }
 }
