@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.{col, greatest, least}
   * the signature store and the candidate-pair set without ever
   * re-shingling the old corpus.
   *
-  * Maintains two tables per version:
+  * Maintains two logical tables:
   *
   *   - `sig`  (doc_id, mh0..mh8): the MinHash signature store
   *   - `cand` (doc_a, doc_b): LSH band-collision candidate pairs
@@ -24,32 +24,40 @@ import org.apache.spark.sql.functions.{col, greatest, least}
   * already in `cand` by induction, so the refreshed index equals a
   * full rebuild on the appended corpus (spec-proven).
   *
+  * WRITES are O(delta) too, not just compute: each append persists only
+  * a delta SEGMENT (`seg/s<k>/{sig,cand}` — the new docs' signatures
+  * and the new candidate pairs), and a version publishes a tiny
+  * manifest (`v<k>/segments`) listing the segments it is the union of.
+  * Reading a table is a multi-path parquet scan over the manifest's
+  * segments — no distinct needed, because segment contents are provably
+  * disjoint: signatures by the first-writer-wins anti-join, candidate
+  * pairs because every pair emitted at version k involves ≥ 1 doc first
+  * ingested at k (an old-vs-old pair can never re-surface). Without
+  * this, a daily 100 TB crawl would rewrite the whole candidate table
+  * per ingest — the exact bottleneck the operator exists to avoid.
+  *
   * At sf0.1 the full d02 index build is the bench's biggest cold cost
   * (~9.5 s); this is the delta path that amortizes it across ingests.
   *
-  * Versioning mirrors the graph views: immutable `v<k>` snapshot dirs
-  * published with a completion marker written after BOTH tables commit
-  * (a crash mid-publish leaves an invisible markerless dir), plus
-  * `vacuum(keepLast)` retention. Single writer per index dir.
+  * Versioning is the shared [[graft.util.VersionedTableStore]]
+  * contract: immutable `v<k>` dirs published with a completion marker
+  * written after the manifest commits (a crash mid-publish leaves an
+  * invisible markerless dir, and a crash between the segment write and
+  * the publish leaves an orphan segment that [[vacuum]] sweeps), plus
+  * `vacuum(keepLast)` retention that also deletes segments no retained
+  * version references. Single writer per index dir.
   *
   * Append is first-writer-wins per doc_id: a re-ingested doc_id keeps
   * its original signature (the delta is anti-joined against the stored
   * store), so replaying an overlapping crawl batch is idempotent.
   */
 final class MinHashIndex(spark: SparkSession, indexDir: String) {
-  private val hadoopConf = spark.sparkContext.hadoopConfiguration
-  private def dir = new Path(indexDir)
-  private def fs = dir.getFileSystem(hadoopConf)
-  private val Marker = "_INDEX_OK"
+  private val snaps = new graft.util.VersionedTableStore(spark, indexDir, "_INDEX_OK")
+  private def segRoot = new Path(snaps.dir, "seg")
+  private def fs = snaps.fs
 
-  /** Newest COMPLETE index version (both tables + marker), if any. */
-  def version: Option[Long] = {
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong)
-      .filter(v => fs.exists(new Path(dir, s"v$v/$Marker")))
-      .sorted.lastOption
-  }
+  /** Newest COMPLETE index version (manifest + marker), if any. */
+  def version: Option[Long] = snaps.version
 
   /** The signature store: (doc_id, mh0..mh8). */
   def signatures(): DataFrame = readTable("sig")
@@ -57,29 +65,49 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
   /** The candidate-pair set: (doc_a, doc_b), doc_a < doc_b. */
   def candidates(): DataFrame = readTable("cand")
 
-  private def readTable(which: String): DataFrame = {
+  /** Segment names the newest complete version is the union of. */
+  private def currentSegments(): Seq[String] = {
     val v = version.getOrElse(
       throw new java.util.NoSuchElementException(s"index at $indexDir never built"))
-    spark.read.parquet(new Path(dir, s"v$v/$which").toString)
+    segmentsOf(v)
   }
 
-  private def write(sig: DataFrame, cand: DataFrame, v: Long): Unit = {
-    sig.write.mode("overwrite").parquet(new Path(dir, s"v$v/sig").toString)
+  private def segmentsOf(v: Long): Seq[String] =
+    snaps.readTextFile(new Path(snaps.versionPath(v), "segments"))
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def readTable(which: String): DataFrame = {
+    val paths = currentSegments().map(s => new Path(segRoot, s"$s/$which").toString)
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Write the delta segment for version `v`, then publish `v` as the
+    * previous segments plus it. Segment first, manifest+marker last —
+    * a crash in between leaves an orphan segment no version references.
+    */
+  private def writeDelta(sig: DataFrame, cand: DataFrame, v: Long,
+      prevSegments: Seq[String]): Unit = {
+    val seg = s"s$v"
+    sig.write.mode("overwrite").parquet(new Path(segRoot, s"$seg/sig").toString)
     cand.select(col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(new Path(dir, s"v$v/cand").toString)
-    fs.create(new Path(dir, s"v$v/$Marker"), true).close()
+      .write.mode("overwrite").parquet(new Path(segRoot, s"$seg/cand").toString)
+    snaps.publish(v) { v =>
+      snaps.writeTextFile(new Path(snaps.versionPath(v), "segments"),
+        (prevSegments :+ seg).mkString("\n"))
+    }
   }
 
   /** Full build from a corpus (docs: doc_id, text) — initialization. */
   def build(docs: DataFrame): Unit = {
     val sig = Dedup.minhashes(docs)
-    write(sig, Dedup.candidates(sig), version.getOrElse(0L) + 1)
+    writeDelta(sig, Dedup.candidates(sig), version.getOrElse(0L) + 1, Seq.empty)
   }
 
   /** Delta refresh for appended documents: shingle/minhash the NEW
     * docs only, union into the signature store, and extend the
     * candidate set by new-vs-all band matches. The old corpus text is
-    * never touched — only the (index-sized) stored tables are read.
+    * never touched — only the (index-sized) stored tables are read —
+    * and only the delta segment is written.
     */
   def append(newDocs: DataFrame): Unit = {
     val v = version.getOrElse(
@@ -104,25 +132,26 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
       .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
         greatest(col("doc_n"), col("doc_o")).as("doc_b"))
       .distinct()
-    val allCand = candidates().unionByName(newCand).distinct()
 
-    // both snapshots fully computed from v<k> inputs before v<k+1> is
-    // written; the marker publishes them atomically-enough
-    write(allSig, allCand, v + 1)
+    // delta fully computed from v<k> inputs before v<k+1> is written;
+    // the manifest+marker publish it atomically-enough
+    writeDelta(newSig, newCand, v + 1, segmentsOf(v))
   }
 
-  /** Drop all but the newest `keepLast` complete index snapshots (the
-    * served one always retained) plus markerless crash leftovers.
+  /** Drop all but the newest `keepLast` complete index versions (the
+    * served one always retained) plus markerless crash leftovers, then
+    * delete every segment no retained complete version references
+    * (including orphans from a crash between segment write and
+    * publish). Returns the dropped versions.
     */
   def vacuum(keepLast: Int): Seq[Long] = {
-    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    if (!fs.exists(dir)) return Seq.empty
-    val all = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).toSeq.sorted
-    val complete = all.filter(v => fs.exists(new Path(dir, s"v$v/$Marker")))
-    val keep = complete.takeRight(keepLast).toSet
-    val dropped = all.filterNot(keep)
-    dropped.foreach(v => fs.delete(new Path(dir, s"v$v"), true))
+    val dropped = snaps.vacuum(keepLast)
+    val live = snaps.completeVersions.flatMap(segmentsOf).toSet
+    if (fs.exists(segRoot)) {
+      fs.listStatus(segRoot).map(_.getPath)
+        .filterNot(p => live.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    }
     dropped
   }
 }

@@ -1,6 +1,5 @@
 package graft.graph
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Incrementally-maintained distinct-key view of a [[GraphStore]]
@@ -27,36 +26,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class DistinctPairView(spark: SparkSession, store: GraphStore,
     graph: String, viewDir: String) {
   // (companion aggregate view with multiplicity: [[DegreeView]] below)
-  private val hadoopConf = spark.sparkContext.hadoopConfiguration
-  private def dir = new Path(viewDir)
-  private def fs = dir.getFileSystem(hadoopConf)
+  // Snapshot layout: parquet at the v<k> root, so the committer's own
+  // _SUCCESS doubles as the completion marker — a writer that crashed
+  // mid-write leaves a markerless v<k> that is invisible, version()
+  // keeps serving the previous snapshot, and the next applyDelta sees
+  // stale (view version < graph version) and takes the rebuild path.
+  private val snaps = new graft.util.VersionedTableStore(spark, viewDir, "_SUCCESS")
 
-  /** Graph version the newest COMPLETE materialized view reflects, if
-    * any. A snapshot only counts once the parquet committer's
-    * `_SUCCESS` marker exists — a writer that crashed mid-write leaves
-    * a markerless `v<k>` that is invisible here, so version()/read()
-    * keep serving the previous snapshot and the next applyDelta sees
-    * stale (view version < graph version) and takes the rebuild path.
-    */
-  def version: Option[Long] = {
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong)
-      .filter(v => fs.exists(new Path(dir, s"v$v/_SUCCESS")))
-      .sorted.lastOption
-  }
+  /** Graph version the newest COMPLETE materialized view reflects. */
+  def version: Option[Long] = snaps.version
 
   def isFresh: Boolean = version.nonEmpty && version == store.currentVersion(graph)
 
-  def read(): DataFrame = {
-    val v = version.getOrElse(
-      throw new java.util.NoSuchElementException(s"view of $graph never built"))
-    spark.read.parquet(new Path(dir, s"v$v").toString)
-  }
+  def read(): DataFrame = snaps.readTable("", s"view of $graph never built")
 
-  private def write(df: DataFrame, v: Long): Unit =
+  private def write(df: DataFrame, v: Long): Unit = snaps.publish(v) { v =>
     df.select(df("src"), df("dst"))
-      .write.mode("overwrite").parquet(new Path(dir, s"v$v").toString)
+      .write.mode("overwrite").parquet(snaps.tablePath(v, "").toString)
+  }
 
   /** Full build from the current graph snapshot — initialization and
     * the recovery path when the store was modified behind the view's
@@ -93,17 +80,7 @@ final class DistinctPairView(spark: SparkSession, store: GraphStore,
     * write is in flight during a vacuum, and readers of retained
     * snapshots are unaffected. Returns the dropped versions.
     */
-  def vacuum(keepLast: Int): Seq[Long] = {
-    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    if (!fs.exists(dir)) return Seq.empty
-    val all = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).toSeq.sorted
-    val complete = all.filter(v => fs.exists(new Path(dir, s"v$v/_SUCCESS")))
-    val keep = complete.takeRight(keepLast).toSet
-    val dropped = all.filterNot(keep)
-    dropped.foreach(v => fs.delete(new Path(dir, s"v$v"), true))
-    dropped
-  }
+  def vacuum(keepLast: Int): Seq[Long] = snaps.vacuum(keepLast)
 }
 
 /** Incrementally-maintained per-node degree view of a [[GraphStore]]
@@ -132,48 +109,35 @@ final class DegreeView(spark: SparkSession, store: GraphStore,
     graph: String, viewDir: String) {
   import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
 
-  private val hadoopConf = spark.sparkContext.hadoopConfiguration
-  private def dir = new Path(viewDir)
-  private def fs = dir.getFileSystem(hadoopConf)
-
-  // Completion marker making the TWO-table publish atomic-enough: kcnt
-  // and deg are separate parquet writes, so a crash between them would
+  // `_VIEW_OK` makes the TWO-table publish atomic-enough: kcnt and deg
+  // are separate parquet writes, so a crash between them would
   // otherwise leave a v<k> that version() reports as newest but whose
   // read()/applyDelta fail on the missing deg table. The marker is
   // created only after BOTH commits; version() ignores markerless dirs,
   // so a half-published snapshot is invisible and the next applyDelta
   // sees stale → rebuild().
-  private val Marker = "_VIEW_OK"
+  private val snaps = new graft.util.VersionedTableStore(spark, viewDir, "_VIEW_OK")
 
   /** Graph version the newest COMPLETE materialized view reflects
-    * (both tables committed + [[Marker]] present), if any.
+    * (both tables committed + marker present), if any.
     */
-  def version: Option[Long] = {
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong)
-      .filter(v => fs.exists(new Path(dir, s"v$v/$Marker")))
-      .sorted.lastOption
-  }
+  def version: Option[Long] = snaps.version
 
   def isFresh: Boolean = version.nonEmpty && version == store.currentVersion(graph)
 
   /** The degree view: (node, out_deg, in_deg, deg), multi-edges counted. */
   def read(): DataFrame = readTable("deg")
 
-  private def readTable(which: String): DataFrame = {
-    val v = version.getOrElse(
-      throw new java.util.NoSuchElementException(s"view of $graph never built"))
-    spark.read.parquet(new Path(dir, s"v$v/$which").toString)
-  }
+  private def readTable(which: String): DataFrame =
+    snaps.readTable(which, s"view of $graph never built")
 
-  private def write(kcnt: DataFrame, deg: DataFrame, v: Long): Unit = {
-    kcnt.select(col("src"), col("dst"), col("cnt"))
-      .write.mode("overwrite").parquet(new Path(dir, s"v$v/kcnt").toString)
-    deg.select(col("node"), col("out_deg"), col("in_deg"), col("deg"))
-      .write.mode("overwrite").parquet(new Path(dir, s"v$v/deg").toString)
-    fs.create(new Path(dir, s"v$v/$Marker"), true).close()
-  }
+  private def write(kcnt: DataFrame, deg: DataFrame, v: Long): Unit =
+    snaps.publish(v) { v =>
+      kcnt.select(col("src"), col("dst"), col("cnt"))
+        .write.mode("overwrite").parquet(snaps.tablePath(v, "kcnt").toString)
+      deg.select(col("node"), col("out_deg"), col("in_deg"), col("deg"))
+        .write.mode("overwrite").parquet(snaps.tablePath(v, "deg").toString)
+    }
 
   private def degreesOf(kcnt: DataFrame): DataFrame = {
     val out = kcnt.groupBy(col("src").as("node")).agg(sum(col("cnt")).as("out_deg"))
@@ -267,15 +231,5 @@ final class DegreeView(spark: SparkSession, store: GraphStore,
     * [[GraphStore.vacuum]]: single writer per view, so no snapshot
     * write is in flight during a vacuum. Returns the dropped versions.
     */
-  def vacuum(keepLast: Int): Seq[Long] = {
-    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    if (!fs.exists(dir)) return Seq.empty
-    val all = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).toSeq.sorted
-    val complete = all.filter(v => fs.exists(new Path(dir, s"v$v/$Marker")))
-    val keep = complete.takeRight(keepLast).toSet
-    val dropped = all.filterNot(keep)
-    dropped.foreach(v => fs.delete(new Path(dir, s"v$v"), true))
-    dropped
-  }
+  def vacuum(keepLast: Int): Seq[Long] = snaps.vacuum(keepLast)
 }

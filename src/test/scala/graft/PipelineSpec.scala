@@ -71,6 +71,17 @@ class PipelineSpec extends AnyFunSuite {
       assert(candSet(idx.candidates()) == candSet(Dedup.candidates(fullSig)))
     }
 
+    def dirBytes(rel: String): Long = {
+      val p = java.nio.file.Paths.get(s"$idxDir/$rel")
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+    }
+
     // delta-refresh day one: only dayOne is shingled, candidates extend
     // by new-vs-all band matches — must equal the from-scratch index
     idx.append(dayOne)
@@ -87,6 +98,18 @@ class PipelineSpec extends AnyFunSuite {
     idx.append(dayTwo)
     assert(idx.version.contains(4L))
     assertEqualsRebuild(docs)
+
+    // WRITES are O(delta), not O(index): each append persisted only its
+    // delta segment, so dayOne's segment (20% of docs) is smaller than
+    // the base build (60%), the idempotent replay's segment (empty
+    // delta) is smaller still, and the version dirs are manifest-sized.
+    val base = dirBytes("seg/s1")
+    assert(base > 0)
+    assert(dirBytes("seg/s2") < base,
+      "append must write a delta-sized segment, not rewrite the index")
+    assert(dirBytes("seg/s4") < dirBytes("seg/s2"),
+      "an empty delta's segment must be near-empty")
+    assert(dirBytes("v4") < 4096, "a version publish is manifest-sized")
 
     // retention sweeps history, keeps the served snapshot
     assert(idx.vacuum(1).toSet == Set(1L, 2L, 3L))
