@@ -46,15 +46,34 @@ object MatStore {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Content fingerprint of a local source dir: md5 over the sorted
-    * (relative path, size, mtime) of every file under it.
+    * (relative path, size, mtime) of every file under it — plus, for
+    * NON-parquet files, an md5 of the first 4 KiB of content. Parquet
+    * rewrites rename their part files (UUID'd names), so path+size+
+    * mtime always moves; a fixed-name CSV/JSONL rewritten same-size
+    * within a coarse (second-granularity) mtime window would not — the
+    * first-block sample catches that case. mtime is taken at the full
+    * precision the filesystem offers, not truncated to milliseconds.
     */
   private[graft] def fingerprint(srcDir: java.io.File): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
       else Seq(f)
-    val lines = walk(srcDir).map(f =>
-      s"${srcDir.toPath.relativize(f.toPath)}|${f.length}|${f.lastModified}").sorted
+    val lines = walk(srcDir).map { f =>
+      val mtime = java.nio.file.Files.getLastModifiedTime(f.toPath).toInstant.toString
+      val sample =
+        if (f.getName.endsWith(".parquet")) ""
+        else {
+          val in = new java.io.FileInputStream(f)
+          try {
+            val buf = new Array[Byte](4096)
+            val n = math.max(0, in.read(buf))
+            md5hex(new String(java.util.Base64.getEncoder.encode(
+              java.util.Arrays.copyOf(buf, n)), "US-ASCII"))
+          } finally in.close()
+        }
+      s"${srcDir.toPath.relativize(f.toPath)}|${f.length}|$mtime|$sample"
+    }.sorted
     md5hex(lines.mkString("\n"))
   }
   private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
@@ -72,13 +91,29 @@ object MatStore {
     dirs.values().forEach(d => deleteRecursively(new java.io.File(d)))
   }))
 
-  /** Register a directory for deletion at JVM exit — for callers whose
-    * lazily-read temp tables must outlive their builder (e.g. g21's
-    * per-invocation GraphStore/view dirs, still referenced by the
-    * returned DataFrame until the caller executes it).
+  /** A per-(session, key) scratch DIRECTORY created and initialized at
+    * most once, reclaimed at JVM exit — for stateful on-disk artifacts
+    * (a GraphStore plus its views) rather than a single parquet table.
+    * Unlike [[table]], the caller owns what's inside; the memo only
+    * guarantees `init` ran exactly once for this session and key.
     */
-  private[graft] def cleanupAtExit(path: String): Unit =
-    dirs.put(s"exit:${java.util.UUID.randomUUID()}", path): Unit
+  private[graft] def scratchDir(s: SparkSession, key: String, prefix: String)(
+      init: String => Unit): String = {
+    val k = s"${sessionId(s)}:dir:$key"
+    var path = dirs.get(k)
+    if (path == null) {
+      locks.computeIfAbsent(k, _ => new Object).synchronized {
+        path = dirs.get(k)
+        if (path == null) {
+          val p = java.nio.file.Files.createTempDirectory(prefix).toString
+          init(p)
+          dirs.put(k, p)
+          path = p
+        }
+      }
+    }
+    path
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
@@ -131,6 +166,18 @@ object MatStore {
     * is a directory listing, and it is what detects a source change
     * MID-session (the staleness spec covers both).
     */
+  /** Stale-fingerprint sweep grace period: a concurrent query in
+    * another JVM (or an earlier lazily-evaluated frame in this one)
+    * may still be reading a superseded fingerprint dir mid-plan, and
+    * deleting it at publish time would fail that query with
+    * FileNotFoundException. Only dirs untouched for this long are
+    * reclaimed — any plan that started against the old index has
+    * finished (or deserves to fail) by then.
+    */
+  private def sweepGraceMs: Long =
+    sys.props.get("graft.index.sweepGraceMs").map(_.toLong)
+      .getOrElse(30L * 60 * 1000)
+
   private def persistentTable(s: SparkSession, root: String, key: String,
       src: java.io.File)(build: => DataFrame): DataFrame = {
     val name = key.takeWhile(_ != ':').replaceAll("[^A-Za-z0-9_-]", "_")
@@ -138,6 +185,7 @@ object MatStore {
     val fp = fingerprint(src)
     val target = new java.io.File(keyDir, fp)
     def published = new java.io.File(target, "_SUCCESS").exists()
+    var sessionScoped: String = null
     if (!published) {
       locks.computeIfAbsent(s"persist:$key", _ => new Object).synchronized {
         if (!published) {
@@ -145,24 +193,37 @@ object MatStore {
           val tmp = java.nio.file.Files
             .createTempDirectory(keyDir.toPath, s".build_").toFile
           build.write.mode("overwrite").parquet(tmp.toString)
-          try
-            java.nio.file.Files.move(tmp.toPath, target.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case e: java.io.IOException =>
-              // a racing JVM published first: discard ours, read theirs
-              deleteRecursively(tmp)
-              if (!published) throw e
+          if (fingerprint(src) != fp) {
+            // the source changed WHILE the build was reading it:
+            // publishing the new (or mixed) content under the
+            // pre-build fingerprint would serve it as fresh forever.
+            // Serve this build session-scoped instead (reclaimed at
+            // JVM exit); the next call re-resolves and publishes.
+            dirs.put(s"exit:${java.util.UUID.randomUUID()}", tmp.toString)
+            sessionScoped = tmp.toString
+          } else {
+            try
+              java.nio.file.Files.move(tmp.toPath, target.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case e: java.io.IOException =>
+                // a racing JVM published first: discard ours, read theirs
+                deleteRecursively(tmp)
+                if (!published) throw e
+            }
+            // sweep stale fingerprints of this key (in-flight .build_*
+            // tmp dirs of other processes excluded), age-gated so a
+            // reader mid-query on the superseded index is not yanked
+            val cutoff = System.currentTimeMillis() - sweepGraceMs
+            Option(keyDir.listFiles()).foreach(_.filter(d => d.isDirectory &&
+                d.getName != fp && !d.getName.startsWith(".build_") &&
+                d.lastModified < cutoff)
+              .foreach(deleteRecursively))
           }
-          // sweep stale fingerprints of this key (in-flight .build_*
-          // tmp dirs of other processes excluded)
-          Option(keyDir.listFiles()).foreach(_.filter(d => d.isDirectory &&
-              d.getName != fp && !d.getName.startsWith(".build_"))
-            .foreach(deleteRecursively))
         }
       }
     }
-    s.read.parquet(target.toString)
+    s.read.parquet(if (sessionScoped != null) sessionScoped else target.toString)
   }
 
   private val tableNames = new java.util.concurrent.ConcurrentHashMap[String, String]()

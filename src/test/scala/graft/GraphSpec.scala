@@ -529,6 +529,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("g21 repeated invocations share one stored base: same result, flat disk") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def g21Dirs() = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("graft_g21")).toSet
+    def versionDirs(p: java.nio.file.Path) =
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(d => java.nio.file.Files.isDirectory(d) &&
+          d.getFileName.toString.matches("v\\d+")).toSeq
+
+    val before = g21Dirs()
+    def run() = SparkEntry.queries("g21_stored_degrees")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toList
+    val first = run()
+    assert(first.nonEmpty)
+    assert(run() == first) // delta is idempotent against the shared base
+    assert(run() == first)
+    // at most one scratch dir for the whole session — zero new when an
+    // earlier suite in this session (e.g. Smoke) already ran g21 —
+    // never one per invocation
+    assert((g21Dirs() -- before).size <= 1)
+    // and vacuum keeps store+view snapshots bounded (≤3 store versions
+    // + ≤3 view versions live right after a delta), so disk cannot
+    // grow with the invocation count
+    g21Dirs().foreach(d => assert(versionDirs(d).size <= 6))
+  }
+
   test("GraphStore.repair re-publishes the newest complete snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graphrepair").toString
     val store = new GraphStore(spark, dir)
