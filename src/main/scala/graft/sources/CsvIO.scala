@@ -77,9 +77,17 @@ object CsvIO {
     * intra-file splitting; 100 TB text corpora should prefer
     * [[JsonlIO]], whose escaping keeps records one-per-line and files
     * splittable unconditionally.
+    *
+    * `decodeSentinel` pairs the reader with [[write]]'s sentinel-family
+    * escape. A CSV produced by any OTHER tool never had that escape
+    * applied, so a field legitimately containing `\\N` would be
+    * silently mutated to `\N` on ingest — pass `decodeSentinel = false`
+    * for foreign files to take their bytes literally (nullValue still
+    * maps an unquoted `\N` field to SQL NULL, the shared convention).
     */
   def read(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true, multiLine: Boolean = true): DataFrame = {
+      header: Boolean = true, multiLine: Boolean = true,
+      decodeSentinel: Boolean = true): DataFrame = {
     val raw = spark.read
       .schema(schema.add("_corrupt", "string"))
       .option("header", header.toString)
@@ -91,7 +99,8 @@ object CsvIO {
       .csv(path)
     // invert the writer's sentinel-family escape; `_corrupt` carries
     // the raw line and stays untouched
-    raw.select(raw.schema.fields.map { f =>
+    if (!decodeSentinel) raw
+    else raw.select(raw.schema.fields.map { f =>
       if (f.dataType == StringType && f.name != "_corrupt")
         unescapeSentinel(col(f.name)).as(f.name)
       else col(f.name)

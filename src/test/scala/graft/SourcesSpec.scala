@@ -101,6 +101,25 @@ class SourcesSpec extends AnyFunSuite {
     back.unpersist()
   }
 
+  test("CSV decodeSentinel=false ingests foreign files' backslash-N literally") {
+    // a CSV written by another tool never had the writer's sentinel
+    // escape applied: a quoted "\\N" field is literal content, not an
+    // escape — opting out of the decode must preserve its bytes
+    val dir = java.nio.file.Files.createTempDirectory("csvforeign").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/f"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f/part.csv"),
+      "id,text\n1,\\\\N\n2,\\N\n3,plain\n".getBytes("UTF-8"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("text", "string")
+    val foreign = CsvIO.read(spark, s"$dir/f", schema, decodeSentinel = false)
+      .orderBy("id").collect().map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(foreign.toSeq == Seq("\\\\N", null, "plain"))
+    // default (writer-paired) mode on the same bytes strips one level
+    val paired = CsvIO.read(spark, s"$dir/f", schema)
+      .orderBy("id").collect().map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(paired.toSeq == Seq("\\N", null, "plain"))
+  }
+
   test("GraftExtensions registers SQL vector functions") {
     // make sure we don't get handed the shared extension-less session
     val prev = SparkSession.getDefaultSession
