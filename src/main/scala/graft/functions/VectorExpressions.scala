@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -118,6 +118,63 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sign-LSH signature: bit j of the result is set iff
+  * `vec[dims(j)] >= 0` — the Catalyst-native form of the CASE-sum the
+  * sign-LSH family previously built as a SQL string. The string form
+  * is O(bits) CASE branches PER TABLE; at the scale family's 96+
+  * tables × 13 bits the generated projection method blows Janino's
+  * 64 KB limit and the whole stage silently falls back to interpreted
+  * — this expression emits one constant-array loop per table instead,
+  * keeping arbitrarily large table families inside whole-stage
+  * codegen. Semantics identical to the SQL form (`>= 0` per float, bit
+  * j weight 1<<j), so LSH buckets — and thus s02/s06 results — are
+  * unchanged.
+  */
+case class FloatVecSignBits(child: Expression, dims: Seq[Int])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) if dims.nonEmpty && dims.size <= 31 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"float_vec_sign_bits expects 1..31 dims, got ${dims.size}")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"float_vec_sign_bits expects array<float>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var sig = 0
+    var j = 0
+    while (j < dims.length) {
+      if (x.getFloat(dims(j)) >= 0f) sig |= 1 << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val dimsRef = ctx.addReferenceObj("dims", dims.toArray, "int[]")
+      val j = ctx.freshName("j")
+      val sig = ctx.freshName("sig")
+      s"""
+        int $sig = 0;
+        for (int $j = 0; $j < $dimsRef.length; $j++) {
+          if ($a.getFloat($dimsRef[$j]) >= 0f) $sig |= 1 << $j;
+        }
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd in-index-order dot product of two Array[Float] columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -127,4 +184,8 @@ object VectorFunctions {
   /** Codegen'd L2 norm of an Array[Float] column. */
   def floatNorm(a: Column): Column =
     ColumnBridge.column(FloatVecNorm(ColumnBridge.expression(a)))
+
+  /** Codegen'd sign-LSH signature over the given 0-based dims. */
+  def floatSignBits(a: Column, dims: Seq[Int]): Column =
+    ColumnBridge.column(FloatVecSignBits(ColumnBridge.expression(a), dims))
 }

@@ -246,11 +246,8 @@ object Similarity {
 
   private val probeMasks: Seq[Int] = 0 +: (0 until 8).map(1 << _)
 
-  private def sigExprSpark(dims: Seq[Int]): String =
-    dims.zipWithIndex.map { case (d, j) =>
-      s"(CASE WHEN element_at(embedding, ${d + 1}) >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
-
+  // (Spark-side signatures are the codegen'd FloatVecSignBits — same
+  // `>= 0` per-dim bit semantics as this DuckDB CASE-sum form)
   private def sigExprDuck(dims: Seq[Int]): String =
     dims.zipWithIndex.map { case (d, j) =>
       s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << j} ELSE 0 END)"
@@ -263,10 +260,14 @@ object Similarity {
     */
   private def signCandidates(e: DataFrame, groups: Seq[Seq[Int]],
       masks: Seq[Int]): DataFrame = {
-    val sigArray = groups.zipWithIndex.map { case (dims, t) =>
-      s"named_struct('t', $t, 'sig', ${sigExprSpark(dims)})"
-    }.mkString("array(", ", ", ")")
-    val sigs = e.select(col("vec_id"), explode(expr(sigArray)).as("ts"))
+    // one codegen'd constant-loop signature per table (not a CASE-sum
+    // SQL string: at 96+ tables x 13 bits that string form blew the
+    // 64 KB generated-method limit and fell back to interpreted)
+    val sigArray = array(groups.zipWithIndex.map { case (dims, t) =>
+      struct(lit(t).as("t"),
+        graft.functions.VectorFunctions.floatSignBits(col("embedding"), dims).as("sig"))
+    }: _*)
+    val sigs = e.select(col("vec_id"), explode(sigArray).as("ts"))
       .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
     val probes = sigs.select(col("vec_id").as("query_id"), col("t"),
         explode(array(masks.map(lit): _*)).as("m"), col("sig"))

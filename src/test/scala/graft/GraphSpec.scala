@@ -12,6 +12,10 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    // the sf1-gated scale tests run multi-minute jobs under broadcast
+    // exchanges on this deliberately-small 4-thread session; the 300s
+    // default would fail them spuriously
+    .config("spark.sql.broadcastTimeout", "1800")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -55,6 +55,68 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall10 >= RecallTarget, f"recall@3 $recall10%.3f < $RecallTarget at 10 bits/40 tables")
   }
 
+  test("sf1 scale evidence: calibrated bits/tables hold recall at 10x the vectors") {
+    // Gated on the dev-generated sf1 corpus (tools/gen_sf.py): 20000
+    // vectors = 10x sf0.1. Continuing the calibration curve, +3 bits
+    // (~log2(10)) restores per-bucket occupancy n/2^bits and tables
+    // grow with L ~ n^rho; candidates must shrink vs the fixed 8-bit
+    // family while recall holds the shipping gate.
+    //
+    // The exact side is evaluated on a SAMPLED query set (1000 of
+    // 20000) — the documented 100 TB practice (s07 scaladoc): sampled
+    // queries x corpus stays linear in n, where the full s04 corpus²
+    // build is deliberately quadratic and priced out at this n on the
+    // 4-thread test session. The ANN side still builds its FULL graph
+    // through the bucketed scale path.
+    val sf = "/tmp/graft_testdata/sf1"
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists(),
+      "sf1 corpus not generated on this host")
+    import graft.functions.VectorFunctions.{floatDot, floatNorm}
+    val e = Tables(spark, sf, "embeddings")
+      .withColumn("nrm", floatNorm(col("embedding")))
+    val isSampled = col("query_id") % 20 === 0
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    val pairs = broadcast(q).join(
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = pairs.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    assert(exact.count() == 1000 * 3)
+
+    def recallAt(bits: Int, tables: Int): Double = {
+      val approx = sim.Similarity.annKnnGraphAt(spark, sf, bits, tables)
+        .filter(isSampled)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      exact.join(approx,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+        .groupBy(col("query_id"))
+        .agg((count(col("q2")).cast("double") / lit(3.0)).as("r"))
+        .agg(avg(col("r"))).head().getDouble(0)
+    }
+    // per-sampled-query candidate volume, the quantity the bits knob
+    // controls (counted on the same 1000 queries for both configs)
+    val cands8 = sim.Similarity.annCandidates(spark, sf, 8, 16)
+      .filter(isSampled).count()
+    // 128 tables from the measured per-table retention at this n:
+    // 96t gave recall 0.757 => per-table retention 0.0146, so
+    // L >= ln(0.2)/-ln(1-0.0146) ~ 110 for the 0.80 gate; 128 adds
+    // margin (predicted ~0.85) while candidates stay ~3x under the
+    // fixed 8-bit family's
+    val cands13 = sim.Similarity.annCandidates(spark, sf, 13, 128)
+      .filter(isSampled).count()
+    val recall13 = recallAt(13, 128)
+    exact.unpersist()
+    info(f"sf1: sampled candidates 8-bit/16t=$cands8%d, 13-bit/128t=$cands13%d, recall@3(13-bit/128t)=$recall13%.3f")
+    assert(cands13 < cands8,
+      s"scaled family generated no fewer candidates ($cands13 vs $cands8)")
+    assert(recall13 >= RecallTarget, f"recall@3 $recall13%.3f < $RecallTarget at 13 bits/128 tables")
+  }
+
   test("s06 emits at most 3 neighbors per query, ranked consistently with s04 on hits") {
     val sf = "/root/testdata/sf0.001"
     val ann = SparkEntry.queries("s06_knn_graph_ann")(spark, sf)
