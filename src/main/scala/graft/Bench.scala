@@ -62,6 +62,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional first arg: comma-separated query subset, mirroring
+    // Verify's — for dev-side scale runs (e.g. the SF-growing family at
+    // sf1). The driver passes no args, so its artifact covers everything.
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
@@ -70,6 +75,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep top_k_scored on the object-hash path (its per-key state is
+      // ~16k bytes; the 128-key default would sort-fallback every task)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
@@ -95,7 +103,9 @@ object Bench {
 
     case class Rep(idx: Int, dt: Double, load: String, foreign: Double)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def runRep(idx: Int): Rep = {
         val la = loadavg()
         val c0 = cpuTicks()
@@ -178,8 +188,10 @@ object Bench {
       "processes during each rep (own Spark load excluded); queries listed " +
       "in contended never got 2 agreeing warm reps with foreign share<=" +
       f"$foreignThreshold%.2f — do not trust their numbers"
+    val subsetField = only.fold("")(s =>
+      "\"subset\":" + s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val env =
-      s""""reps":$reps,"foreign_threshold":$foreignThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
+      s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"note":"$note",$env,"sf":"$sfDir"}"""
     // Long per-query line first; persist a copy where truncation can't

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep top_k_scored on the object-hash path (its per-key state is
+      // ~16k bytes; the 128-key default would sort-fallback every task)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

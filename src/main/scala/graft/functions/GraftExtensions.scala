@@ -27,5 +27,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectCount(exprs(0), exprs(1))))
+    // aggregate: analysis wraps a raw AggregateFunction in
+    // AggregateExpression, so returning the function itself is correct
+    e.injectFunction((
+      FunctionIdentifier("top_k_scored"),
+      new ExpressionInfo(classOf[TopKScored].getName, "top_k_scored"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k_scored: k must be an integer literal, got $other")
+        }
+        TopKScored(exprs(0), exprs(1), k)
+      }))
   }
 }

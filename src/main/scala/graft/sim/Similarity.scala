@@ -31,17 +31,28 @@ object Similarity {
   /** Rank strictly by exact cosine, ties by neighbor id — both engines
     * compute identical cosine bits (see [[Cosine]]) so the ranking is
     * deterministic.
+    *
+    * Selection runs as the bounded [[graft.functions.TopKAggregate]]
+    * rather than a `row_number()` window: the window form sorts every
+    * group's full candidate list (at sf1 that meant 32 concurrent
+    * ~300 MB spilling sorts of the n² pair stream and G1 full-GC
+    * stalls), the aggregate streams the same rows through k-element
+    * buffers — map-side partial top-k, k rows per query over the
+    * shuffle. The produced (query_id, neighbor_id, cos, rank) rows are
+    * identical: the buffer's ordering is the SQL
+    * `ORDER BY cos DESC, neighbor_id` total order the oracle uses.
     */
-  private def topkPerQuery(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    // project the embedding arrays away BEFORE the window: the rank
-    // shuffle then moves 24 bytes/pair instead of two 64-float vectors
+  private def topkUnordered(pairs: DataFrame, k: Int): DataFrame =
     pairs.select(col("query_id"), col("neighbor_id"), col("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TOPK)
-      .orderBy(col("query_id"), col("rank"))
-  }
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topKScored(
+        col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sn")))
+      .select(col("query_id"), col("sn.payload").as("neighbor_id"),
+        col("sn.score").as("cos"), (col("pos") + lit(1)).as("rank"))
+
+  private def topkPerQuery(pairs: DataFrame): DataFrame =
+    topkUnordered(pairs, TOPK).orderBy(col("query_id"), col("rank"))
 
   // ---- s01: brute-force exact top-k ---------------------------------
   private def s01(s: SparkSession, dir: String): DataFrame = {
@@ -192,15 +203,25 @@ object Similarity {
   private def knnGraphTable(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.table(s, s"knngraph:$dir", "graft_knn") {
       val e = embWithNorm(s, dir)
+      // Repartition the STREAM side by query_id before the broadcast
+      // nested-loop join. The embeddings parquet is one small file, so
+      // without this the n² pair space inherits ONE input partition and
+      // every dot product plus the top-k pass lands on a single task
+      // (measured at sf1: the 400M-pair build pinned one core for an
+      // hour). Hashing on query_id also means the map-side partial
+      // top-k emits exactly one k-row buffer per query AND the BNLJ's
+      // preserved stream-side partitioning already satisfies the
+      // aggregation's distribution — the n² intermediate is consumed
+      // in place, never shuffled.
+      // (explicit count: AQE would coalesce a column-only repartition
+      // back to one partition — the stream side is tiny BEFORE the n²
+      // expansion, which is exactly when it must stay spread out)
       val a = e.select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("query_id"))
       val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      a.join(b, col("query_id") =!= col("neighbor_id"))
+      val pairs = a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
-        .select(col("query_id"), col("neighbor_id"), col("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      topkUnordered(pairs, 3)
     }
 
   /** The ANN KNN graph, materialized once: s06 emits it, s07 reads it. */
@@ -285,14 +306,9 @@ object Similarity {
   private def rerankTop3(e: DataFrame, cands: DataFrame): DataFrame = {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cands.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+    val pairs = cands.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .orderBy(col("query_id"), col("rank"))
+    topkUnordered(pairs, 3).orderBy(col("query_id"), col("rank"))
   }
 
   private def s06(s: SparkSession, dir: String): DataFrame =

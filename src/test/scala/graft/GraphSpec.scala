@@ -12,6 +12,8 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    // keep top_k_scored on the object-hash path (see TopKAggregate doc)
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
     // the sf1-gated scale tests run multi-minute jobs under broadcast
     // exchanges on this deliberately-small 4-thread session; the 300s
     // default would fail them spuriously

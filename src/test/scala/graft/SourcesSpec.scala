@@ -144,5 +144,13 @@ class SourcesSpec extends AnyFunSuite {
         |       float_vec_norm(cast(array(3.0, 4.0) as array<float>)) AS n""".stripMargin)
     val r = df.collect()(0)
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+    val topk = s2.sql(
+      """SELECT g, top_k_scored(s, p, 2) AS top FROM VALUES
+        |  (1, 0.5D, 10L), (1, 0.9D, 11L), (1, 0.9D, 7L), (2, 0.1D, 3L)
+        |  AS t(g, s, p)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g1 = topk(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(r2 => (r2.getDouble(0), r2.getLong(1))) == Seq((0.9, 7L), (0.9, 11L)))
+    assert(topk(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
   }
 }
