@@ -12,8 +12,11 @@ import org.apache.spark.sql.SparkSession
   *     bench's own 32 threads push loadavg far past any threshold, so
   *     a loadavg gate flags every rep of a healthy run. Foreign share
   *     is exactly zero for our own work and exactly what contaminated
-  *     round 7 (another process eating the core budget). Pre-rep
-  *     loadavg is still recorded as corroborating evidence.
+  *     round 7 (another process eating the core budget). The IOWAIT
+  *     share is measured alongside it: a foreign process saturating
+  *     the disk consumes no CPU ticks but stalls every shuffle (the
+  *     round-8 sf1 burst inflated g11/g13 10x at foreign share 0.000).
+  *     Pre-rep loadavg is still recorded as corroborating evidence.
   *   - per QUERY: when warm reps disagree by >3x (rep 1 is excluded —
   *     cold-vs-warm is legitimately 8x for the MatStore-backed index
   *     builds) or any rep saw foreign share >15%, extra reps are run
@@ -29,29 +32,43 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
     catch { case _: Throwable => "" }
 
-  /** (total machine ticks, busy machine ticks, own-process ticks) from
-    * /proc/stat + /proc/self/stat; all -1 when unreadable (non-Linux).
-    * Same clock-tick unit throughout, so ratios need no HZ constant.
+  /** (total machine ticks, busy machine ticks, own-process ticks,
+    * iowait ticks) from /proc/stat + /proc/self/stat; all -1 when
+    * unreadable (non-Linux). Same clock-tick unit throughout, so
+    * ratios need no HZ constant.
     */
-  private def cpuTicks(): (Long, Long, Long) =
+  private def cpuTicks(): (Long, Long, Long, Long) =
     try {
       val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
         .next().split("\\s+").drop(1).map(_.toLong)
       val total = cpu.sum
-      val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L) // idle + iowait
+      val iow = if (cpu.length > 4) cpu(4) else 0L
+      val idle = cpu(3) + iow
       val self = scala.io.Source.fromFile("/proc/self/stat").mkString
         .split("\\s+")
       val own = self(13).toLong + self(14).toLong // utime + stime, all threads
-      (total, total - idle, own)
-    } catch { case _: Throwable => (-1L, -1L, -1L) }
+      (total, total - idle, own, iow)
+    } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
 
   /** Fraction of the whole machine's CPU burned by OTHER processes
     * between two [[cpuTicks]] samples; -1 when unmeasurable.
     */
-  private def foreignShare(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+  private def foreignShare(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Double = {
     if (a._1 < 0 || b._1 < 0 || b._1 <= a._1) return -1.0
     val foreign = (b._2 - a._2) - (b._3 - a._3)
     math.max(0.0, foreign.toDouble / (b._1 - a._1).toDouble)
+  }
+
+  /** Fraction of machine time spent in iowait between two samples;
+    * -1 when unmeasurable. Catches the contamination foreignShare is
+    * blind to: a foreign process saturating the DISK consumes no CPU
+    * ticks but stalls every shuffle read/write (measured at sf1: a
+    * burst made g11/g13 report 10x their quiet-host times with
+    * queries_foreign pinned at 0.000).
+    */
+  private def iowaitShare(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Double = {
+    if (a._1 < 0 || b._1 < 0 || b._1 <= a._1 || a._4 < 0) return -1.0
+    math.max(0.0, (b._4 - a._4).toDouble / (b._1 - a._1).toDouble)
   }
 
   /** max/min over successful rep times; 1.0 when fewer than 2. */
@@ -99,9 +116,15 @@ object Bench {
     // comfortably above normal daemon noise, well below the round-7
     // burst that tripled timings.
     val foreignThreshold = 0.15
+    // Above this fraction of machine time in iowait, the disk was
+    // saturated during the rep — by us or by a foreign process. Our own
+    // steady-state shuffle traffic on this host measures <5%; sustained
+    // 30%+ is the signature of the external disk bursts that inflated
+    // sf1 g11/g13 10x while foreign CPU share stayed 0.
+    val iowaitThreshold = 0.30
     val extraReps = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt)
 
-    case class Rep(idx: Int, dt: Double, load: String, foreign: Double)
+    case class Rep(idx: Int, dt: Double, load: String, foreign: Double, iow: Double)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -116,9 +139,11 @@ object Bench {
           case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false
         }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        val fg = foreignShare(c0, cpuTicks())
+        val c1 = cpuTicks()
+        val fg = foreignShare(c0, c1)
+        val io = iowaitShare(c0, c1)
         freeState()
-        Rep(idx, dt, la, fg)
+        Rep(idx, dt, la, fg, io)
       }
       val initial = (0 until reps).map(runRep)
       def warm(rs: Seq[Rep]) = rs.filter(_.idx > 0)
@@ -128,7 +153,8 @@ object Bench {
       // evidence. (Rep 0 is exempt from the spread check: cold-vs-warm
       // is a legitimate 8x for the MatStore-backed index builds.)
       val suspicious = spread(warm(initial).map(_.dt)) > 3.0 ||
-        initial.exists(r => r.dt > 0 && r.foreign > foreignThreshold)
+        initial.exists(r => r.dt > 0 &&
+          (r.foreign > foreignThreshold || r.iow > iowaitThreshold))
       val all =
         if (suspicious) initial ++ (reps until reps + extraReps).map(runRep)
         else initial
@@ -141,7 +167,9 @@ object Bench {
       val good = all.filter(_.dt >= 0)
       // Prefer reps that ran on a quiet host; rep 0 (cold) keeps its
       // role in cold_value regardless of which reps feed the median.
-      val clean = good.filter(r => r.foreign < 0 || r.foreign <= foreignThreshold)
+      val clean = good.filter(r =>
+        (r.foreign < 0 || r.foreign <= foreignThreshold) &&
+          (r.iow < 0 || r.iow <= iowaitThreshold))
       val pool = (if (clean.size >= 2) clean else good).map(_.dt)
       val dt =
         if (good.size < all.size || pool.isEmpty) -1.0
@@ -151,7 +179,7 @@ object Bench {
       // reported anyway but the artifact says not to trust it.
       val contended = suspicious &&
         (warm(clean).size < 2 || spread(warm(clean).map(_.dt)) > 3.0)
-      (name, dt, all.map(_.dt), all.map(r => (r.load, r.foreign)), contended)
+      (name, dt, all.map(_.dt), all.map(r => (r.load, r.foreign, r.iow)), contended)
     }
     val loadEnd = loadavg()
     val tEnd = java.time.Instant.now().toString
@@ -178,6 +206,9 @@ object Bench {
     val qforeign = results.map { case (k, _, _, ev, _) =>
       "\"" + k + "\":" + ev.map(e => f"${e._2}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val qiowait = results.map { case (k, _, _, ev, _) =>
+      "\"" + k + "\":" + ev.map(e => f"${e._3}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val contendedKeys = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._3.head).filter(_ >= 0).sum
@@ -185,15 +216,18 @@ object Bench {
       "shared across operators); reps 2+ re-use session-memoized index " +
       "tables; value=sum of per-query medians, cold_value=sum of rep-1 times; " +
       "queries_foreign is the fraction of machine CPU burned by OTHER " +
-      "processes during each rep (own Spark load excluded); queries listed " +
+      "processes during each rep (own Spark load excluded); queries_iowait " +
+      "is the fraction of machine time in iowait (disk saturation — catches " +
+      "foreign DISK bursts that consume no CPU); queries listed " +
       "in contended never got 2 agreeing warm reps with foreign share<=" +
-      f"$foreignThreshold%.2f — do not trust their numbers"
+      f"$foreignThreshold%.2f and iowait share<=$iowaitThreshold%.2f " +
+      "— do not trust their numbers"
     val subsetField = only.fold("")(s =>
       "\"subset\":" + s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val env =
       s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"note":"$note",$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"queries_iowait":$qiowait,"note":"$note",$env,"sf":"$sfDir"}"""
     // Long per-query line first; persist a copy where truncation can't
     // reach it; SHORT summary line LAST — the harness captures a
     // bounded TAIL of stdout, so whatever must survive goes at the end.
