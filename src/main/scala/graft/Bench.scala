@@ -84,6 +84,13 @@ object Bench {
     // sf1). The driver passes no args, so its artifact covers everything.
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").map(_.trim).toSet) else None
+    // a typo'd subset must fail loudly, not emit a value:0 artifact
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()

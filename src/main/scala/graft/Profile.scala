@@ -25,43 +25,25 @@ object Profile {
     }
 
     if (args.length > 1 && args(1) == "bipartite") {
-      // decompose g11/g13: where does the sf1 superlinearity live?
+      // decompose g11/g13 using the SHIPPED pipeline pieces (no inline
+      // copies — Components exposes supplierStar and labelPropagate's
+      // onRound hook so the profiler can't drift from the real code)
       import org.apache.spark.sql.functions._
       t("warmup")(Tables(spark, sfDir, "lineitem").count())
       val pairs = graph.Components.bipartitePairs(spark, sfDir)
       t("bipairs.build+count")(pairs.count())
-      val minSupp = pairs.groupBy(col("cust")).agg(min(col("supp")).as("msupp"))
-      val star = pairs.join(minSupp, Seq("cust"))
-        .filter(col("supp") =!= col("msupp"))
-        .select(col("msupp").as("src"), col("supp").as("dst"))
-        .distinct()
+      val star = graph.Components.supplierStar(pairs)
       t("g11.star.distinct")(star.count())
       val snodes = pairs.select(col("supp").as("node")).distinct()
       val ssym = star.unionAll(star.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      t("g11.ssym.checkpoint")(ssym.count())
-      var labels = snodes.select(col("node"), col("node").as("comp")).localCheckpoint()
-      var labelSum = Long.MaxValue
-      var converged = false
-      var round = 0
-      while (!converged && round < 50) {
-        round += 1
-        val t0 = System.nanoTime()
-        val msgs = labels.join(ssym, labels("node") === ssym("src"))
-          .select(ssym("dst").as("node"), col("comp"))
-        val next = labels.select(col("node"), col("comp")).unionAll(msgs)
-          .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-          .localCheckpoint()
-        val nextSum = next.agg(sum(col("comp").cast("long"))).collect()(0).getLong(0)
-        converged = nextSum == labelSum
-        labelSum = nextSum
-        labels = next
-        println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  g11.round$round")
+      t("g11.labelPropagate")(graph.Components.labelPropagate(snodes, ssym,
+        onRound = (round, sec) => println(f"$sec%8.2f  g11.round$round")).count())
+      var threshold = Int.MaxValue
+      t("g13.hotkeys.measure") {
+        threshold = graph.Components.measuredSaltThreshold(pairs).getOrElse(Int.MaxValue)
+        threshold
       }
-      t("g13.hotkeys.measure")(
-        graph.Components.measuredSaltThreshold(pairs).getOrElse(Int.MaxValue))
-      val common = graph.Components.coCustomerCounts(pairs,
-        graph.Components.measuredSaltThreshold(pairs).getOrElse(Int.MaxValue), 32)
+      val common = graph.Components.coCustomerCounts(pairs, threshold, 32)
       t("g13.coCustomerCounts")(common.count())
       t("g13.full")(SparkEntry.queries("g13_supplier_overlap")(spark, sfDir).count())
       spark.stop()

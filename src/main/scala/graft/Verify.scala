@@ -15,6 +15,13 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    // a typo'd subset must fail loudly, not write an empty dump
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -33,8 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_scored"),
       new ExpressionInfo(classOf[TopKScored].getName, "top_k_scored"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.size != 3) throw new IllegalArgumentException(
+          s"top_k_scored(score, payload, k) takes 3 arguments, got ${exprs.size}")
         val k = exprs(2) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+              if v > 0 && v <= Int.MaxValue => v.toInt
           case other => throw new IllegalArgumentException(
             s"top_k_scored: k must be an integer literal, got $other")
         }

@@ -117,8 +117,13 @@ case class TopKScored(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val p = payload.eval(input)
-    // null score or payload: the pair is not rankable — skip it, the
-    // same rows an ORDER BY ... DESC window would put last anyway
+    // Null score or payload: the pair is not rankable — DROPPED. This
+    // is the one documented divergence from the row_number window
+    // form, which (NULLS LAST) would still emit a null-scored row when
+    // a group has fewer than k non-null rows. Every registered caller
+    // computes score from non-null arithmetic over inner joins, so the
+    // case is unreachable there; standalone users who need null rows
+    // ranked must filter/coalesce explicitly.
     if (s != null && p != null) {
       buf.insert(s.asInstanceOf[Double], p.asInstanceOf[Long])
     }

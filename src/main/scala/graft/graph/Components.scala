@@ -28,7 +28,8 @@ object Components {
     * the outer round and gets recomputed in each, and AQE does not
     * reuse the duplicated exchanges.
     */
-  def labelPropagate(nodes: DataFrame, symEdges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def labelPropagate(nodes: DataFrame, symEdges: DataFrame, maxIters: Int = 50,
+      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
     val e = symEdges.select(col("src"), col("dst")).localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint()
     var labelSum = Long.MaxValue
@@ -36,6 +37,7 @@ object Components {
     var it = 0
     while (!converged && it < maxIters) {
       it += 1
+      val t0 = System.nanoTime()
       val msgs = labels.join(e, labels("node") === e("src"))
         .select(e("dst").as("node"), col("comp"))
       val next = labels.select(col("node"), col("comp")).unionAll(msgs)
@@ -45,6 +47,7 @@ object Components {
       converged = nextSum == labelSum
       labelSum = nextSum
       labels = next
+      onRound(it, (System.nanoTime() - t0) / 1e9)
     }
     labels
   }
@@ -102,12 +105,21 @@ object Components {
     * labelPropagate on the full doubled graph (spec-tested on
     * multi-component synthetic graphs the testdata can't produce).
     */
-  def bipartiteComponents(pairs: DataFrame): DataFrame = {
+  /** Directed star-contraction edges of the supplier projection: each
+    * customer's suppliers connected through the customer's min
+    * supplier (the g11 contraction; exposed so Profile's decomposition
+    * measures THIS code, not a copy).
+    */
+  private[graft] def supplierStar(pairs: DataFrame): DataFrame = {
     val minSupp = pairs.groupBy(col("cust")).agg(min(col("supp")).as("msupp"))
-    val star = pairs.join(minSupp, Seq("cust"))
+    pairs.join(minSupp, Seq("cust"))
       .filter(col("supp") =!= col("msupp"))
       .select(col("msupp").as("src"), col("supp").as("dst"))
       .distinct()
+  }
+
+  def bipartiteComponents(pairs: DataFrame): DataFrame = {
+    val star = supplierStar(pairs)
     val snodes = pairs.select(col("supp").as("node")).distinct()
     val ssym = star.unionAll(star.select(col("dst").as("src"), col("src").as("dst")))
     val slabels = labelPropagate(snodes, ssym) // (supp, scomp = min supp in comp)

@@ -199,6 +199,16 @@ object Similarity {
     * emits it and s07 reads it as the recall denominator — the exact
     * all-pairs pass (the expensive side) runs once, same amortized-
     * index pattern as d02's signature store.
+    *
+    * Scale bound, on purpose: `broadcast(b)` replicates the full
+    * vector set, so this exact build stops at Spark's 8 GB broadcast
+    * ceiling (~10M 64-d vectors). That is the documented envelope of
+    * the EXACT oracle — beyond it, the recall denominator runs on a
+    * sampled query set (s07's doc) against the s06/annKnnGraphAt
+    * bucketed path, which never broadcasts the corpus. The hint is
+    * deliberate: without it the planner may build the other side and
+    * stream `b`'s single input partition, recreating the one-task n²
+    * tail the repartition below exists to prevent.
     */
   private def knnGraphTable(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.table(s, s"knngraph:$dir", "graft_knn") {
