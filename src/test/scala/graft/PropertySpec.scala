@@ -103,4 +103,33 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(counts(7L) == 1800L)
   }
+
+  test("TopKBuffer selection equals sort-take-k under arbitrary insert/merge splits") {
+    import graft.functions.TopKBuffer
+    // scores drawn from a tiny value set (dense ties) plus NaN and
+    // signed zeros; payload = row index (unique, like neighbor ids);
+    // reference = the SQL total order the buffer claims to implement
+    val score: Gen[Double] = Gen.oneOf(0.0, -0.0, 0.25, 0.5, 1.0, -1.0, Double.NaN)
+    def rank(s: Double): Double = if (s.isNaN) Double.MaxValue else if (s == 0.0) 0.0 else s
+    samples(Gen.zip(Gen.listOf(score), Gen.choose(1, 6), Gen.choose(0, 10)), 30)
+      .foreach { case (scores, k, splitSeed) =>
+        val rows = scores.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+        val expect = rows.sortBy { case (s, p) => (-rank(s), p) }.take(k)
+        // split rows across two partial buffers at an arbitrary point,
+        // exercising insert AND merge paths
+        val split = if (rows.isEmpty) 0 else splitSeed % (rows.size + 1)
+        val (l, r) = rows.splitAt(split)
+        val a = new TopKBuffer(k)
+        val b = new TopKBuffer(k)
+        l.foreach { case (s, p) => a.insert(s, p) }
+        r.foreach { case (s, p) => b.insert(s, p) }
+        a.mergeFrom(b)
+        val got = (0 until a.size).map(i => (a.scores(i), a.payloads(i)))
+        // compare score on rank bits so NaN == NaN and -0.0 == 0.0
+        def bits(xs: Seq[(Double, Long)]) =
+          xs.map { case (s, p) => (java.lang.Double.doubleToRawLongBits(rank(s)), p) }
+        assert(bits(got) == bits(expect),
+          s"scores=$scores k=$k split=$split got=$got expect=$expect")
+      }
+  }
 }
