@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Contamination-aware diff of two graft.Bench artifacts.
+
+Compares per-query warm medians (the robust signal) between two
+bench.json files, EXCLUDING queries either artifact flagged
+`contended` and annotating reps whose foreign-CPU or iowait share
+exceeded the artifact's thresholds — so a round-over-round comparison
+never mistakes a host burst for a code change (round-7 lesson) or a
+disk burst for a regression (round-8 lesson).
+
+Usage: tools/bench_diff.py OLD.json NEW.json [--threshold 1.3]
+Exit code 1 when any clean query regressed past the threshold.
+"""
+import argparse
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.3,
+                    help="flag queries slower than OLD by this factor")
+    args = ap.parse_args()
+    old, new = load(args.old), load(args.new)
+
+    contended = set(old.get("contended", [])) | set(new.get("contended", []))
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    regressed, improved, skipped = [], [], []
+    for q in shared:
+        o, n = old["queries"][q], new["queries"][q]
+        if q in contended or o <= 0 or n <= 0:
+            skipped.append(q)
+            continue
+        r = n / o
+        if r > args.threshold:
+            regressed.append((r, q, o, n))
+        elif r < 1 / args.threshold:
+            improved.append((r, q, o, n))
+
+    def dirty_reps(art, q):
+        """indices of reps with foreign/iowait over the artifact's gates"""
+        ft = art.get("foreign_threshold", 0.15)
+        fg = art.get("queries_foreign", {}).get(q, [])
+        io = art.get("queries_iowait", {}).get(q, [])
+        bad = {i for i, v in enumerate(fg) if v > ft}
+        bad |= {i for i, v in enumerate(io) if v > 0.30}
+        return sorted(bad)
+
+    print(f"shared queries: {len(shared)}  "
+          f"excluded (contended/failed): {len(skipped)}")
+    if skipped:
+        print("  excluded:", ", ".join(skipped))
+    for title, rows in (("REGRESSED", sorted(regressed, reverse=True)),
+                        ("improved", sorted(improved))):
+        if not rows:
+            continue
+        print(f"{title}:")
+        for r, q, o, n in rows:
+            marks = []
+            for tag, art in (("old", old), ("new", new)):
+                d = dirty_reps(art, q)
+                if d:
+                    marks.append(f"{tag} dirty reps {d}")
+            suffix = f"  [{'; '.join(marks)}]" if marks else ""
+            print(f"  {q}: {o:.3f}s -> {n:.3f}s ({r:.2f}x){suffix}")
+    ow, nw = old.get("value"), new.get("value")
+    print(f"warm totals: {ow:.1f}s -> {nw:.1f}s "
+          f"(per-query medians are the trustworthy signal; totals shift "
+          f"with host state)")
+    sys.exit(1 if regressed else 0)
+
+
+if __name__ == "__main__":
+    main()
