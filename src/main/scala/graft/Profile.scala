@@ -24,6 +24,48 @@ object Profile {
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $name ($r)")
     }
 
+    if (args.length > 3 && args(1) == "ann") {
+      // ANN calibration probe: recall@3 of the bits/tables scale
+      // family against a sampled-query exact oracle (independent
+      // window-based implementation, same shape as SimilaritySpec's).
+      // Usage: graft.Profile <sfDir> ann <bits> <tables> [sampleMod]
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions.{floatDot, floatNorm}
+      val (bits, tables) = (args(2).toInt, args(3).toInt)
+      val sampleMod = if (args.length > 4) args(4).toInt else 20
+      val e = Tables(spark, sfDir, "embeddings")
+        .withColumn("nrm", floatNorm(col("embedding")))
+      val isSampled = col("query_id") % sampleMod === 0
+      val q = e.filter(col("vec_id") % sampleMod === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col("query_id"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      val exact = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      t(s"ann.exact.sampled(1/$sampleMod)")(exact.count())
+      t(s"ann.candidates(bits=$bits,tables=$tables)")(
+        sim.Similarity.annCandidates(spark, sfDir, bits, tables)
+          .filter(isSampled).count())
+      val approx = sim.Similarity.annKnnGraphAt(spark, sfDir, bits, tables)
+        .filter(isSampled)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+        .localCheckpoint()
+      t("ann.approx.graph")(approx.count())
+      val recall = exact.join(approx,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+        .groupBy(col("query_id"))
+        .agg((count(col("q2")).cast("double") / lit(3.0)).as("r"))
+        .agg(avg(col("r"))).collect()(0).getDouble(0)
+      println(f"ann.recall_at_3(bits=$bits,tables=$tables) = $recall%.3f")
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "bipartite") {
       // decompose g11/g13 using the SHIPPED pipeline pieces (no inline
       // copies — Components exposes supplierStar and labelPropagate's
