@@ -232,15 +232,17 @@ object Bench {
     val subsetField = only.fold("")(s =>
       "\"subset\":" + s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val env =
-      s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
+      s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"iowait_threshold":$iowaitThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"queries_iowait":$qiowait,"note":"$note",$env,"sf":"$sfDir"}"""
     // Long per-query line first; persist a copy where truncation can't
     // reach it; SHORT summary line LAST — the harness captures a
     // bounded TAIL of stdout, so whatever must survive goes at the end.
     println(full)
+    // A dev-side subset run must not overwrite the canonical full-run
+    // artifact with a partial-total one — subsets land in their own file.
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench.json"),
+      java.nio.file.Paths.get(if (only.isDefined) "bench_subset.json" else "bench.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"reps":$reps,"contended_count":${contendedKeys.size},"loadavg_end":"$loadEnd","sf":"$sfDir"}""")

@@ -146,12 +146,15 @@ case class FloatVecSignBits(child: Expression, dims: Seq[Int])
           s"float_vec_sign_bits expects array<float>, got ${other.catalogString}")
     }
 
+  // A null array element leaves its bit UNSET — the CASE-sum SQL form
+  // this replaces yields ELSE 0 for a null slot, whereas a bare
+  // getFloat on a null slot reads 0.0 and would SET the bit.
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var sig = 0
     var j = 0
     while (j < dims.length) {
-      if (x.getFloat(dims(j)) >= 0f) sig |= 1 << j
+      if (!x.isNullAt(dims(j)) && x.getFloat(dims(j)) >= 0f) sig |= 1 << j
       j += 1
     }
     sig
@@ -165,7 +168,7 @@ case class FloatVecSignBits(child: Expression, dims: Seq[Int])
       s"""
         int $sig = 0;
         for (int $j = 0; $j < $dimsRef.length; $j++) {
-          if ($a.getFloat($dimsRef[$j]) >= 0f) $sig |= 1 << $j;
+          if (!$a.isNullAt($dimsRef[$j]) && $a.getFloat($dimsRef[$j]) >= 0f) $sig |= 1 << $j;
         }
         ${ev.value} = $sig;
       """

@@ -19,13 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark refuses;
-    * read it as a raw nanosecond long and keep all time math integral
-    * (`ts div 1e9` == DuckDB `epoch_ns(ts) // 1e9`).
+  /** events.ts has shipped in two parquet encodings across corpus
+    * generations: TIMESTAMP(NANOS), which vanilla Spark refuses and the
+    * legacy flag reads as a raw nanosecond BIGINT, and
+    * TIMESTAMP(MICROS) without UTC adjustment, which reads natively as
+    * TIMESTAMP_NTZ. Normalize either to integral epoch seconds `es`
+    * (== DuckDB `epoch_ns(ts) // 1e9`; both sides floor, and the
+    * session timezone is pinned UTC so the NTZ wall clock IS the
+    * epoch clock) and keep all downstream time math integral.
     */
   private[graft] def withEpoch(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(s, dir, "events").withColumn("es", expr("ts div 1000000000"))
+    val ev = Tables(s, dir, "events")
+    val es = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("unix_seconds(cast(ts as timestamp))")
+      case _ => expr("unix_seconds(ts)")
+    }
+    ev.withColumn("es", es)
   }
 
   /** 30-minute-gap sessionization via lag + running sum of boundaries;

@@ -47,10 +47,11 @@ def main():
     def dirty_reps(art, q):
         """indices of reps with foreign/iowait over the artifact's gates"""
         ft = art.get("foreign_threshold", 0.15)
+        it = art.get("iowait_threshold", 0.30)
         fg = art.get("queries_foreign", {}).get(q, [])
         io = art.get("queries_iowait", {}).get(q, [])
         bad = {i for i, v in enumerate(fg) if v > ft}
-        bad |= {i for i, v in enumerate(io) if v > 0.30}
+        bad |= {i for i, v in enumerate(io) if v > it}
         return sorted(bad)
 
     print(f"shared queries: {len(shared)}  "
@@ -71,9 +72,10 @@ def main():
             suffix = f"  [{'; '.join(marks)}]" if marks else ""
             print(f"  {q}: {o:.3f}s -> {n:.3f}s ({r:.2f}x){suffix}")
     ow, nw = old.get("value"), new.get("value")
-    print(f"warm totals: {ow:.1f}s -> {nw:.1f}s "
-          f"(per-query medians are the trustworthy signal; totals shift "
-          f"with host state)")
+    if isinstance(ow, (int, float)) and isinstance(nw, (int, float)):
+        print(f"warm totals: {ow:.1f}s -> {nw:.1f}s "
+              f"(per-query medians are the trustworthy signal; totals shift "
+              f"with host state)")
     sys.exit(1 if regressed else 0)
 
 
