@@ -234,11 +234,23 @@ object Similarity {
       topkUnordered(pairs, 3)
     }
 
-  /** The ANN KNN graph, materialized once: s06 emits it, s07 reads it. */
+  /** The ANN KNN graph, materialized once: s06 emits it, s07 reads it.
+    *
+    * The family is the CALIBRATED one — (bits, tables) derived from
+    * `count(embeddings)` via [[annParams]], not a fixed constant: the
+    * sf1 evidence (docs/SCALE_EVIDENCE_r8.md) measured the fixed
+    * 16-table × 8-bit family at 489 s vs 11.5 s for exact brute force
+    * at 10× the calibration corpus (bucket occupancy n/2⁸ → candidate
+    * volume → n²), i.e. an under-provisioned signature is worse than
+    * no index at all. The oracle derives the identical family from the
+    * same count (see the params CTE in s06Sql), so the registered
+    * query stays hash-green at every scale factor.
+    */
   private def annGraphTable(s: SparkSession, dir: String): DataFrame =
-    graft.util.MatStore.table(s, s"anngraph:$dir", "graft_ann") {
+    graft.util.MatStore.table(s, s"anngraph_cal:$dir", "graft_ann") {
       val e = embWithNorm(s, dir)
-      rerankTop3(e, signCandidates(e, dimGroups, probeMasks))
+      val (bits, tables) = annParams(e.count())
+      rerankTop3(e, signCandidates(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits)))
     }
 
   private def s04(s: SparkSession, dir: String): DataFrame =
@@ -261,28 +273,55 @@ object Similarity {
 
   // ---- s06: bucketed KNN graph (LSH candidates + exact re-rank) -----
   // The scale path for s04: instead of the n² pair space, candidates
-  // come from 16 sign-LSH tables (8 contiguous + 8 strided groups of 8
-  // dims) with 1-bit multi-probe on the query side; only candidates
-  // get the exact cosine and the top-3 window. The signature index is
-  // narrow (vec_id, table, sig) — vectors are fetched only for
-  // surviving distinct pairs. Pair cost is Σ buckets |b|² per table
-  // (~L·(probes)·n²/2^bits), not n²; `bits` is the scale knob — grow
-  // it ~log2(n) to hold per-bucket occupancy constant at 100 TB. The
-  // 16-table × 1-flip family was calibrated on the real embeddings:
-  // recall@3 = 0.84 at sf0.01 against exact s04 (s07 measures this
-  // per-query as an oracle-checked op; target ≥ 0.80 avg).
-  private val dimGroups: Seq[Seq[Int]] =
-    (0 until 8).map(t => (0 until 8).map(j => t * 8 + j)) ++
-      (0 until 8).map(t => (0 until 8).map(j => t + 8 * j))
+  // come from a family of sign-LSH tables with 1-bit multi-probe on
+  // the query side; only candidates get the exact cosine and the
+  // bounded top-3 aggregate. The signature index is narrow (vec_id,
+  // table, sig) — vectors are fetched only for surviving distinct
+  // pairs. Pair cost is Σ buckets |b|² per table
+  // (~L·(probes)·n²/2^bits), not n².
+  //
+  // (bits, tables) are NOT constants: they derive deterministically
+  // from the corpus size via [[annParams]], so the same registered
+  // query runs the right-sized family at every scale factor — and the
+  // oracle rederives the identical family from count(embeddings).
 
-  private val probeMasks: Seq[Int] = 0 +: (0 until 8).map(1 << _)
+  /** Calibrated (bits, tables) for a corpus of n vectors.
+    *
+    * bits = clamp(floor(log2 n) − 1, 8, 16): per-bucket occupancy
+    * n/2^bits stays in [2, 4), holding the per-table candidate volume
+    * linear in n. tables follows the measured retention curve — each
+    * +1 bit multiplies a true neighbor's per-table collision odds by
+    * ~p (the corpus' per-bit sign-agreement), so L must grow
+    // geometrically (classic LSH L ~ n^ρ) to hold Σ-table recall.
+    * Anchors are MEASURED recall@3 vs the exact graph on the real
+    * embeddings (Profile's ann probe / SimilaritySpec):
+    * 8/24 → 0.87–0.89 (n=500, both small corpora), 9/32 → 0.873
+    * (n=2000), 13/128 → 0.824 (n=20000), 14/192 → 0.832 (n=60000);
+    * in-between L values interpolate the same ~1.4×/bit growth.
+    * The registered envelope caps at (16, 192) — the largest family
+    * the calibration curve has measured; past n = 2^17 the library
+    * path is [[annKnnGraphAt]] with (bits, tables) solved from a
+    * measured per-table retention probe (the documented 100 TB
+    * method), which this map then grows to mirror.
+    */
+  def annParams(n: Long): (Int, Int) = {
+    require(n > 0, "annParams needs a non-empty corpus")
+    val floorLog2 = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val bits = math.max(8, math.min(16, floorLog2 - 1))
+    val tables = bits match {
+      case 8 => 24; case 9 => 32; case 10 => 48; case 11 => 64
+      case 12 => 96; case 13 => 128; case _ => 192
+    }
+    (bits, tables)
+  }
+
+  /** Largest table count the registered family can reach — the SQL
+    * mirror materializes exactly this many signature branches.
+    */
+  private val AnnMaxTables = 192
 
   // (Spark-side signatures are the codegen'd FloatVecSignBits — same
-  // `>= 0` per-dim bit semantics as this DuckDB CASE-sum form)
-  private def sigExprDuck(dims: Seq[Int]): String =
-    dims.zipWithIndex.map { case (d, j) =>
-      s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
+  // `>= 0` per-dim bit semantics as the DuckDB CASE-sum form)
 
   /** Candidate generation for a sign-LSH table family: one narrow
     * (vec_id, table, sig) index row per table, query-side multi-probe,
@@ -375,20 +414,48 @@ object Similarity {
     rerankTop3(e, signCandidates(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits)))
   }
 
+  /** Oracle mirror of the calibrated family. The family must be a pure
+    * function of the corpus so BOTH engines rederive it at any scale
+    * factor:
+    *  - `prm` recomputes [[annParams]] from count(embeddings) with
+    *    integer threshold CASEs (no FP log2);
+    *  - every table's 16-bit master signature is materialized as a
+    *    CASE-sum over the SAME seeded Fisher–Yates dims the Scala side
+    *    draws — and because each table's dims at b bits are the PREFIX
+    *    of its 16-bit draw, masking the master signature to the low
+    *    `bits` (`s16 % p2`) reproduces FloatVecSignBits exactly;
+    *  - probe masks are the 0-flip plus every 1-flip below p2.
+    */
   private val s06Sql: String = {
-    val sigSelects = dimGroups.zipWithIndex.map { case (dims, t) =>
-      s"SELECT vec_id, $t AS t, ${sigExprDuck(dims)} AS sig FROM e"
+    val master = scaledDimGroups(16, AnnMaxTables)
+    def sig16Expr(dims: Seq[Int]): String =
+      dims.zipWithIndex.map { case (d, j) =>
+        s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val sigSelects = master.zipWithIndex.map { case (dims, t) =>
+      s"SELECT vec_id, $t AS t, ${sig16Expr(dims)} AS s16 FROM e WHERE $t < (SELECT l FROM prm)"
     }.mkString("\n      UNION ALL ")
-    val maskValues = probeMasks.map(m => s"($m)").mkString(",")
+    val bitsCase = (8 to 15).map(b => s"WHEN n < ${1L << (b + 2)} THEN $b").mkString(" ")
+    val tablesCase = "CASE bits WHEN 8 THEN 24 WHEN 9 THEN 32 WHEN 10 THEN 48" +
+      " WHEN 11 THEN 64 WHEN 12 THEN 96 WHEN 13 THEN 128 ELSE 192 END"
+    val p2Case = (8 to 16).map(b => s"WHEN $b THEN ${1 << b}").mkString("CASE bits ", " ", " END")
+    val maskValues = (0 +: (0 until 16).map(1 << _)).map(m => s"($m)").mkString(",")
     s"""
     WITH e AS (
       SELECT vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm
       FROM embeddings),
-    sig AS (
+    prm AS (
+      SELECT bits, $tablesCase AS l, $p2Case AS p2 FROM (
+        SELECT CASE $bitsCase ELSE 16 END AS bits
+        FROM (SELECT count(*) AS n FROM embeddings))),
+    sig16 AS (
       $sigSelects),
+    sig AS (
+      SELECT vec_id, t, s16 % (SELECT p2 FROM prm) AS sig FROM sig16),
     probe AS (
       SELECT s.vec_id AS query_id, s.t, xor(s.sig, m.m) AS psig
-      FROM sig s, (VALUES $maskValues) AS m(m)),
+      FROM sig s, (VALUES $maskValues) AS m(m)
+      WHERE m.m = 0 OR m.m < (SELECT p2 FROM prm)),
     cand AS (
       SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
       FROM probe p JOIN sig c ON c.t = p.t AND c.sig = p.psig

@@ -112,11 +112,20 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
+    // events.ts has shipped as both TIMESTAMP(NANOS) (reads as BIGINT
+    // under the legacy flag) and TIMESTAMP(MICROS)/NTZ — sniff which
+    // corpus generation this host has and adapt schema + cast.
+    val tsIsLong =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
     val schema = new StructType()
-      .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+      .add("event_id", LongType)
+      .add("ts", if (tsIsLong) LongType else TimestampNTZType)
+      .add("user_id", LongType)
       .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
     def withTs(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.withColumn("ts",
+        if (tsIsLong) expr("timestamp_micros(ts div 1000)")
+        else expr("cast(ts as timestamp)"))
     // FileStreamSource wants a directory to watch
     val streamDir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
