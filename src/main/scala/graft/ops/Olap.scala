@@ -439,30 +439,39 @@ object Olap {
     GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
     ORDER BY r_name, n_name"""
 
-  /** Customer-value deciles (LTV segmentation) WITHOUT a global sort:
-    * decile boundaries come from one exact percentile aggregate
-    * (bit-portable, see q11), and each customer's decile is 1 + the
-    * number of boundaries above their spend — a broadcast compare, so
-    * the plan scans and aggregates but never totally orders 150M
-    * customers. (An ntile(10) window would need a single-partition
-    * sort of every customer — the formulation that does NOT survive
-    * 100 TB.) Decile 1 = top spenders.
+  /** Customer-value deciles (LTV segmentation) WITHOUT a global sort
+    * ANYWHERE in the plan: decile boundaries come from distributed
+    * exact selection ([[graft.util.OrderStats]] — iterative histogram
+    * refinement, every pass a fully-parallel aggregation), and each
+    * customer's decile is 1 + the number of LITERAL boundaries above
+    * their spend — a codegen'd compare, no join at all. A one-group
+    * `percentile_cont` would plan as a single reduce task sorting
+    * every customer (measured 5.6× growth at 10× data); an ntile(10)
+    * window is the same single-partition sort. Neither survives
+    * 100 TB; this plan's passes all shuffle on nothing wider than
+    * (rank, bucket) summaries. Decile 1 = top spenders.
+    *
+    * The interpolation mirrors `percentile_cont` exactly (position
+    * p·(n−1), (hi−pos)·v[lo] + (pos−lo)·v[hi], percentages parsed
+    * from the same decimal literals), so the DuckDB oracle is
+    * unchanged and still hash-exact.
     */
   private def q16(s: SparkSession, dir: String): DataFrame = {
     val spend = Tables(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice"), 2).as("spend"))
-    spend.createOrReplaceTempView("spend_q16")
-    val bounds = (1 to 9).map(k =>
-      s"percentile_cont(0.${k}) WITHIN GROUP (ORDER BY spend) AS b$k").mkString(", ")
-    val decile = (1 to 9).map(k => s"CASE WHEN spend < b$k THEN 1 ELSE 0 END").mkString(" + ")
-    s.sql(s"""
-      WITH bounds AS (SELECT $bounds FROM spend_q16)
-      SELECT 1 + ($decile) AS decile, count(*) AS n_customers,
-        ${dsumSql("spend", 2)} AS decile_total,
-        MIN(spend) AS min_spend, MAX(spend) AS max_spend
-      FROM spend_q16 CROSS JOIN bounds
-      GROUP BY 1 ORDER BY decile""")
+    val spendM = graft.util.MatStore.table(s, s"q16spend:$dir", "graft_q16") { spend }
+    val ps = (1 to 9).map(k => s"0.$k".toDouble)
+    val bounds = graft.util.OrderStats.percentileCont(spendM, "spend", ps)
+    val decile = ps.map(p => when(col("spend") < lit(bounds(p)), 1).otherwise(0))
+      .reduce(_ + _)
+    spendM
+      .withColumn("decile", (lit(1) + decile).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("spend"), 2).as("decile_total"),
+        min(col("spend")).as("min_spend"), max(col("spend")).as("max_spend"))
+      .orderBy(col("decile"))
   }
 
   private val q16Sql = {

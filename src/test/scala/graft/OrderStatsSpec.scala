@@ -1,0 +1,55 @@
+package graft
+
+import graft.util.OrderStats
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed exact selection must be EXACT — bit-identical to a
+  * sort — under duplicates, skew, negatives, and forced multi-round
+  * refinement, because q16's oracle hashes its interpolated output.
+  */
+class OrderStatsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def check(values: Seq[Double], buckets: Int, tailK: Int): Unit = {
+    val df = values.toDF("v").repartition(7)
+    val sorted = values.sorted.toArray
+    val n = values.size.toLong
+    val ranks = Seq(0L, n - 1, n / 2, n / 3, (2 * n) / 3).distinct.filter(_ < n)
+    val got = OrderStats.orderStatistics(df, "v", ranks, buckets = buckets, tailK = tailK)
+    ranks.foreach { r =>
+      assert(got(r) == sorted(r.toInt),
+        s"rank $r: got ${got(r)}, want ${sorted(r.toInt)} (buckets=$buckets tailK=$tailK)")
+    }
+  }
+
+  test("matches a local sort under duplicates and skew, across refinement depths") {
+    val rnd = new scala.util.Random(7)
+    // heavy duplicates + a dense cluster + outliers + negatives
+    val values = Seq.fill(500)(42.0) ++
+      Seq.fill(800)(rnd.nextInt(20).toDouble - 10.0) ++
+      Seq.fill(700)(1e-9 * rnd.nextInt(1000)) ++
+      Seq(-1e18, 1e18, 0.0, -0.0)
+    // tiny buckets/tailK force several histogram rounds; big values
+    // resolve in the first
+    check(values, buckets = 4, tailK = 2)
+    check(values, buckets = 1024, tailK = 1024)
+  }
+
+  test("percentileCont equals the SQL percentile_cont bit-for-bit") {
+    val rnd = new scala.util.Random(13)
+    val values = Seq.fill(3000)(rnd.nextDouble() * 1e6) ++ Seq.fill(100)(777.77)
+    val df = values.toDF("v").repartition(5)
+    df.createOrReplaceTempView("os_pc")
+    val ps = (1 to 9).map(k => s"0.$k".toDouble)
+    val got = OrderStats.percentileCont(df, "v", ps)
+    val exprs = (1 to 9).map(k =>
+      s"percentile_cont(0.$k) WITHIN GROUP (ORDER BY v) AS b$k").mkString(", ")
+    val want = spark.sql(s"SELECT $exprs FROM os_pc").head()
+    (1 to 9).foreach { k =>
+      assert(got(s"0.$k".toDouble) == want.getDouble(k - 1),
+        s"p=0.$k: got ${got(s"0.$k".toDouble)}, want ${want.getDouble(k - 1)}")
+    }
+  }
+}
