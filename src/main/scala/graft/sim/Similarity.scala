@@ -426,7 +426,11 @@ object Similarity {
     *    `bits` (`s16 % p2`) reproduces FloatVecSignBits exactly;
     *  - probe masks are the 0-flip plus every 1-flip below p2.
     */
-  private val s06Sql: String = {
+  /** The family CTE chain, `e` through `cand(query_id, neighbor_id)`
+    * — shared verbatim by s06Sql, s07Sql and the d12 near-dup scale
+    * variant so every ANN-candidate oracle rederives the one family.
+    */
+  private[graft] val annCandidateCtes: String = {
     val master = scaledDimGroups(16, AnnMaxTables)
     def sig16Expr(dims: Seq[Int]): String =
       dims.zipWithIndex.map { case (d, j) =>
@@ -440,8 +444,7 @@ object Similarity {
       " WHEN 11 THEN 64 WHEN 12 THEN 96 WHEN 13 THEN 128 ELSE 192 END"
     val p2Case = (8 to 16).map(b => s"WHEN $b THEN ${1 << b}").mkString("CASE bits ", " ", " END")
     val maskValues = (0 +: (0 until 16).map(1 << _)).map(m => s"($m)").mkString(",")
-    s"""
-    WITH e AS (
+    s"""e AS (
       SELECT vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm
       FROM embeddings),
     prm AS (
@@ -459,7 +462,12 @@ object Similarity {
     cand AS (
       SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
       FROM probe p JOIN sig c ON c.t = p.t AND c.sig = p.psig
-        AND c.vec_id <> p.query_id),
+        AND c.vec_id <> p.query_id)"""
+  }
+
+  private val s06Sql: String = {
+    s"""
+    WITH $annCandidateCtes,
     pairs AS (
       SELECT cd.query_id, cd.neighbor_id,
         ${Cosine.dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos

@@ -15,6 +15,27 @@ class PipelineSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // d12 is d05's registered scale path (ANN candidates -> exact cosine
+  // filter): its output must be a SUBSET of the exact near-dup pairs
+  // (same final filters, approximate candidate generation only), and
+  // the recall against the exact oracle must clear the same 0.80 gate
+  // the s06/s07 family was calibrated to — on every shipped corpus
+  // (measured 0.83 / 0.85 / 0.81).
+  Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+    test(s"d12 ANN near-dup is a subset of exact d05 with recall >= 0.80 at $dir") {
+      def pairs(name: String) =
+        SparkEntry.queries(name)(spark, dir)
+          .select(col("vec_a"), col("vec_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs("d05_embedding_neardup")
+      val ann = pairs("d12_neardup_ann")
+      assert(ann.subsetOf(exact), s"${(ann -- exact).size} pairs not in the exact oracle")
+      val recall = ann.size.toDouble / exact.size
+      info(f"recall = $recall%.3f (${ann.size}/${exact.size})")
+      assert(recall >= 0.80, f"d12 recall $recall%.3f < 0.80")
+    }
+  }
+
   test("curation pipeline: dedup survivors -> quality filter -> JSONL sink") {
     val docs = Tables(spark, sf, "documents")
     val nDocs = docs.count()
