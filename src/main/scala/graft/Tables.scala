@@ -17,4 +17,18 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The table as a session-bucketed catalog table, bucketed AND
+    * sorted on `key` — the ingest-time layout a 100 TB deployment
+    * maintains for its fact tables. Every join or aggregation keyed on
+    * the bucket column then plans without an Exchange (BucketingSpec
+    * proves the shape; the orderkey spine build and the OLAP
+    * fact-fact joins q03/q05 consume it). Built at most once per
+    * (session, corpus, table): the one bucketing shuffle replaces the
+    * per-query join shuffles of every consumer. Column pruning and
+    * filter pushdown still reach the bucketed parquet scan.
+    */
+  def bucketed(spark: SparkSession, dir: String, name: String, key: String): DataFrame =
+    graft.util.MatStore.bucketedTable(spark, s"bktfact_$name:$dir", s"graft_bf_$name", key,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)(apply(spark, dir, name))
 }

@@ -30,21 +30,24 @@ object TradeGraph {
     * denormalization: pay the fact-fact shuffle once, serve every
     * downstream graph/pair build from it.
     *
-    * Persisted as PLAIN parquet, measured choice at sf0.1/local[32]:
-    * plain spine build 3.5 s vs bucketed catalog build 5.2 s
-    * (repartition-aligned; 9.5 s when each task writes all 32
-    * buckets), and consumers here aggregate rather than re-join on
-    * orderkey, so bucket co-location pays nothing — [edges+bipairs]
-    * totals: plain 9.3 s, bucketed 10.3 s, round-3 inline joins
-    * 11.0 s. Workloads that DO re-join on the key should switch this
-    * to `MatStore.bucketedTable` (exchange-free join proven in
-    * BucketingSpec).
+    * The SPINE stays PLAIN parquet, measured choice at sf0.1/local[32]
+    * (its consumers aggregate rather than re-join on orderkey, so
+    * bucketing the spine itself pays nothing — plain 9.3 s vs
+    * bucketed 10.3 s for [edges+bipairs]). The spine's INPUTS are the
+    * other story (r9): lineitem and orders come from the
+    * session-bucketed fact layout (`Tables.bucketed`), so the
+    * fact-fact join here carries zero exchanges and the one bucketing
+    * shuffle is shared with every other orderkey consumer (q03/q05).
     */
   def orderFacts(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.table(s, s"ofacts:$dir", "graft_ofacts") {
-      val l = Tables(s, dir, "lineitem")
+      // both facts come from the session-bucketed layout (r9): the
+      // orderkey join below plans with ZERO exchanges — the bucketing
+      // pass is the one shuffle, shared with q03/q05 and any other
+      // orderkey consumer (BucketingSpec asserts the plan shape)
+      val l = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
         .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
-      val o = Tables(s, dir, "orders")
+      val o = Tables.bucketed(s, dir, "orders", "o_orderkey")
         .select(col("o_orderkey"), col("o_custkey").as("custkey"))
       l.join(o, col("orderkey") === col("o_orderkey"))
         .select(col("orderkey"), col("custkey"), col("suppkey"))

@@ -50,11 +50,18 @@ object Olap {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
-  /** Q3 shape: selective dim filter -> 3-way join -> agg -> top-N. */
+  /** Q3 shape: selective dim filter -> 3-way join -> agg -> top-N.
+    * The fact-fact edge reads the session-bucketed layout: the
+    * orderkey join AND the (o_orderkey, o_orderdate) aggregation both
+    * plan without an Exchange (partitioning on o_orderkey satisfies
+    * the group-by clustering), leaving only the broadcast dim join.
+    */
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-    val o = Tables(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1997-06-30")))
-    val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1997-06-30")))
+    val o = Tables.bucketed(s, dir, "orders", "o_orderkey")
+      .filter(col("o_orderdate") < to_timestamp(lit("1997-06-30")))
+    val l = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
+      .filter(col("l_shipdate") > to_timestamp(lit("1997-06-30")))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
@@ -84,10 +91,10 @@ object Olap {
     val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
     val n = Tables(s, dir, "nation")
     val c = Tables(s, dir, "customer")
-    val o = Tables(s, dir, "orders")
+    val o = Tables.bucketed(s, dir, "orders", "o_orderkey")
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("1998-01-01")))
-    val l = Tables(s, dir, "lineitem")
+    val l = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
     val sup = Tables(s, dir, "supplier")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))

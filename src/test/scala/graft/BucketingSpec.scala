@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Evidence for the SURVEY §5 co-location claim: two tables bucketed
@@ -49,6 +50,33 @@ class BucketingSpec extends AnyFunSuite {
       assert(graft.util.MatStore.bucketedTable(spark, "bktspec:left",
         "graft_bktspec", "k", 8)(fail("must not rebuild")).count() == 500)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("registered fact-fact joins consume the bucketed layout: zero shuffle exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // forcing broadcasts OFF makes the assertion strict: without the
+    // bucketed layout every one of these would need an Exchange pair
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // q03's whole pipeline: bucketed l ⋈ o join AND the
+      // (o_orderkey, o_orderdate) aggregation ride the bucket
+      // partitioning; only its dim join broadcasts (re-enabled below)
+      val l = Tables.bucketed(spark, sf, "lineitem", "l_orderkey")
+        .select(col("l_orderkey").as("orderkey"), col("l_suppkey"))
+      val o = Tables.bucketed(spark, sf, "orders", "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val spine = l.join(o, col("orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      val plan = spine.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed fact-fact join still shuffles:\n$plan")
+      assert(spine.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and the registered q03 keeps only broadcast exchanges end-to-end
+    val q03Plan = SparkEntry.queries("q03_top_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!q03Plan.contains("Exchange hashpartitioning"),
+      s"q03 still carries a shuffle exchange:\n$q03Plan")
   }
 
   test("graph builds consume the fact spine: no orderkey join in their plans") {
