@@ -234,19 +234,26 @@ object Olap {
     GROUP BY n_name
     ORDER BY n_name"""
 
-  /** Exact interpolated percentiles per group (SQL-standard
-    * percentile_cont in both engines).
+  /** Exact interpolated percentiles per group — computed through
+    * [[graft.util.OrderStats.groupedPercentileCont]] (r9): the
+    * built-in percentile aggregate buffers every group's full value
+    * list in the reduce task (bounded groups, but per-group memory
+    * and sort grow linearly with the data); the distributed selection
+    * never buffers values anywhere and its interpolation reproduces
+    * `percentile_cont` bit-for-bit, so the DuckDB oracle is
+    * unchanged. The result itself is one row per return flag —
+    * bounded by construction.
     */
   private def q11(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
-    li.createOrReplaceTempView("lineitem_q11")
-    s.sql("""
-      SELECT l_returnflag,
-        percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
-        percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
-      FROM lineitem_q11
-      GROUP BY l_returnflag
-      ORDER BY l_returnflag""")
+    val med = graft.util.OrderStats.groupedPercentileCont(
+      li, "l_returnflag", "l_quantity", Seq(0.5))
+    val p90 = graft.util.OrderStats.groupedPercentileCont(
+      li, "l_returnflag", "l_extendedprice", Seq(0.9))
+    val rows = med.keys.map(_._1).toSeq.sorted.map(g =>
+      (g, med((g, 0.5)), p90((g, 0.9))))
+    s.createDataFrame(rows).toDF("l_returnflag", "median_qty", "p90_price")
+      .orderBy(col("l_returnflag"))
   }
 
   private val q11Sql = """
