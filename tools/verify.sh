@@ -1,6 +1,6 @@
 #!/bin/bash
 # Local dev harness: run graft.Verify without sbt startup overhead.
-# Usage: tools/verify.sh [sfdir] [outdir]
+# Usage: tools/verify.sh [sfdir] [outdir] [query1,query2,...]
 set -e
 cd "$(dirname "$0")/.."
 SFDIR="${1:-/root/testdata/sf0.01}"
@@ -17,4 +17,4 @@ rm -rf "$OUT"
 exec java $ADDOPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SFDIR" "$OUT"
+  graft.Verify "$SFDIR" "$OUT" ${3:+"$3"}
