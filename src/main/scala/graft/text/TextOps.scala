@@ -253,31 +253,43 @@ object TextOps {
   /** MOSS-style document fingerprints: Rabin–Karp polynomial rolling
     * hash (base 131 mod 1e9+7, exact BIGINT math) over 3-token
     * shingles, then winnowing (min hash per window of 4) — the
-    * fingerprint scheme plagiarism/containment scanners use. Entirely
-    * codegen'd higher-order array functions; the only data movement is
-    * the final sort.
+    * fingerprint scheme plagiarism/containment scanners use.
+    *
+    * Two scale lessons are load-bearing here (both measured at sf1,
+    * where the original form ran 1600× past its expected cost):
+    *  - every intermediate array (grams, hashes, window minima,
+    *    fingerprints) is bound as its OWN column, never textually
+    *    inlined into a downstream lambda. Higher-order functions
+    *    evaluate interpreted (CodegenFallback), and an expression
+    *    tree inlined under a lambda can be re-evaluated per element —
+    *    O(per-row) quietly becomes O(per-row²). A bound column is a
+    *    BoundReference: computed once per row, period.
+    *  - the documents corpus is one small single-row-group parquet
+    *    file — unsplittable, so the whole CPU-dense per-row chain
+    *    inherits ONE task (`maxPartitionBytes` cannot help; splits
+    *    align to row groups). An explicit round-robin repartition
+    *    spreads it across the session's parallelism; the shuffle
+    *    moves only the raw text once.
     */
-  private val t08Spark: Seq[(String, String)] = {
-    val k3 = """CASE WHEN size(toks) >= 3 THEN
-        transform(sequence(1, size(toks) - 2),
-          i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-      ELSE array() END"""
-    val hs = s"""transform($k3, g ->
-        aggregate(sequence(1, length(g)), cast(0 as bigint),
-          (acc, i) -> (acc * 131 + ascii(substring(g, i, 1))) % 1000000007))"""
-    val mins = s"""CASE WHEN size($hs) >= 4 THEN
-        transform(sequence(1, size($hs) - 3), j -> array_min(slice($hs, j, 4)))
-      ELSE $hs END"""
-    val fps = s"array_sort(array_distinct($mins))"
-    Seq(
-      "n_fps" -> s"cast(size($fps) as bigint)",
-      "fp_md5" -> s"md5(cast(array_join(transform($fps, x -> cast(x as string)), ',') as binary))")
-  }
-
   private def t08(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .withColumn("toks", expr(toksExpr))
-      .select(col("doc_id") +: t08Spark.map { case (n, e) => expr(e).as(n) }: _*)
+      .withColumn("k3", expr("""CASE WHEN size(toks) >= 3 THEN
+          transform(sequence(1, size(toks) - 2),
+            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+        ELSE array() END"""))
+      .withColumn("hs", expr("""transform(k3, g ->
+          aggregate(sequence(1, length(g)), cast(0 as bigint),
+            (acc, i) -> (acc * 131 + ascii(substring(g, i, 1))) % 1000000007))"""))
+      .withColumn("mins", expr("""CASE WHEN size(hs) >= 4 THEN
+          transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))
+        ELSE hs END"""))
+      .withColumn("fps", expr("array_sort(array_distinct(mins))"))
+      .select(col("doc_id"),
+        expr("cast(size(fps) as bigint)").as("n_fps"),
+        expr("md5(cast(array_join(transform(fps, x -> cast(x as string)), ',') as binary))")
+          .as("fp_md5"))
       .orderBy(col("doc_id"))
 
   private val t08Sql: String = {
