@@ -349,25 +349,37 @@ object Events {
 
   /** Session-duration/engagement distribution — the product metric the
     * sessionizer feeds: exact interpolated percentiles of session
-    * length and per-session event count. Computed through
-    * [[graft.util.OrderStats.percentileCont]] (r9) over a
-    * session-materialized sessions table: the built-in percentile
-    * aggregate would buffer every session in one reduce task; the
-    * distributed selection scans in parallel and reproduces the
-    * `percentile_cont` interpolation bit-for-bit (oracle unchanged).
+    * length and per-session event count, over a session-materialized
+    * sessions table. ADAPTIVE like q11 (r9): the built-in one-job
+    * aggregate under [[graft.util.OrderStats.BuiltinEnvelopeRows]],
+    * the distributed selection ([[graft.util.OrderStats]]) past it —
+    * the built-in buffers every session in one reduce task, the
+    * selection never buffers; both reproduce the `percentile_cont`
+    * interpolation bit-for-bit (oracle unchanged either way).
     */
   private def e10(s: SparkSession, dir: String): DataFrame = {
     val sess = sessionsTable(s, dir)
-    val dur = sess.withColumn("dur", col("end_es") - col("start_es"))
-    val dp = graft.util.OrderStats.percentileCont(dur, "dur", Seq(0.5, 0.9))
-    val ep = graft.util.OrderStats.percentileCont(sess, "n_events", Seq(0.5))
     val tot = sess.agg(count(lit(1)).as("n"),
       sum(col("n_events").cast(org.apache.spark.sql.types.DecimalType(18, 0)))
         .cast("long").as("te")).head()
-    s.createDataFrame(Seq(
-      (tot.getLong(0), dp(0.5), dp(0.9), ep(0.5), tot.getLong(1))))
-      .toDF("n_sessions", "p50_duration_s", "p90_duration_s", "p50_events",
-        "total_events")
+    if (tot.getLong(0) <= graft.util.OrderStats.BuiltinEnvelopeRows) {
+      sess.createOrReplaceTempView("sess_e10")
+      s.sql(s"""
+        SELECT count(*) AS n_sessions,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY end_es - start_es) AS p50_duration_s,
+          percentile_cont(0.9) WITHIN GROUP (ORDER BY end_es - start_es) AS p90_duration_s,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY n_events) AS p50_events,
+          CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS BIGINT) AS total_events
+        FROM sess_e10""")
+    } else {
+      val dur = sess.withColumn("dur", col("end_es") - col("start_es"))
+      val dp = graft.util.OrderStats.percentileCont(dur, "dur", Seq(0.5, 0.9))
+      val ep = graft.util.OrderStats.percentileCont(sess, "n_events", Seq(0.5))
+      s.createDataFrame(Seq(
+        (tot.getLong(0), dp(0.5), dp(0.9), ep(0.5), tot.getLong(1))))
+        .toDF("n_sessions", "p50_duration_s", "p90_duration_s", "p50_events",
+          "total_events")
+    }
   }
 
   private val e10Sql = s"""

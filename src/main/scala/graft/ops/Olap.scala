@@ -234,26 +234,39 @@ object Olap {
     GROUP BY n_name
     ORDER BY n_name"""
 
-  /** Exact interpolated percentiles per group — computed through
-    * [[graft.util.OrderStats.groupedPercentileCont]] (r9): the
-    * built-in percentile aggregate buffers every group's full value
-    * list in the reduce task (bounded groups, but per-group memory
-    * and sort grow linearly with the data); the distributed selection
-    * never buffers values anywhere and its interpolation reproduces
-    * `percentile_cont` bit-for-bit, so the DuckDB oracle is
-    * unchanged. The result itself is one row per return flag —
-    * bounded by construction.
+  /** Exact interpolated percentiles per group, ADAPTIVE on input
+    * size (r9): under [[graft.util.OrderStats.BuiltinEnvelopeRows]]
+    * the built-in one-job aggregate runs (its (value → count) buffer
+    * is safe at that scale and ~12× cheaper than multi-job selection
+    * at sf0.1); past the envelope — sf1's 6M lineitem and up — the
+    * distributed selection takes over, which never buffers a group's
+    * values anywhere (the built-in's buffer is O(distinct values per
+    * group): fine for 50 quantity levels, O(rows) for near-unique
+    * prices). Both paths are bit-equal and reproduce
+    * `percentile_cont` exactly, so the DuckDB oracle is unchanged
+    * either way.
     */
   private def q11(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
-    val med = graft.util.OrderStats.groupedPercentileCont(
-      li, "l_returnflag", "l_quantity", Seq(0.5))
-    val p90 = graft.util.OrderStats.groupedPercentileCont(
-      li, "l_returnflag", "l_extendedprice", Seq(0.9))
-    val rows = med.keys.map(_._1).toSeq.sorted.map(g =>
-      (g, med((g, 0.5)), p90((g, 0.9))))
-    s.createDataFrame(rows).toDF("l_returnflag", "median_qty", "p90_price")
-      .orderBy(col("l_returnflag"))
+    if (li.count() <= graft.util.OrderStats.BuiltinEnvelopeRows) {
+      li.createOrReplaceTempView("lineitem_q11")
+      s.sql("""
+        SELECT l_returnflag,
+          percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+          percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+        FROM lineitem_q11
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    } else {
+      val med = graft.util.OrderStats.groupedPercentileCont(
+        li, "l_returnflag", "l_quantity", Seq(0.5))
+      val p90 = graft.util.OrderStats.groupedPercentileCont(
+        li, "l_returnflag", "l_extendedprice", Seq(0.9))
+      val rows = med.keys.map(_._1).toSeq.sorted.map(g =>
+        (g, med((g, 0.5)), p90((g, 0.9))))
+      s.createDataFrame(rows).toDF("l_returnflag", "median_qty", "p90_price")
+        .orderBy(col("l_returnflag"))
+    }
   }
 
   private val q11Sql = """

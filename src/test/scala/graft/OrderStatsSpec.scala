@@ -37,6 +37,29 @@ class OrderStatsSpec extends AnyFunSuite {
     check(values, buckets = 1024, tailK = 1024)
   }
 
+  test("groupedPercentileCont equals the per-group SQL percentile_cont bit-for-bit") {
+    val rnd = new scala.util.Random(29)
+    val values = (1 to 4000).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextDouble() * 1e5)) ++
+      (1 to 200).map(_ => ("g1", 333.33))
+    val df = values.toDF("g", "v").repartition(6)
+    df.createOrReplaceTempView("os_gpc")
+    val got = OrderStats.groupedPercentileCont(df, "g", "v", Seq(0.25, 0.5, 0.9))
+    val want = spark.sql("""
+      SELECT g,
+        percentile_cont(0.25) WITHIN GROUP (ORDER BY v) AS p25,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p50,
+        percentile_cont(0.9) WITHIN GROUP (ORDER BY v) AS p90
+      FROM os_gpc GROUP BY g""").collect()
+    assert(want.nonEmpty)
+    want.foreach { r =>
+      val g = r.getString(0)
+      assert(got((g, 0.25)) == r.getDouble(1), s"$g p25")
+      assert(got((g, 0.5)) == r.getDouble(2), s"$g p50")
+      assert(got((g, 0.9)) == r.getDouble(3), s"$g p90")
+    }
+  }
+
   test("percentileCont equals the SQL percentile_cont bit-for-bit") {
     val rnd = new scala.util.Random(13)
     val values = Seq.fill(3000)(rnd.nextDouble() * 1e6) ++ Seq.fill(100)(777.77)
