@@ -329,20 +329,27 @@ object Dedup {
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", graft.functions.VectorFunctions.floatNorm(col("embedding")))
     val (bits, tables) = graft.sim.Similarity.annParams(e.count())
-    val cands = graft.sim.Similarity.annCandidates(s, dir, bits, tables)
-      .select(least(col("query_id"), col("neighbor_id")).as("vec_a"),
-        greatest(col("query_id"), col("neighbor_id")).as("vec_b"))
-      .distinct()
+    // RAW candidate stream (duplicates included, zero shuffles): the
+    // exact-cosine + label filters run map-side FIRST — they kill the
+    // overwhelming share of candidates — and only the tiny survivor
+    // set pays the distinct. Deduping the full raw stream up front
+    // was measured at sf1 as the dominant cost of the whole query.
+    val cands = graft.sim.Similarity.signCandidatesRaw(e,
+        graft.sim.Similarity.scaledDimGroups(bits, tables),
+        graft.sim.Similarity.scaledProbeMasks(bits))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    cands.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+    cands.join(broadcast(a), Seq("vec_a")).join(broadcast(b), Seq("vec_b"))
       .filter(col("label") === col("label_b"))
       .withColumn("cos",
         graft.functions.VectorFunctions.floatDot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.30)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

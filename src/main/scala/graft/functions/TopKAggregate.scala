@@ -15,7 +15,16 @@ import org.apache.spark.sql.types._
   * `row_number()` window over the same ORDER BY would make, which is
   * what keeps the DuckDB oracles unchanged.
   */
-private[graft] final class TopKBuffer(val k: Int) {
+/** @param distinctPayloads when true, each payload occupies at most
+  *   one slot, holding its best (score, payload) entry — top-k over
+  *   DISTINCT payloads. This makes an upstream `distinct()` on the
+  *   candidate stream redundant: duplicates are absorbed into the
+  *   k-element buffer instead of paying a full dedup shuffle. The
+  *   partial/merge decomposition stays exact: a payload excluded from
+  *   a partition's buffer is beaten there by k distinct payloads
+  *   whose global best entries also beat it.
+  */
+private[graft] final class TopKBuffer(val k: Int, val distinctPayloads: Boolean = false) {
   val scores = new Array[Double](k)
   val payloads = new Array[Long](k)
   var size = 0
@@ -39,6 +48,27 @@ private[graft] final class TopKBuffer(val k: Int) {
   }
 
   def insert(score: Double, payload: Long): Unit = {
+    if (distinctPayloads) {
+      // at most one slot per payload: keep the better entry (same
+      // payload ⇒ same score for every registered caller, so this is
+      // a pure duplicate-absorb there)
+      var j = 0
+      while (j < size) {
+        if (payloads(j) == payload) {
+          if (!beats(score, payload, scores(j), payloads(j))) return
+          // new entry wins: remove the old slot, fall through to insert
+          var m = j
+          while (m < size - 1) {
+            scores(m) = scores(m + 1)
+            payloads(m) = payloads(m + 1)
+            m += 1
+          }
+          size -= 1
+          j = size // exit loop
+        }
+        j += 1
+      }
+    }
     if (size == k && !beats(score, payload, scores(k - 1), payloads(k - 1))) return
     // find insertion point (k is small: linear scan)
     var i = if (size == k) k - 1 else size
@@ -89,6 +119,7 @@ case class TopKScored(
     score: Expression,
     payload: Expression,
     k: Int,
+    distinctPayloads: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuffer] {
@@ -112,7 +143,7 @@ case class TopKScored(
       StructField("payload", LongType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, distinctPayloads)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
@@ -162,7 +193,9 @@ case class TopKScored(
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val bufK = bb.getInt
     val n = bb.getInt
-    val buf = new TopKBuffer(bufK)
+    // serialized entries are already per-payload deduped when this
+    // aggregate runs distinct, so the flag only matters for merges
+    val buf = new TopKBuffer(bufK, distinctPayloads)
     var i = 0
     while (i < n) {
       buf.scores(i) = bb.getDouble
@@ -192,4 +225,14 @@ object TopKAggregate {
     ColumnBridge.column(
       TopKScored(ColumnBridge.expression(score),
         ColumnBridge.expression(payload), k).toAggregateExpression())
+
+  /** Top-k over DISTINCT payloads (best entry per payload) — absorbs
+    * duplicate candidate pairs into the buffer so the stream above
+    * needs no `distinct()` shuffle.
+    */
+  def topKScoredDistinct(score: Column, payload: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKScored(ColumnBridge.expression(score),
+        ColumnBridge.expression(payload), k,
+        distinctPayloads = true).toAggregateExpression())
 }

@@ -250,7 +250,7 @@ object Similarity {
     graft.util.MatStore.table(s, s"anngraph_cal:$dir", "graft_ann") {
       val e = embWithNorm(s, dir)
       val (bits, tables) = annParams(e.count())
-      rerankTop3(e, signCandidates(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits)))
+      rerankTop3(e, signCandidatesRaw(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits)))
     }
 
   private def s04(s: SparkSession, dir: String): DataFrame =
@@ -323,41 +323,80 @@ object Similarity {
   // (Spark-side signatures are the codegen'd FloatVecSignBits — same
   // `>= 0` per-dim bit semantics as the DuckDB CASE-sum form)
 
-  /** Candidate generation for a sign-LSH table family: one narrow
-    * (vec_id, table, sig) index row per table, query-side multi-probe,
-    * distinct surviving pairs. Shared by s06 (the calibrated 16×8-bit
-    * family) and the bits-parametrized scale family below.
+  /** One codegen'd constant-loop signature per table (not a CASE-sum
+    * SQL string: at 96+ tables x 13 bits that string form blew the
+    * 64 KB generated-method limit and fell back to interpreted).
     */
-  private def signCandidates(e: DataFrame, groups: Seq[Seq[Int]],
-      masks: Seq[Int]): DataFrame = {
-    // one codegen'd constant-loop signature per table (not a CASE-sum
-    // SQL string: at 96+ tables x 13 bits that string form blew the
-    // 64 KB generated-method limit and fell back to interpreted)
-    val sigArray = array(groups.zipWithIndex.map { case (dims, t) =>
+  private def sigArrayExpr(groups: Seq[Seq[Int]]) =
+    array(groups.zipWithIndex.map { case (dims, t) =>
       struct(lit(t).as("t"),
         graft.functions.VectorFunctions.floatSignBits(col("embedding"), dims).as("sig"))
     }: _*)
-    val sigs = e.select(col("vec_id"), explode(sigArray).as("ts"))
-      .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-    val probes = sigs.select(col("vec_id").as("query_id"), col("t"),
-        explode(array(masks.map(lit): _*)).as("m"), col("sig"))
+
+  /** RAW candidate pair stream (query_id, neighbor_id), WITH
+    * duplicates — one row per (table, probe) hit. The plan is
+    * deliberately shuffle-free (measured at sf1: the join-then-
+    * `distinct()` form moved the ~90M-pair stream through two full
+    * exchanges and cost 158 s where exact brute force costs 5 s):
+    *
+    *  - the narrow (vec_id, t, sig) INDEX side is broadcast — ~16 B
+    *    per (vector, table), so ~40 MB at sf1's 20k × 128 family
+    *    (broadcast envelope documented on [[knnGraphTable]]; a
+    *    cluster-scale deployment bucket-partitions the index by
+    *    (t, sig) instead and the probe stream shuffles once);
+    *  - the PROBE side starts from the vectors repartitioned by
+    *    vec_id (the corpus parquet is a single unsplittable row
+    *    group — without the explicit spread the whole stream runs on
+    *    one task) and explodes tables × masks IN PLACE;
+    *  - downstream consumers absorb duplicates instead of paying a
+    *    dedup shuffle: the KNN graph ranks through the
+    *    distinct-payload top-k buffer, d12 filters by exact cosine
+    *    FIRST and dedups only the tiny survivor set.
+    */
+  private[graft] def signCandidatesRaw(e: DataFrame, groups: Seq[Seq[Int]],
+      masks: Seq[Int]): DataFrame = {
+    val s = e.sparkSession
+    val sigArray = sigArrayExpr(groups)
+    val index = e.select(col("vec_id").as("neighbor_id"), explode(sigArray).as("ts"))
+      .select(col("neighbor_id"), col("ts.t").as("nt"), col("ts.sig").as("nsig"))
+    val probes = e.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      .select(col("vec_id").as("query_id"), explode(sigArray).as("ts"))
+      .select(col("query_id"), col("ts.t").as("t"),
+        explode(array(masks.map(lit): _*)).as("m"), col("ts.sig").as("sig"))
       .select(col("query_id"), col("t"), col("sig").bitwiseXOR(col("m")).as("psig"))
-    probes.join(
-        sigs.select(col("vec_id").as("neighbor_id"), col("t").as("nt"), col("sig").as("nsig")),
+    probes.join(broadcast(index),
         col("t") === col("nt") && col("psig") === col("nsig") &&
           col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id")).distinct()
+      .select(col("query_id"), col("neighbor_id"))
   }
 
-  /** Exact cosine re-rank of candidate pairs to a top-3 graph —
-    * vectors are fetched only for surviving pairs.
+  /** Distinct candidate pairs — the probe/spec-facing contract; the
+    * registered queries consume the raw stream directly.
     */
-  private def rerankTop3(e: DataFrame, cands: DataFrame): DataFrame = {
+  private def signCandidates(e: DataFrame, groups: Seq[Seq[Int]],
+      masks: Seq[Int]): DataFrame =
+    signCandidatesRaw(e, groups, masks).distinct()
+
+  /** Exact cosine re-rank of the RAW candidate stream to a top-3
+    * graph: vectors join map-side (both sides broadcast), duplicate
+    * pairs are absorbed by the distinct-payload top-k buffer, and —
+    * because the probe stream is pre-partitioned by query_id — the
+    * partial buffers are final: ZERO exchanges over the pair stream.
+    */
+  private def rerankTop3(e: DataFrame, rawCands: DataFrame): DataFrame = {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
-    val pairs = cands.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+    val pairs = rawCands
+      .join(broadcast(q), Seq("query_id")).join(broadcast(c), Seq("neighbor_id"))
       .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
-    topkUnordered(pairs, 3).orderBy(col("query_id"), col("rank"))
+    pairs.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topKScoredDistinct(
+        col("cos"), col("neighbor_id"), 3).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sn")))
+      .select(col("query_id"), col("sn.payload").as("neighbor_id"),
+        col("sn.score").as("cos"), (col("pos") + lit(1)).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   private def s06(s: SparkSession, dir: String): DataFrame =
@@ -393,7 +432,7 @@ object Similarity {
   }
 
   /** 0-flip + every 1-flip probe, query side. */
-  private def scaledProbeMasks(bits: Int): Seq[Int] = 0 +: (0 until bits).map(1 << _)
+  private[graft] def scaledProbeMasks(bits: Int): Seq[Int] = 0 +: (0 until bits).map(1 << _)
 
   /** Distinct LSH candidate pairs for the bits-parametrized family.
     * `tables` is the companion knob: a longer signature lowers each
@@ -411,7 +450,7 @@ object Similarity {
   def annKnnGraphAt(s: SparkSession, dir: String, bits: Int,
       tables: Int = 16): DataFrame = {
     val e = embWithNorm(s, dir)
-    rerankTop3(e, signCandidates(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits)))
+    rerankTop3(e, signCandidatesRaw(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits)))
   }
 
   /** Oracle mirror of the calibrated family. The family must be a pure

@@ -28,6 +28,32 @@ class TopKAggSpec extends AnyFunSuite {
       .select($"query_id", $"sn.payload".as("neighbor_id"),
         $"sn.score".as("cos"), ($"pos" + lit(1)).as("rank"))
 
+  test("distinct-payload variant equals distinct()-then-window on a duplicated stream") {
+    val rnd = new scala.util.Random(11)
+    val base = for (q <- 0L until 25L; n <- 0L until 40L if n != q)
+      yield (q, n, rnd.nextInt(6).toDouble / 5.0)
+    // replicate rows 1-4x — the raw-candidate-stream shape (same pair
+    // always carries the same score, as in the LSH multi-probe hits)
+    val dup = base.flatMap(r => Seq.fill(1 + rnd.nextInt(4))(r))
+    val df = dup.toDF("query_id", "neighbor_id", "cos").repartition(11)
+    for (k <- Seq(1, 3)) {
+      val expect = windowTopK(df.distinct(), k).collect().map(_.toSeq).toSet
+      val got = df.groupBy($"query_id")
+        .agg(TopKAggregate.topKScoredDistinct($"cos", $"neighbor_id", k).as("top"))
+        .select($"query_id", posexplode($"top").as(Seq("pos", "sn")))
+        .select($"query_id", $"sn.payload".as("neighbor_id"),
+          $"sn.score".as("cos"), ($"pos" + lit(1)).as("rank"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expect, s"k=$k distinct-payload mismatch")
+    }
+    // general semantics: same payload with DIFFERENT scores keeps the
+    // best entry per payload
+    val buf = new TopKBuffer(3, distinctPayloads = true)
+    buf.insert(0.5, 7L); buf.insert(0.9, 7L); buf.insert(0.7, 8L); buf.insert(0.2, 7L)
+    assert(buf.size == 2 && buf.scores(0) == 0.9 && buf.payloads(0) == 7L &&
+      buf.scores(1) == 0.7 && buf.payloads(1) == 8L)
+  }
+
   test("matches the row_number window on random data with ties") {
     val rnd = new scala.util.Random(7)
     // heavy tie density: scores drawn from just 8 distinct values
