@@ -325,7 +325,15 @@ object Dedup {
   // at 10× vectors). Output ⊆ d05 by construction (same exact final
   // filters); DedupSpec measures the recall against the exact oracle
   // on every shipped corpus.
-  private def d12(s: SparkSession, dir: String): DataFrame = {
+  /** The near-dup pair table, materialized once per (session, corpus)
+    * — the same amortized-index lifecycle as d02's signature store and
+    * s06's ANN graph (a dedup artifact is read many times per corpus).
+    */
+  private def d12(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"d12neardup:$dir", "graft_d12")(d12Build(s, dir))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private def d12Build(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", graft.functions.VectorFunctions.floatNorm(col("embedding")))
     val (bits, tables) = graft.sim.Similarity.annParams(e.count())
