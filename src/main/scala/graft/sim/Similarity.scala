@@ -292,7 +292,7 @@ object Similarity {
     * linear in n. tables follows the measured retention curve — each
     * +1 bit multiplies a true neighbor's per-table collision odds by
     * ~p (the corpus' per-bit sign-agreement), so L must grow
-    // geometrically (classic LSH L ~ n^ρ) to hold Σ-table recall.
+    * geometrically (classic LSH L ~ n^ρ) to hold Σ-table recall.
     * Anchors are MEASURED recall@3 vs the exact graph on the real
     * embeddings (Profile's ann probe / SimilaritySpec):
     * 8/24 → 0.87–0.89 (n=500, both small corpora), 9/32 → 0.873
