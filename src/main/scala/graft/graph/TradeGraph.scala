@@ -94,10 +94,19 @@ object TradeGraph {
     edges.filter(col("src") < col("dst"))
 }
 
-/** Shared oracle-SQL fragments mirroring [[TradeGraph]] in DuckDB. */
+/** Shared oracle-SQL fragments mirroring [[TradeGraph]] in DuckDB.
+  *
+  * All fact-derived CTEs are `AS MATERIALIZED`: a plain CTE is
+  * re-evaluated at every reference, and a reference INSIDE a
+  * recursive CTE re-runs it per iteration — at sf1 that turned g04's
+  * 25-node closure into ~25 re-builds of the 6M-row fact join and a
+  * >100 GB spill (same lesson the d06 dup-graph oracle learned with
+  * its `dups`/`sym` CTEs). The edge list itself is ≤ V² rows;
+  * materializing it is what the Spark side does too (MatStore).
+  */
 object GraphSql {
   val edgesCte: String = """
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT CAST(c_nationkey AS INTEGER) AS src, CAST(s_nationkey AS INTEGER) AS dst,
         count(*) AS weight, count(DISTINCT o_orderkey) AS n_orders
       FROM lineitem
@@ -110,11 +119,11 @@ object GraphSql {
     "nodes AS (SELECT CAST(n_nationkey AS INTEGER) AS node FROM nation)"
 
   val symCte: String = """
-    sym AS (
+    sym AS MATERIALIZED (
       SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)
       WHERE src <> dst)"""
 
   val dagCte: String =
-    "dag AS (SELECT src, dst, weight FROM edges WHERE src < dst)"
+    "dag AS MATERIALIZED (SELECT src, dst, weight FROM edges WHERE src < dst)"
 }
