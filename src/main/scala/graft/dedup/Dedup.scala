@@ -336,12 +336,21 @@ object Dedup {
   private def d12Build(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .withColumn("nrm", graft.functions.VectorFunctions.floatNorm(col("embedding")))
-    val (bits, tables) = graft.sim.Similarity.annParams(e.count())
-    // RAW candidate stream (duplicates included, zero shuffles): the
-    // exact-cosine + label filters run map-side FIRST — they kill the
-    // overwhelming share of candidates — and only the tiny survivor
-    // set pays the distinct. Deduping the full raw stream up front
-    // was measured at sf1 as the dominant cost of the whole query.
+    val n = e.count()
+    val (bits, tables) = graft.sim.Similarity.annParams(n)
+    if (n <= graft.sim.Similarity.annBroadcastEnvelopeRows)
+      d12Broadcast(e, bits, tables)
+    else d12Bucketed(s, dir, bits, tables)
+  }
+
+  /** The in-envelope d12 plan. RAW candidate stream (duplicates
+    * included, zero shuffles): the exact-cosine + label filters run
+    * map-side FIRST — they kill the overwhelming share of candidates
+    * — and only the tiny survivor set pays the distinct. Deduping the
+    * full raw stream up front was measured at sf1 as the dominant
+    * cost of the whole query.
+    */
+  private[graft] def d12Broadcast(e: DataFrame, bits: Int, tables: Int): DataFrame = {
     val cands = graft.sim.Similarity.signCandidatesRaw(e,
         graft.sim.Similarity.scaledDimGroups(bits, tables),
         graft.sim.Similarity.scaledProbeMasks(bits))
@@ -358,6 +367,34 @@ object Dedup {
       .filter(col("cos") >= 0.30)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
       .distinct()
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The past-the-envelope d12 plan: candidates from the (t, sig)-
+    * bucketed signature index, pair hydration against the bucketed
+    * vector store — nothing broadcast, nothing corpus-sized in one
+    * place. The candidate set arrives DISTINCT (the bucketed stream
+    * dedups the narrow pairs before any vector is attached), so no
+    * final distinct is needed: both vector joins are 1:1.
+    * Bit-equal to [[d12Broadcast]] (DedupSpec pins it with
+    * autoBroadcastJoinThreshold=-1).
+    */
+  private[graft] def d12Bucketed(s: SparkSession, dir: String,
+      bits: Int, tables: Int): DataFrame = {
+    val cands = graft.sim.Similarity.signCandidatesBucketed(s, dir, bits, tables)
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
+    val vecs = graft.sim.Similarity.bucketedVecs(s, dir)
+    val a = vecs.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = vecs.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    cands.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+      .filter(col("label") === col("label_b"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.floatDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.30)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -249,9 +249,128 @@ object Similarity {
   private def annGraphTable(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.table(s, s"anngraph_cal:$dir", "graft_ann") {
       val e = embWithNorm(s, dir)
-      val (bits, tables) = annParams(e.count())
-      rerankTop3(e, signCandidatesRaw(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits)))
+      val n = e.count()
+      val (bits, tables) = annParams(n)
+      if (n <= annBroadcastEnvelopeRows) annGraphBroadcast(e, bits, tables)
+      else annGraphBucketed(s, dir, bits, tables)
     }
+
+  /** Corpus-rows ceiling for the broadcast candidate/rerank plan.
+    *
+    * The broadcast form replicates the (vec_id, t, sig) index — n × L
+    * × ~24 B in-memory rows, ~4.6 GB at 1M vectors × 192 tables, i.e.
+    * right under Spark's 8 GB broadcast ceiling at the family cap —
+    * and the full vector sides (~300 B/vector). Past this row count
+    * [[annGraphTable]] and d12 switch to the bucketed plan, which
+    * broadcasts nothing (the sign-LSH index and the vectors are
+    * bucketed catalog tables; the probe stream shuffles once). Both
+    * plans produce identical rows (SimilaritySpec pins bit-equality
+    * with autoBroadcastJoinThreshold=-1), so the switch — made on the
+    * same deterministic `count()` the family calibration already
+    * needs — changes the PLAN, never the answer: the same
+    * adaptive-envelope pattern as [[graft.util.OrderStats]].
+    * Overridable for tests via -Dgraft.ann.broadcastEnvelopeRows.
+    */
+  private[graft] def annBroadcastEnvelopeRows: Long =
+    sys.props.get("graft.ann.broadcastEnvelopeRows").map(_.toLong)
+      .getOrElse(1L * 1000 * 1000)
+
+  /** The in-envelope plan: broadcast index + broadcast rerank (see
+    * [[signCandidatesRaw]] / [[rerankTop3]]).
+    */
+  private[graft] def annGraphBroadcast(e: DataFrame, bits: Int, tables: Int): DataFrame =
+    rerankTop3(e, signCandidatesRaw(e, scaledDimGroups(bits, tables), scaledProbeMasks(bits)))
+
+  /** The past-the-envelope plan: nothing broadcast, nothing
+    * driver-sized — the 100 TB shape of the ANN KNN graph.
+    */
+  private[graft] def annGraphBucketed(s: SparkSession, dir: String,
+      bits: Int, tables: Int): DataFrame =
+    rerankTop3Bucketed(s, dir, signCandidatesBucketed(s, dir, bits, tables))
+
+  /** The corpus as a catalog table bucketed+sorted on vec_id — the
+    * ingest-time layout a cluster-scale embedding store maintains.
+    * Every vector fetch keyed on vec_id (the bucketed rerank's two
+    * joins, d12's pair hydration) then plans without an Exchange on
+    * the vector side, replacing [[rerankTop3]]'s broadcasts. The
+    * bucketed scan is also naturally spread across buckets, which
+    * retires the explicit repartition the single-row-group corpus
+    * parquet otherwise needs.
+    */
+  private[graft] def bucketedVecs(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.bucketedTable(s, s"annvecs:$dir", "graft_annvec",
+      "vec_id", s.conf.get("spark.sql.shuffle.partitions").toInt)(embWithNorm(s, dir))
+
+  /** DISTINCT candidate pairs through a (t, sig)-bucketed signature
+    * index — [[signCandidatesRaw]]'s scale form, per that doc's own
+    * cluster-deployment note. No broadcast anywhere:
+    *
+    *  - the index is a catalog table bucketed+sorted on the combined
+    *    key `tsig = t · 2^bits + sig` (one bucketing shuffle at build,
+    *    amortized across probes by the MatStore session memo) — the
+    *    index side of the candidate join plans with ZERO exchanges at
+    *    any index size;
+    *  - the probe stream explodes tables × masks in place over the
+    *    bucketed vector scan (already spread — no repartition needed)
+    *    and shuffles ONCE, on tsig, into the index's buckets;
+    *  - the surviving pairs pay one map-side-partial `distinct` —
+    *    unlike the broadcast path there is no query_id-clustered
+    *    partitioning to absorb duplicates for free, and deduping the
+    *    narrow (query_id, neighbor_id) stream BEFORE the vector joins
+    *    keeps the wide rows (vectors attached) off every later
+    *    exchange.
+    */
+  private[graft] def signCandidatesBucketed(s: SparkSession, dir: String,
+      bits: Int, tables: Int): DataFrame = {
+    val p2 = 1L << bits
+    val sigArray = sigArrayExpr(scaledDimGroups(bits, tables))
+    val masks = scaledProbeMasks(bits)
+    val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val index = graft.util.MatStore.bucketedTable(s,
+        s"annsigidx${bits}x$tables:$dir", "graft_annidx", "tsig", nb) {
+      bucketedVecs(s, dir)
+        .select(col("vec_id").as("neighbor_id"), explode(sigArray).as("ts"))
+        .select(col("neighbor_id"),
+          (col("ts.t").cast("long") * p2 + col("ts.sig")).as("tsig"))
+    }
+    val probes = bucketedVecs(s, dir)
+      .select(col("vec_id").as("query_id"), explode(sigArray).as("ts"))
+      .select(col("query_id"), col("ts.t").as("t"),
+        explode(array(masks.map(lit): _*)).as("m"), col("ts.sig").as("sig"))
+      .select(col("query_id"),
+        (col("t").cast("long") * p2 + col("sig").bitwiseXOR(col("m"))).as("tsig"))
+    probes.join(index, Seq("tsig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+  }
+
+  /** Exact cosine re-rank of DISTINCT candidate pairs against the
+    * bucketed vector store — [[rerankTop3]] without the broadcasts.
+    * Join order is chosen for exchange volume: the neighbor join
+    * moves only the narrow (query_id, neighbor_id) pairs; the query
+    * join then lands the stream partitioned on query_id, so the final
+    * top-3 aggregation plans with no exchange of its own (and the
+    * plain top-k buffer suffices — the pairs are already distinct).
+    */
+  private def rerankTop3Bucketed(s: SparkSession, dir: String,
+      cands: DataFrame): DataFrame = {
+    def vecsAs(idCol: String, embCol: String, nrmCol: String) =
+      bucketedVecs(s, dir).select(col("vec_id").as(idCol),
+        col("embedding").as(embCol), col("nrm").as(nrmCol))
+    val pairs = cands
+      .join(vecsAs("neighbor_id", "ec", "nc"), Seq("neighbor_id"))
+      .join(vecsAs("query_id", "eq", "nq"), Seq("query_id"))
+      .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+    pairs.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topKScored(
+        col("cos"), col("neighbor_id"), 3).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sn")))
+      .select(col("query_id"), col("sn.payload").as("neighbor_id"),
+        col("sn.score").as("cos"), (col("pos") + lit(1)).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   private def s04(s: SparkSession, dir: String): DataFrame =
     knnGraphTable(s, dir).orderBy(col("query_id"), col("rank"))
@@ -341,9 +460,10 @@ object Similarity {
     *
     *  - the narrow (vec_id, t, sig) INDEX side is broadcast — ~16 B
     *    per (vector, table), so ~40 MB at sf1's 20k × 128 family
-    *    (broadcast envelope documented on [[knnGraphTable]]; a
-    *    cluster-scale deployment bucket-partitions the index by
-    *    (t, sig) instead and the probe stream shuffles once);
+    *    (past [[annBroadcastEnvelopeRows]] the registered plan
+    *    switches to [[signCandidatesBucketed]], which bucket-
+    *    partitions the index by (t, sig) and shuffles the probe
+    *    stream once);
     *  - the PROBE side starts from the vectors repartitioned by
     *    vec_id (the corpus parquet is a single unsplittable row
     *    group — without the explicit spread the whole stream runs on

@@ -36,6 +36,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d12 bucketed plan: bit-equal to the broadcast plan, zero broadcasts") {
+    val dir = "/root/testdata/sf0.01"
+    import graft.functions.VectorFunctions.floatNorm
+    val e = Tables(spark, dir, "embeddings").withColumn("nrm", floatNorm(col("embedding")))
+    val (bits, tables) = sim.Similarity.annParams(e.count())
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = dedup.Dedup.d12Bucketed(spark, dir, bits, tables)
+      val b = bucketed.collect().toSeq
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        "bucketed d12 plan still contains a broadcast")
+      val a = dedup.Dedup.d12Broadcast(e, bits, tables).collect().toSeq
+      assert(a == b, s"plans diverge: broadcast ${a.size} rows, bucketed ${b.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("curation pipeline: dedup survivors -> quality filter -> JSONL sink") {
     val docs = Tables(spark, sf, "documents")
     val nDocs = docs.count()

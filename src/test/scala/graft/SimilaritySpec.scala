@@ -132,4 +132,31 @@ class SimilaritySpec extends AnyFunSuite {
     val joined = ann.join(exact, Seq("query_id", "neighbor_id"))
     assert(joined.filter(col("cos") =!= col("cos_exact")).isEmpty)
   }
+
+  // The past-the-envelope plan (bucketed signature index + bucketed
+  // vector store, nothing broadcast) must be indistinguishable from
+  // the in-envelope broadcast plan in its ROWS — the
+  // annBroadcastEnvelopeRows switch changes only the physical shape.
+  // autoBroadcastJoinThreshold=-1 makes the no-broadcast assertion
+  // meaningful: the planner cannot sneak a broadcast back in, so
+  // every join in the bucketed tree is proven to run on the bucketed
+  // layouts (the BucketingSpec pattern).
+  Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+    test(s"bucketed ANN graph: bit-equal to the broadcast plan, zero broadcasts, at $sf") {
+      import graft.functions.VectorFunctions.floatNorm
+      val e = Tables(spark, sf, "embeddings").withColumn("nrm", floatNorm(col("embedding")))
+      val (bits, tables) = sim.Similarity.annParams(e.count())
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val bucketed = sim.Similarity.annGraphBucketed(spark, sf, bits, tables)
+        val b = bucketed.collect().toSeq
+        val plan = bucketed.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastExchange"),
+          "bucketed ANN plan still contains a broadcast")
+        val a = sim.Similarity.annGraphBroadcast(e, bits, tables).collect().toSeq
+        assert(a == b, s"plans diverge: broadcast ${a.size} rows, bucketed ${b.size}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
