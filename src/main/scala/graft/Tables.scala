@@ -24,11 +24,17 @@ object Tables {
     * the bucket column then plans without an Exchange (BucketingSpec
     * proves the shape; the orderkey spine build and the OLAP
     * fact-fact joins q03/q05 consume it). Built at most once per
-    * (session, corpus, table): the one bucketing shuffle replaces the
-    * per-query join shuffles of every consumer. Column pruning and
-    * filter pushdown still reach the bucketed parquet scan.
+    * (session, corpus, table, key): the one bucketing shuffle replaces
+    * the per-query join shuffles of every consumer. Column pruning and
+    * filter pushdown still reach the bucketed parquet scan. A table
+    * may be laid out under SEVERAL keys (orders on o_orderkey for the
+    * lineitem spine, on o_custkey for the customer join) — the
+    * standard multi-layout ingest trade: each extra layout costs one
+    * ingest shuffle and once the workload joins the table on that key
+    * more than once, it pays for itself.
     */
   def bucketed(spark: SparkSession, dir: String, name: String, key: String): DataFrame =
-    graft.util.MatStore.bucketedTable(spark, s"bktfact_$name:$dir", s"graft_bf_$name", key,
+    graft.util.MatStore.bucketedTable(spark, s"bktfact_${name}_$key:$dir",
+      s"graft_bf_$name", key,
       spark.conf.get("spark.sql.shuffle.partitions").toInt)(apply(spark, dir, name))
 }

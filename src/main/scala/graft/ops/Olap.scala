@@ -86,20 +86,41 @@ object Olap {
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10"""
 
-  /** Q5 shape: 6-way star join, group by nation. */
+  /** Q5 shape: 6-way star join, group by nation.
+    *
+    * Join order is chosen so LINEITEM — the biggest table — never
+    * shuffles: orders and customer are both bucketed on the custkey,
+    * so orders⋈customer plans with zero exchanges (the second orders
+    * layout; see [[Tables.bucketed]]'s multi-layout note), and the
+    * resulting narrow (o_orderkey, c_nationkey) intermediate is the
+    * ONLY thing exchanged — once, onto lineitem's orderkey buckets.
+    * The r8-era shape shuffled the full l⋈o fact stream on custkey
+    * instead. The c_nationkey = s_nationkey predicate must run as a
+    * RESIDUAL of the orderkey merge join, not as a second equi-key:
+    * written as a plain equality, ExtractEquiJoinKeys promotes it to
+    * a join key and EnsureRequirements then re-hashes BOTH sides on
+    * (orderkey, nationkey) — including lineitem, exactly the shuffle
+    * this layout exists to avoid (requireAllClusterKeysForCoPartition
+    * defaults true, so the orderkey-only bucket partitioning no
+    * longer satisfies the two-key distribution). The `(c − s) = 0`
+    * form references both join children on one side, which keeps it
+    * out of the key extraction while evaluating identically on these
+    * int keys (BucketingSpec asserts the resulting exchange set).
+    */
   private def q05(s: SparkSession, dir: String): DataFrame = {
     val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
     val n = Tables(s, dir, "nation")
-    val c = Tables(s, dir, "customer")
-    val o = Tables.bucketed(s, dir, "orders", "o_orderkey")
+    val c = Tables.bucketed(s, dir, "customer", "c_custkey")
+    val o = Tables.bucketed(s, dir, "orders", "o_custkey")
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val oc = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     val l = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
     val sup = Tables(s, dir, "supplier")
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(c, col("o_custkey") === col("c_custkey") &&
-        col("c_nationkey") === col("s_nationkey"))
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(oc, col("l_orderkey") === col("o_orderkey") &&
+        (col("c_nationkey") - col("s_nationkey")) === 0)
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))

@@ -79,6 +79,26 @@ class BucketingSpec extends AnyFunSuite {
       s"q03 still carries a shuffle exchange:\n$q03Plan")
   }
 
+  test("q05: customer join rides the custkey buckets - lineitem never shuffles") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q05_nation_revenue")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the one permitted fact-side shuffle: the narrow filtered
+      // orders⋈customer intermediate onto lineitem's orderkey buckets
+      // (plus the trivial 25-row n_name aggregation exchange and the
+      // final sort's range exchange) — never custkey, never lineitem
+      val custkeyExchanges = "Exchange hashpartitioning\\([^)]*custkey".r
+        .findAllIn(plan).size
+      assert(custkeyExchanges == 0,
+        s"q05 still shuffles on custkey:\n$plan")
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashExchanges <= 2,
+        s"q05 has $hashExchanges hash exchanges (want <= 2: oc->orderkey + agg):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("graph builds consume the fact spine: no orderkey join in their plans") {
     import graft.graph.{Components, TradeGraph}
     // the fact-fact shuffle lives only in the spine build
