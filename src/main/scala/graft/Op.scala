@@ -17,48 +17,32 @@ final case class Op(
   * Double sums are order-dependent, so Spark's partial aggregation and
   * DuckDB's single-threaded fold would differ in the last ulp. We cast
   * each row to a DECIMAL first: decimal addition is exact and
-  * associative, so the partial-agg order stops mattering, and the final
-  * decimal->double cast is correctly rounded in both engines.
+  * associative, so the partial-agg order stops mattering.
   * Double->decimal casts round half-away-from-zero in both engines.
   */
 object par {
-  /** Exact (order-independent) sum of a double column via decimal. */
+  /** Exact (order-independent) sum of a double column via decimal,
+    * delivered as the correctly-rounded double of the exact decimal
+    * total — the exact-SUM contract at the output type's precision,
+    * at any magnitude.
+    *
+    * DECIMAL(38,·) headroom keeps the accumulation exact to ~1e31
+    * at scale 6 — far past a 100 TB corpus. The delicate step is the
+    * final decimal->double conversion once the total crosses 2^53
+    * scaled units (sf1's q01 sum_charge already does): Spark's cast
+    * is correctly rounded (JDK BigDecimal.doubleValue falls back to
+    * Double.parseDouble past the fast path), but DuckDB's direct
+    * decimal->double cast is NOT — measured 26% of random 14-digit
+    * 6-decimal values come back 1-2 ulp off. The oracle therefore
+    * round-trips the decimal total through VARCHAR: decimal->text is
+    * exact and text->double (strtod) is correctly rounded, so both
+    * engines deliver the identical bit pattern (0 mismatches on the
+    * same 2000-value probe that showed 523 for the direct cast).
+    */
   def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    sum(c.cast(DecimalType(38, scale))).cast("double")
 
   /** SQL mirror of [[dsum]] for the DuckDB oracle. */
   def dsumSql(e: String, scale: Int): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,$scale))) AS DOUBLE)"
-
-  /** [[dsum]] quantized to multiples of 1/64 BEFORE the double cast
-    * (non-negative sums).
-    *
-    * Needed when the sum's magnitude at `scale` decimals can cross
-    * 2^53 scaled units: the decimal total is still exact, but a
-    * >53-bit integer no longer converts to double identically in
-    * every engine's conversion pipeline (measured at sf1: q01's
-    * sum_charge, 2.0e10 at 6 decimals = 2.0e16 micro-units, came back
-    * one ulp apart from DuckDB). A DECIMAL quantum (cents) does not
-    * help — the engines' decimal-rescale tie conventions differ
-    * (Spark half-up vs DuckDB, observed on an exact x.xx5000 sum).
-    * A POWER-OF-TWO quantum sidesteps both problems at once:
-    *  - floor(T·64) needs no tie convention at all (and ties cannot
-    *    even occur: 64·m ≡ 5·10^5 (mod 10^6) has no integer
-    *    solution for 6-decimal inputs);
-    *  - every multiple of 1/64 below 2^47 IS a double, so the final
-    *    cast is exact in any engine.
-    * Both sides compute floor(T·64) with exact integer arithmetic
-    * (Spark: decimal floor; DuckDB: HUGEINT floor-division) and
-    * divide by 64.0 — an exact binary operation. The delivered
-    * contract: totals exact to 1/64 ≈ 0.016 currency units,
-    * engine-portable at any magnitude up to 2^47 ≈ 1.4e14.
-    */
-  def dsumq(c: Column, scale: Int): Column =
-    (floor(sum(c.cast(DecimalType(18, scale))) * lit(64)).cast("double") / lit(64.0))
-
-  /** SQL mirror of [[dsumq]] for the DuckDB oracle. */
-  def dsumqSql(e: String, scale: Int): String = {
-    val unit = "1" + "0" * scale
-    s"(CAST(CAST(SUM(CAST(($e) AS DECIMAL(18,$scale))) * $unit AS HUGEINT) * 64 // $unit AS DOUBLE) / 64.0)"
-  }
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(38,$scale))) AS VARCHAR) AS DOUBLE)"
 }

@@ -29,8 +29,8 @@ object Olap {
       .agg(
         dsum(col("l_quantity"), 2).as("sum_qty"),
         dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        dsumq(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
-        dsumq(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
         (dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
         (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -40,8 +40,8 @@ object Olap {
     SELECT l_returnflag, l_linestatus,
       ${dsumSql("l_quantity", 2)} AS sum_qty,
       ${dsumSql("l_extendedprice", 2)} AS sum_base_price,
-      ${dsumqSql("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)", 6)} AS sum_disc_price,
-      ${dsumqSql("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)", 6)} AS sum_charge,
+      ${dsumSql("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)", 6)} AS sum_disc_price,
+      ${dsumSql("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)", 6)} AS sum_charge,
       ${dsumSql("l_quantity", 2)} / count(*) AS avg_qty,
       ${dsumSql("l_extendedprice", 2)} / count(*) AS avg_price,
       count(*) AS count_order
