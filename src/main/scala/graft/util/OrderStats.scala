@@ -1,8 +1,11 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.DoubleOrderBits.orderBits
 
 /** Distributed EXACT order statistics (selection) — the scale-safe
   * replacement for `percentile_cont`, whose physical plan buffers
@@ -11,13 +14,11 @@ import org.apache.spark.sql.functions._
   * data on q16; bounded groups still grow their per-group buffers
   * linearly with the data, q11/e10).
   *
-  * Method: iterative histogram refinement, generalized over groups.
-  * Each round is ONE fully-parallel aggregation over the values; the
-  * driver only ever sees per-(group, rank, bucket) summaries —
-  * O(groups × ranks) rows per round, bounded by construction and
-  * independent of n. The group cardinality itself must be bounded
-  * (the q11/e10/q16 envelope: return flags, event types, one global
-  * group); rows PER group are unbounded and never buffered anywhere.
+  * Method: iterative histogram refinement, generalized over groups,
+  * with ALL per-group state held in DataFrames — the driver only ever
+  * sees scalars (group-cardinality estimate, open-range count, tail
+  * rank bound), so group cardinality is unbounded (the per-customer-
+  * percentile shape a training pipeline hits at 100 TB).
   *
   *  1. Every requested (group, rank) starts with the group's global
   *     [min, max] range and its 0-based target index.
@@ -33,12 +34,42 @@ import org.apache.spark.sql.functions._
   *     — duplicates can't be split, but then every order statistic in
   *     the range IS that value) or its row count drops to at most
   *     `tailK`, where a final bounded top-k aggregate
-  *     ([[graft.functions.TopKAggregate]], k ≤ tailK per group —
-  *     map-side partial, no sort) selects the exact value.
+  *     ([[graft.functions.TopKAggregate]], k bounded by the largest
+  *     remaining in-range rank — map-side partial, no sort) selects
+  *     the exact value.
   *
-  * Rounds shrink a range's width by ~B per pass, so double precision
-  * (2^53 distinct mantissa steps) bounds the loop at ~6 rounds of
-  * B=1024 regardless of n or value distribution.
+  * Buckets are cut in the IEEE-754 BIT space of the value
+  * ([[graft.functions.DoubleOrderBits]]): a range holds at most 2^64
+  * distinct bit values and every round divides that integer width by
+  * B (bucket arithmetic runs in exact DECIMAL — no float rounding can
+  * stall the shrink), so convergence within ceil(64 / log2 B) + 1
+  * rounds is STRUCTURAL — independent of n and of the value
+  * distribution. Value-space bucketing cannot promise that: on
+  * log-spread data (values spanning hundreds of binades with the
+  * mass in the low tail) a linear split eliminates only a few binades
+  * per round.
+  *
+  * Group-key plumbing: groups are keyed internally by a non-null
+  * string image `gk` (a null flag + the value cast to string), so
+  *  - NULL groups flow through like any other group — matching the
+  *    built-in aggregate's GROUP BY semantics, which q11/e10's
+  *    adaptive switch relies on (the plan changes, never the answer);
+  *  - every engine join is a plain equi-join on `gk`, which the
+  *    co-partitioned layout below satisfies with no extra exchange
+  *    (null-safe joins would be rewritten around coalesced keys and
+  *    stop matching the cached partitioning).
+  * Group columns must be atomic types (their string image must
+  * separate distinct values); the original column is carried
+  * alongside and restored in the output.
+  *
+  * Distribution of the per-round state join (range → rows) is
+  * adaptive on the MEASURED group cardinality:
+  *  - at most [[GroupBroadcastEnvelope]] groups: broadcast the range
+  *    table over the naturally-partitioned values (a few MB; one
+  *    global group — q16 — stays a broadcast of a handful of rows);
+  *  - beyond it: the values are hash-partitioned by `gk` ONCE and
+  *    persisted; each round shuffle-hash-joins the small range table
+  *    into that layout, so the big side never re-exchanges.
   */
 object OrderStats {
 
@@ -56,106 +87,105 @@ object OrderStats {
     */
   val BuiltinEnvelopeRows: Long = 4L * 1000 * 1000
 
-  /** Exact 0-based order statistics of `valueCol`, per group.
-    *
-    * @param v     two columns: `g` (string group) and `v` (double)
-    * @param ranks requested 0-based ranks per group value
-    * @return (group, rank) -> value
+  /** Group-cardinality envelope under which the per-round range table
+    * is broadcast (state rows = groups × open ranks; 64k groups × a
+    * few ranks ≈ single-digit MB). Past it, values are co-partitioned
+    * by group once and the state is shuffle-hash-joined in — the plan
+    * that holds at unbounded cardinality.
     */
-  private def groupedStats(v: DataFrame, ranks: Map[String, Seq[Long]],
-      buckets: Int, tailK: Int): Map[(String, Long), Double] = {
-    val spark = v.sparkSession
+  val GroupBroadcastEnvelope: Long = 65536L
 
-    // state per (group, rank): range known to contain it, target index
-    // within the range, rows in range
-    final case class St(g: String, lo: Double, hi: Double, t: Long, cnt: Long)
-    val heads = v.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
-      .toMap
-    var state: Map[(String, Long), St] = ranks.toSeq.flatMap { case (g, rs) =>
-      val (n, mn, mx) = heads.getOrElse(g,
-        throw new IllegalArgumentException(s"group '$g' has no rows"))
-      rs.distinct.map { r =>
-        require(r >= 0 && r < n, s"rank $r out of [0, $n) for group '$g'")
-        (g, r) -> St(g, mn, mx, r, n)
-      }
-    }.toMap
-    var resolved = Map.empty[(String, Long), Double]
+  // ---- internal engine ------------------------------------------------
+
+  /** Exact selection over prepared inputs.
+    *
+    * @param vp     (gk string, v double) — persisted; hash-partitioned
+    *               by gk when `broadcastState` is false
+    * @param state0 (gk, rank, lo, hi, t, cnt): target rank's current
+    *               range [lo, hi], 0-based index t within it, rows cnt
+    * @return (gk, rank, value)
+    */
+  private def runSelection(vp: DataFrame, state0: DataFrame,
+      broadcastState: Boolean, buckets: Int, tailK: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val openCond = col("lo") =!= col("hi") && col("cnt") > tailK
+    // ceil(64 / log2 B) + 1 structural bound (see scaladoc) + slack
+    val maxRounds = 64 / (31 - Integer.numberOfLeadingZeros(buckets)) + 5
+
+    def ranges(st: DataFrame): DataFrame = {
+      val renamed = st.select(col("gk").as("rgk"), col("rank"), col("lo"),
+        col("hi"), col("t"), col("cnt").as("rcnt"))
+      if (broadcastState) broadcast(renamed) else renamed.hint("shuffle_hash")
+    }
+    def inRange(): Column =
+      col("gk") === col("rgk") && col("v") >= col("lo") && col("v") <= col("hi")
+
+    var state = state0.localCheckpoint()
     var rounds = 0
-
-    while ({
-      val (done, open) = state.partition { case (_, st) => st.lo == st.hi }
-      resolved ++= done.map { case (k, st) => k -> st.lo }
-      state = open
-      state.nonEmpty && state.values.exists(_.cnt > tailK)
-    }) {
+    while (!state.filter(openCond).isEmpty) {
       rounds += 1
-      require(rounds <= 64, "orderStatistics failed to converge (impossible for finite doubles)")
-      val active = state.filter(_._2.cnt > tailK).toSeq
-      val rids = active.zipWithIndex.map { case ((k, st), i) => (i, k, st) }
-      val ranges = spark.createDataFrame(rids.map { case (i, _, st) =>
-        (i, st.g, st.lo, st.hi)
-      }).toDF("rid", "rg", "lo", "hi")
-      // one parallel pass: per (rid, bucket) count/min/max; the
-      // broadcast range join only replicates rows into the (few)
-      // ranges that still contain them. Width is guarded away from
-      // 0.0 (a sub-subnormal hi−lo would make the division NaN for
-      // v == lo); any positive width keeps the assignment monotone in
-      // v, which is all exactness needs.
-      val hist = v.join(broadcast(ranges),
-          col("g") === col("rg") && col("v") >= col("lo") && col("v") <= col("hi"))
-        .withColumn("w", greatest((col("hi") - col("lo")) / buckets,
-          lit(java.lang.Double.MIN_VALUE)))
-        .withColumn("b", least(greatest(
-          floor((col("v") - col("lo")) / col("w")), lit(0)),
-          lit(buckets - 1)).cast("int"))
-        .groupBy(col("rid"), col("b"))
-        .agg(count(lit(1)).as("cnt"), min(col("v")).as("bmn"), max(col("v")).as("bmx"))
-      // pick each range's target bucket with a window over the tiny
-      // (rid × bucket) summary — the driver receives one row per rid
-      val wcum = Window.partitionBy(col("rid")).orderBy(col("b"))
+      require(rounds <= maxRounds, s"selection exceeded the structural " +
+        s"round bound ($maxRounds for B=$buckets): bit-space ranges must " +
+        "shrink B-fold per round — this indicates a bucket-arithmetic bug, " +
+        "not an input property")
+      val active = state.filter(openCond)
+      val rest = state.filter(!openCond)
+      // exact integer bucket arithmetic in the value's bit space:
+      // DECIMAL(38,·) holds the full 2^64 span, decimal rounding is
+      // monotone, and once a range's bit width drops under B the step
+      // clamps to 1 — singleton buckets, so the next round resolves.
+      val dec = DecimalType(21, 0)
+      val mLo = orderBits(col("lo")).cast(dec)
+      val mHi = orderBits(col("hi")).cast(dec)
+      val mV = orderBits(col("v")).cast(dec)
+      val step = greatest(ceil((mHi - mLo + lit(1)) / lit(buckets)), lit(1))
+      val b = least(greatest(floor((mV - mLo) / step), lit(0)),
+        lit(buckets - 1)).cast("int")
+      val hist = vp.join(ranges(active), inRange())
+        .withColumn("b", b)
+        .groupBy(col("rgk"), col("rank"), col("t"), col("b"))
+        .agg(count(lit(1)).as("bcnt"), min(col("v")).as("bmn"),
+          max(col("v")).as("bmx"))
+      // pick each range's target bucket with a window over the small
+      // (group × rank × bucket) summary — fully distributed
+      val wcum = Window.partitionBy(col("rgk"), col("rank")).orderBy(col("b"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val tExpr = rids.foldLeft(lit(null).cast("bigint")) { case (acc, (i, _, st)) =>
-        when(col("rid") === lit(i), lit(st.t)).otherwise(acc)
-      }
       val picked = hist
-        .withColumn("cum", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
-        .withColumn("t", tExpr)
-        .filter(col("cum") <= col("t") && col("t") < col("cum") + col("cnt"))
-        .select(col("rid"), col("bmn"), col("bmx"), (col("t") - col("cum")).as("t2"),
-          col("cnt"))
-        .collect()
-      val byRid = rids.map { case (i, k, st) => i -> ((k, st)) }.toMap
-      state = state ++ picked.map { case Row(rid: Int, bmn: Double, bmx: Double,
-          t2: Long, cnt: Long) =>
-        val (k, st) = byRid(rid)
-        k -> St(st.g, bmn, bmx, t2, cnt)
-      }
+        .withColumn("cum", coalesce(sum(col("bcnt")).over(wcum), lit(0L)))
+        .filter(col("cum") <= col("t") && col("t") < col("cum") + col("bcnt"))
+        .select(col("rgk").as("gk"), col("rank"), col("bmn").as("lo"),
+          col("bmx").as("hi"), (col("t") - col("cum")).as("t"),
+          col("bcnt").as("cnt"))
+      state = rest.unionByName(picked).localCheckpoint()
     }
 
-    // final bounded selection: per remaining range, the t-th smallest
-    // value via the windowless top-k aggregate (k <= tailK, map-side
-    // partial buffers — no sort, no big collect)
-    if (state.nonEmpty) {
-      val rids = state.toSeq.zipWithIndex.map { case ((k, st), i) => (i, k, st) }
-      val ranges = spark.createDataFrame(rids.map { case (i, _, st) =>
-        (i, st.g, st.lo, st.hi, st.t)
-      }).toDF("rid", "rg", "lo", "hi", "t")
-      val kMax = (rids.map(_._3.t).max + 1).toInt
-      val got = v.join(broadcast(ranges),
-          col("g") === col("rg") && col("v") >= col("lo") && col("v") <= col("hi"))
-        .groupBy(col("rid"), col("t"))
+    val direct = state.filter(col("lo") === col("hi"))
+      .select(col("gk"), col("rank"), col("lo").as("value"))
+    val tails = state.filter(col("lo") =!= col("hi"))
+    if (tails.isEmpty) direct
+    else {
+      // k bound: a scalar (the largest remaining in-range index, < tailK
+      // by the loop's exit condition), NOT per-group driver state
+      val kMax = tails.agg(max(col("t"))).head().getLong(0).toInt + 1
+      val tailRes = vp.join(ranges(tails), inRange())
+        .groupBy(col("rgk"), col("rank"), col("t"))
         .agg(graft.functions.TopKAggregate.topKScored(
-          -col("v"), col("v").cast("long"), kMax).as("top"))
-        .select(col("rid"),
-          (-element_at(col("top"), (col("t") + 1).cast("int")).getField("score")).as("ov"))
-        .collect()
-      val byRid = rids.map { case (i, k, _) => i -> k }.toMap
-      resolved ++= got.map { case Row(rid: Int, ov: Double) => byRid(rid) -> ov }
+          -col("v"), lit(0L), kMax).as("top"))
+        .select(col("rgk").as("gk"), col("rank"),
+          (-element_at(col("top"), (col("t") + 1).cast("int"))
+            .getField("score")).as("value"))
+      direct.unionByName(tailRes)
     }
-    resolved
   }
+
+  /** Non-null string image of the group column: distinct atomic values
+    * map to distinct strings, NULL maps to its own key.
+    */
+  private def groupKey(g: Column): Column =
+    concat(when(g.isNull, lit("n")).otherwise(lit("v")),
+      coalesce(g.cast("string"), lit("")))
+
+  // ---- public API -----------------------------------------------------
 
   /** Exact 0-based order statistics of `col` in `df` (one global
     * group).
@@ -166,14 +196,28 @@ object OrderStats {
   def orderStatistics(df: DataFrame, valueCol: String, ranks: Seq[Long],
       buckets: Int = 1024, tailK: Int = 1024): Map[Long, Double] = {
     require(ranks.nonEmpty, "no ranks requested")
-    val v = df.select(lit("").as("g"), col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-    groupedStats(v, Map("" -> ranks), buckets, tailK).map { case ((_, r), x) => r -> x }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vp = df.select(lit("g").as("gk"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull).persist()
+    try {
+      val head = vp.groupBy(col("gk"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect().headOption
+        .getOrElse(throw new IllegalArgumentException("no rows to select from"))
+      val (n, mn, mx) = (head.getLong(1), head.getDouble(2), head.getDouble(3))
+      ranks.foreach(r =>
+        require(r >= 0 && r < n, s"rank $r out of [0, $n)"))
+      val state0 = ranks.distinct.map(r => ("g", r, mn, mx, r, n))
+        .toDF("gk", "rank", "lo", "hi", "t", "cnt")
+      runSelection(vp, state0, broadcastState = true, buckets, tailK)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    } finally vp.unpersist()
   }
 
-  /** `percentile_cont(p)` of `col` computed through
-    * [[orderStatistics]] — same linear-interpolation semantics as the
-    * SQL aggregate (position p·(n−1), interpolate
+  /** `percentile_cont(p)` of `col` computed through the distributed
+    * selection — same linear-interpolation semantics as the SQL
+    * aggregate (position p·(n−1), interpolate
     * (hi−pos)·v[lo] + (pos−lo)·v[hi]), but with a distributed plan.
     */
   def percentileCont(df: DataFrame, valueCol: String,
@@ -183,38 +227,90 @@ object OrderStats {
     percentages.map(p => p -> g(("", p))).toMap
   }
 
-  /** Per-group `percentile_cont`, distributed: group cardinality must
-    * be bounded (group values pass through the driver as strings);
-    * rows per group are unbounded and never buffered. Replaces the
-    * built-in aggregate whose per-group buffer holds every value.
+  /** Per-group `percentile_cont` as a DataFrame — unbounded group
+    * cardinality: all per-group state stays distributed; the driver
+    * sees only scalars. NULL group values form their own group, as in
+    * the built-in aggregate; groups whose values are all NULL have no
+    * output row.
+    *
+    * @return (groupCol [original type], percentage double, value double)
+    */
+  def groupedPercentileContDF(df: DataFrame, groupCol: String,
+      valueCol: String, percentages: Seq[Double], buckets: Int = 256,
+      tailK: Int = 1024): DataFrame = {
+    require(percentages.nonEmpty, "no percentages requested")
+    percentages.foreach(p =>
+      require(p >= 0.0 && p <= 1.0, s"percentage $p out of [0, 1]"))
+    val base = df
+      .select(groupKey(col(groupCol)).as("gk"), col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .persist()
+    try {
+      val heads = base.groupBy(col("gk"))
+        .agg(first(col("g")).as("g"), count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .localCheckpoint()
+      val broadcastState = heads.count() <= GroupBroadcastEnvelope
+      val vp = if (broadcastState) base.select(col("gk"), col("v"))
+      else {
+        val r = base.select(col("gk"), col("v")).repartition(col("gk")).persist()
+        r.count() // materialize the co-partitioned layout once
+        r
+      }
+      try {
+        val parr = array(percentages.map(lit): _*)
+        val pmap = heads
+          .select(col("gk"), col("g"), col("n"), col("mn"), col("mx"),
+            explode(parr).as("p"))
+          .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+          .withColumn("rlo", floor(col("pos")).cast("long"))
+          .withColumn("rhi", ceil(col("pos")).cast("long"))
+        val state0 = pmap
+          .select(col("gk"), explode(array(col("rlo"), col("rhi"))).as("rank"),
+            col("mn"), col("mx"), col("n"))
+          .groupBy(col("gk"), col("rank"))
+          .agg(first(col("mn")).as("lo"), first(col("mx")).as("hi"),
+            first(col("n")).as("cnt"))
+          .select(col("gk"), col("rank"), col("lo"), col("hi"),
+            col("rank").as("t"), col("cnt"))
+        val r = runSelection(vp, state0, broadcastState, buckets, tailK)
+        val rlo = r.select(col("gk").as("lgk"), col("rank").as("lrank"),
+          col("value").as("vlo"))
+        val rhi = r.select(col("gk").as("hgk"), col("rank").as("hrank"),
+          col("value").as("vhi"))
+        pmap
+          .join(rlo, col("gk") === col("lgk") && col("rlo") === col("lrank"))
+          .join(rhi, col("gk") === col("hgk") && col("rhi") === col("hrank"))
+          .select(col("g").as(groupCol), col("p").as("percentage"),
+            when(col("rlo") === col("rhi"), col("vlo"))
+              .otherwise(
+                (col("rhi").cast("double") - col("pos")) * col("vlo") +
+                  (col("pos") - col("rlo").cast("double")) * col("vhi"))
+              .as("value"))
+          .localCheckpoint() // materialize so the persisted inputs can go
+      } finally if (!(vp eq base)) vp.unpersist()
+    } finally base.unpersist()
+  }
+
+  /** Per-group `percentile_cont` collected to a map — the
+    * bounded-group-cardinality convenience form of
+    * [[groupedPercentileContDF]] (the RESULT is O(groups ×
+    * percentages) and lands on the driver; the computation itself is
+    * the same fully-distributed engine). Group values are keyed by
+    * their string image; a NULL group maps to a null key.
     *
     * @return (group value as string, percentage) -> interpolated value
     */
   def groupedPercentileCont(df: DataFrame, groupCol: String, valueCol: String,
       percentages: Seq[Double], buckets: Int = 1024,
       tailK: Int = 1024): Map[(String, Double), Double] = {
-    require(percentages.nonEmpty, "no percentages requested")
-    val v = df.select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull && col("g").isNotNull)
-    val counts = v.groupBy(col("g")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val positions = counts.map { case (g, n) =>
-      g -> percentages.map(p => p -> p * (n - 1)).toMap
-    }
-    val ranks = positions.map { case (g, ps) =>
-      g -> ps.values.flatMap(pos =>
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)).toSeq.distinct
-    }
-    val stats = groupedStats(v, ranks, buckets, tailK)
-    positions.toSeq.flatMap { case (g, ps) =>
-      ps.map { case (p, pos) =>
-        val (lo, hi) = (math.floor(pos).toLong, math.ceil(pos).toLong)
-        val value =
-          if (lo == hi) stats((g, lo))
-          else (hi - pos) * stats((g, lo)) + (pos - lo) * stats((g, hi))
-        (g, p) -> value
-      }
-    }.toMap
+    val out = groupedPercentileContDF(
+      df.select(col(groupCol).cast("string").as(groupCol), col(valueCol)),
+      groupCol, valueCol, percentages, buckets, tailK)
+    out.collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getDouble(1)) -> r.getDouble(2))
+      .toMap
   }
 }

@@ -60,6 +60,66 @@ class OrderStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("log-spread data converges within the structural bit-space round bound") {
+    // The ADVICE-flagged scenario for value-space bucketing: values
+    // spanning hundreds of binades with the mass (> tailK rows) in the
+    // low tail — a linear value split eliminates only a few binades
+    // per round and can exceed any fixed round cap. Bit-space buckets
+    // divide the IEEE bit range B-fold per round regardless, so tiny
+    // buckets + tiny tailK must still converge (and stay exact).
+    val rnd = new scala.util.Random(41)
+    val values = (1 to 3000).map(_ => math.pow(2.0, -(rnd.nextInt(900).toDouble)) *
+        (1.0 + rnd.nextDouble())) ++
+      Seq(java.lang.Double.MIN_VALUE, 4.9e-324, 1e308, -1e308, -0.0, 0.0,
+        1e-310, -1e-310) ++ Seq.fill(300)(2.2e-320)
+    check(values, buckets = 4, tailK = 2)
+    check(values, buckets = 1024, tailK = 8)
+  }
+
+  test("NULL groups form their own group, matching the built-in aggregate") {
+    val data: Seq[(Option[String], Double)] =
+      (1 to 500).map(i => (Some(s"g${i % 3}"), i.toDouble * 1.25)) ++
+        (1 to 200).map(i => (Option.empty[String], i.toDouble * 7.5))
+    val df = data.toDF("g", "v").repartition(5)
+    df.createOrReplaceTempView("os_nullg")
+    val got = OrderStats.groupedPercentileCont(df, "g", "v", Seq(0.5, 0.9))
+    val want = spark.sql("""
+      SELECT g,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p50,
+        percentile_cont(0.9) WITHIN GROUP (ORDER BY v) AS p90
+      FROM os_nullg GROUP BY g""").collect()
+    assert(want.length == 4) // g0 g1 g2 + the NULL group
+    want.foreach { r =>
+      val g = if (r.isNullAt(0)) null else r.getString(0)
+      assert(got((g, 0.5)) == r.getDouble(1), s"group $g p50")
+      assert(got((g, 0.9)) == r.getDouble(2), s"group $g p90")
+    }
+  }
+
+  test("unbounded group cardinality: 100k+ groups through the co-partitioned path") {
+    // past GroupBroadcastEnvelope the engine must co-partition the
+    // values ONCE and keep all per-group state distributed; small
+    // tailK forces real histogram rounds through that path too
+    val n = (OrderStats.GroupBroadcastEnvelope + 40000).toInt
+    val rows = (0 until n).flatMap { g =>
+      val cnt = 3 + g % 5
+      (0 until cnt).map(i => (s"grp$g", ((g * 31 + i * 17) % 9973).toDouble / 7.0))
+    }
+    val df = rows.toDF("g", "v").repartition(8)
+    df.createOrReplaceTempView("os_big")
+    val got = OrderStats.groupedPercentileContDF(df, "g", "v", Seq(0.5),
+      buckets = 4, tailK = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val want = spark.sql("""
+      SELECT g, percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS p50
+      FROM os_big GROUP BY g""").collect()
+    assert(want.length == n)
+    assert(got.size == n)
+    want.foreach { r =>
+      assert(got(r.getString(0)) == r.getDouble(1), s"group ${r.getString(0)}")
+    }
+  }
+
   test("percentileCont equals the SQL percentile_cont bit-for-bit") {
     val rnd = new scala.util.Random(13)
     val values = Seq.fill(3000)(rnd.nextDouble() * 1e6) ++ Seq.fill(100)(777.77)
