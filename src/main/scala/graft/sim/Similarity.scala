@@ -446,7 +446,7 @@ object Similarity {
     * SQL string: at 96+ tables x 13 bits that string form blew the
     * 64 KB generated-method limit and fell back to interpreted).
     */
-  private def sigArrayExpr(groups: Seq[Seq[Int]]) =
+  private[sim] def sigArrayExpr(groups: Seq[Seq[Int]]) =
     array(groups.zipWithIndex.map { case (dims, t) =>
       struct(lit(t).as("t"),
         graft.functions.VectorFunctions.floatSignBits(col("embedding"), dims).as("sig"))

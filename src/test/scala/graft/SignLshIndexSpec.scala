@@ -1,0 +1,105 @@
+package graft
+
+import graft.sim.{Similarity, SignLshIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incrementally-appended sign-LSH index must be indistinguishable
+  * from a from-scratch build: same signatures, same bit-exact ANN
+  * graph (s06's oracle hashes cosine bits, so "close" is not enough),
+  * with O(delta) writes — the daily-crawl amortization contract.
+  */
+class SignLshIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("chained appends equal a full rebuild, bit-exact, with O(delta) writes") {
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    // yesterday's corpus and two daily increments — all with the same
+    // calibrated family (annParams is flat across these sizes, which
+    // is what makes a pinned-family index coherent at all)
+    val dayZero = vecs.filter(col("vec_id") % 5 < 3)
+    val dayOne = vecs.filter(col("vec_id") % 5 === 3)
+    val dayTwo = vecs.filter(col("vec_id") % 5 === 4)
+
+    val idxDir = java.nio.file.Files.createTempDirectory("signidx").toString
+    val idx = new SignLshIndex(spark, idxDir)
+    intercept[java.util.NoSuchElementException](idx.signatures())
+    idx.build(dayZero)
+    assert(idx.version.contains(1L))
+    val pinned = idx.params
+
+    def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    def assertEqualsRebuild(corpus: DataFrame): Unit = {
+      val rebuildDir = java.nio.file.Files.createTempDirectory("signidx_rb").toString
+      val rebuilt = new SignLshIndex(spark, rebuildDir)
+      rebuilt.build(corpus)
+      assert(rebuilt.params == pinned, "family must be flat across these sizes")
+      assert(rowSet(idx.signatures()) == rowSet(rebuilt.signatures()))
+      assert(rowSet(idx.annGraph()) == rowSet(rebuilt.annGraph()))
+    }
+
+    def dirBytes(rel: String): Long = {
+      val p = java.nio.file.Paths.get(s"$idxDir/$rel")
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+    }
+
+    // delta refresh: only dayOne is normed+signed, family stays pinned
+    idx.append(dayOne)
+    assert(idx.version.contains(2L))
+    assert(idx.params == pinned)
+    assertEqualsRebuild(dayZero.unionByName(dayOne))
+
+    // chained second append stays equal — and now the index holds the
+    // full corpus, so it must serve the bit-exact graph the library
+    // operator computes for the same family
+    idx.append(dayTwo)
+    assert(idx.version.contains(3L))
+    assertEqualsRebuild(vecs)
+    val (bits, tables) = pinned
+    assert(rowSet(idx.annGraph()) ==
+      rowSet(Similarity.annKnnGraphAt(spark, sf, bits, tables)),
+      "index-served graph != the library's graph for the same family")
+
+    // replaying an overlapping batch is idempotent (first-writer-wins)
+    idx.append(dayTwo)
+    assert(idx.version.contains(4L))
+    assertEqualsRebuild(vecs)
+
+    // WRITES are O(delta): dayOne's segment (20%) is smaller than the
+    // base build (60%), the idempotent replay's (empty delta) smaller
+    // still, and a version publish is manifest-sized
+    val base = dirBytes("seg/s1")
+    assert(base > 0)
+    assert(dirBytes("seg/s2") < base,
+      "append must write a delta-sized segment, not rewrite the index")
+    assert(dirBytes("seg/s4") < dirBytes("seg/s2"),
+      "an empty delta's segment must be near-empty")
+    assert(dirBytes("v4") < 4096, "a version publish is manifest-sized")
+
+    // occupancy drifts up as the corpus grows past the build-time
+    // calibration — the documented rebuild signal
+    assert(idx.occupancy() > 0.0)
+
+    // retention sweeps history, keeps the served snapshot readable
+    assert(idx.vacuum(1).toSet == Set(1L, 2L, 3L))
+    assertEqualsRebuild(vecs)
+
+    // a markerless crash leftover is invisible; the next append
+    // publishes right past the garbage
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$idxDir/v9/sig"))
+    assert(idx.version.contains(4L))
+    idx.append(dayTwo)
+    assert(idx.version.contains(5L))
+    assertEqualsRebuild(vecs)
+  }
+}
