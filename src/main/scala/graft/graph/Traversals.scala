@@ -75,6 +75,36 @@ object Traversals {
     SELECT node, CAST(MIN(d) AS INTEGER) AS dist
     FROM bfs GROUP BY node ORDER BY node"""
 
+  /** BFS level order from the busiest hub (max out-degree, smallest-id
+    * tie-break) — the reference client passes an ARBITRARY start node
+    * to its traversals (client.c:23-29), so the parameterized source
+    * path ([[bfsLevels]]'s `source`) must be oracle-checked on a
+    * non-zero source too, not only exercised by specs. The source is
+    * data-derived and deterministic so the DuckDB oracle rederives the
+    * identical node; the driver-side `head()` is one scalar (argmax),
+    * not graph-sized state.
+    */
+  private def g22(s: SparkSession, dir: String): DataFrame = {
+    val e = TradeGraph.edgesTable(s, dir)
+    val hub = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).head().getInt(0)
+    bfsLevels(e, source = hub, maxHops = 6).orderBy(col("node"))
+  }
+
+  private val g22Sql = s"""
+    WITH RECURSIVE ${GraphSql.edgesCte},
+    hub AS (
+      SELECT src FROM edges GROUP BY src
+      ORDER BY count(*) DESC, src LIMIT 1),
+    bfs(node, d) AS (
+      SELECT src, CAST(0 AS INTEGER) FROM hub
+      UNION
+      SELECT e.dst, CAST(bfs.d + 1 AS INTEGER)
+      FROM bfs JOIN edges e ON e.src = bfs.node
+      WHERE bfs.d < 6)
+    SELECT node, CAST(MIN(d) AS INTEGER) AS dist
+    FROM bfs GROUP BY node ORDER BY node"""
+
   /** Reachable terminal (sink) nodes on the DAG view from nation 0 —
     * the deterministic re-expression of the reference's DFS
     * deepest-node output (reference op 3; SURVEY.md §6).
@@ -225,6 +255,7 @@ object Traversals {
 
   val ops: Seq[Op] = Seq(
     Op("g03_bfs_levels", g03, Some(g03Sql)),
+    Op("g22_bfs_from_hub", g22, Some(g22Sql)),
     Op("g04_dfs_terminal", g04, Some(g04Sql)),
     Op("g07_reachability", g07, Some(g07Sql)),
     Op("g08_shortest_path_weighted", g08, Some(g08Sql)),
