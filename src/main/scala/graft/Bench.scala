@@ -71,6 +71,41 @@ object Bench {
     math.max(0.0, (b._4 - a._4).toDouble / (b._1 - a._1).toDouble)
   }
 
+  /** Deterministic single-thread CPU probe: a fixed xorshift/rotate
+    * loop, reported as seconds (min of 3 runs — the least-disturbed
+    * sample). The SAME work every round, so the ratio of two rounds'
+    * probe times is the host-speed drift between them — the
+    * calibration the round-8→9 comparison needed a half-day of manual
+    * untouched-query forensics to reconstruct (uniform 1.3–1.7×
+    * bands on code-untouched queries, attributed to host drift only
+    * via a hand-run probe). Pure ALU work: immune to disk bursts,
+    * sensitive to CPU contention/frequency — probe it, don't infer it.
+    */
+  private def hostProbeSec(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += java.lang.Long.rotateLeft(x, i & 63)
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) System.err.println("improbable") // keep acc live
+      dt
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
+  /** [[hostProbeSec]] on the round-10 canonical host state — the
+    * denominator that turns a probe time into `host_factor` (>1 =
+    * this run's host is slower than the reference; divide warm
+    * medians by it before cross-round comparison).
+    */
+  private val HostProbeReferenceSec = 0.47
+
   /** max/min over successful rep times; 1.0 when fewer than 2. */
   private def spread(ts: Seq[Double]): Double = {
     val good = ts.filter(_ > 0)
@@ -106,6 +141,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
     val tStart = java.time.Instant.now().toString
+    val probePre = hostProbeSec()
     // Warm the JVM + parquet footers so per-query numbers measure the
     // plans, not first-touch class loading.
     SparkEntry.queries("q06_forecast_filter")(spark, sfDir).count()
@@ -190,6 +226,8 @@ object Bench {
     }
     val loadEnd = loadavg()
     val tEnd = java.time.Instant.now().toString
+    val probePost = hostProbeSec()
+    val hostFactor = ((probePre + probePost) / 2.0) / HostProbeReferenceSec
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-rep times, in execution order. Rep 1 is the COLD run: for the
@@ -228,11 +266,14 @@ object Bench {
       "foreign DISK bursts that consume no CPU); queries listed " +
       "in contended never got 2 agreeing warm reps with foreign share<=" +
       f"$foreignThreshold%.2f and iowait share<=$iowaitThreshold%.2f " +
-      "— do not trust their numbers"
+      "— do not trust their numbers; host_probe_sec is a fixed " +
+      "single-thread CPU probe (pre/post run) and host_factor its mean " +
+      "over the pinned reference — divide warm medians by host_factor " +
+      "before cross-round comparison"
     val subsetField = only.fold("")(s =>
       "\"subset\":" + s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val env =
-      s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"iowait_threshold":$iowaitThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
+      s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"iowait_threshold":$iowaitThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"host_probe_sec":[$probePre,$probePost],"host_factor":$hostFactor,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"queries_iowait":$qiowait,"note":"$note",$env,"sf":"$sfDir"}"""
     // Long per-query line first; persist a copy where truncation can't
@@ -245,6 +286,6 @@ object Bench {
       java.nio.file.Paths.get(if (only.isDefined) "bench_subset.json" else "bench.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"reps":$reps,"contended_count":${contendedKeys.size},"loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"reps":$reps,"contended_count":${contendedKeys.size},"host_factor":$hostFactor,"loadavg_end":"$loadEnd","sf":"$sfDir"}""")
   }
 }

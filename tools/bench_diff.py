@@ -32,13 +32,25 @@ def main():
 
     contended = set(old.get("contended", [])) | set(new.get("contended", []))
     shared = sorted(set(old["queries"]) & set(new["queries"]))
+    # host_factor (fixed single-thread CPU probe over a pinned
+    # reference) normalizes host-speed drift out of the comparison:
+    # ratios are computed on medians/host_factor when both artifacts
+    # carry the field, so a uniformly slower host doesn't read as a
+    # uniform code regression.
+    hf_old = old.get("host_factor")
+    hf_new = new.get("host_factor")
+    norm = (hf_new / hf_old) if isinstance(hf_old, (int, float)) \
+        and isinstance(hf_new, (int, float)) and hf_old > 0 and hf_new > 0 else None
+    if norm is not None:
+        print(f"host_factor: old {hf_old:.3f}, new {hf_new:.3f} "
+              f"(ratios normalized by {norm:.3f})")
     regressed, improved, skipped = [], [], []
     for q in shared:
         o, n = old["queries"][q], new["queries"][q]
         if q in contended or o <= 0 or n <= 0:
             skipped.append(q)
             continue
-        r = n / o
+        r = (n / o) / norm if norm else n / o
         if r > args.threshold:
             regressed.append((r, q, o, n))
         elif r < 1 / args.threshold:
