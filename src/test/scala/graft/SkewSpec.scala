@@ -62,6 +62,46 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == unsalted)
   }
 
+  test("sf1 scale evidence: measured switch fires on an injected hot key, isolates it, matches plain") {
+    // Gated on the dev-generated sf1 corpus (tools/gen_sf.py). Two
+    // claims at 10x-sf0.1 pair volume (~300k distinct (cust,supp)
+    // edges): (a) the driver-shaped corpus is near-uniform, so the
+    // measured decision stays OFF — the common case pays exactly one
+    // self-join; (b) injecting ONE aggregator-shaped customer covering
+    // 2000 suppliers (the guaranteed shape of a 100 TB marketplace
+    // corpus) flips the decision ON, the derived threshold isolates
+    // exactly that key into the salted branch, and the salted union
+    // still equals the plain self-join on the full co-customer
+    // aggregate. Wall-time evidence for the tail bound lives in
+    // docs/SCALE_EVIDENCE_r10.md (a spec must not assert timings).
+    val sf = "/tmp/graft_testdata/sf1"
+    assume(new java.io.File(s"$sf/orders.parquet").exists(),
+      "sf1 corpus not generated on this host")
+    import spark.implicits._
+    val real = Components.bipartitePairs(spark, sf)
+      .select(col("cust"), col("supp"))
+    assert(Components.measuredSaltThreshold(real).isEmpty,
+      "near-uniform sf1 degrees must keep the salt switch off")
+    val hotCust = 100000000L
+    val hot = (1L to 2000L).map(sp => (hotCust, sp)).toDF("cust", "supp")
+    val skewed = real.unionAll(hot)
+    val t = Components.measuredSaltThreshold(skewed)
+    assert(t.nonEmpty, "one 2000-degree key must flip the measured switch on")
+    // the hot/cold split fires for exactly the injected key
+    val hotKeys = skewed.groupBy(col("cust")).agg(count(lit(1)).as("d"))
+      .filter(col("d") > t.get).select(col("cust"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hotKeys == Seq(hotCust),
+      s"threshold ${t.get} must isolate only the injected key, got $hotKeys")
+    // equality at volume, compared on aggregates (the hot key alone
+    // contributes ~2M co-customer pairs — too many rows to collect)
+    def agg(threshold: Int) =
+      Components.coCustomerCounts(skewed, threshold, salt = 8)
+        .agg(count(lit(1)), sum(col("n_common")), max(col("n_common")))
+        .collect().head.toSeq
+    assert(agg(t.get) == agg(Int.MaxValue))
+  }
+
   test("g13 output is identical with the salt switch disabled") {
     val expected = SparkEntry.queries("g13_supplier_overlap")(spark, sf).collect().toSeq
     val pairs = Components.bipartitePairs(spark, sf)
