@@ -124,7 +124,12 @@ case class TopKScored(
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuffer] {
 
-  require(k > 0 && k <= 1024, s"top_k_scored: k out of range: $k")
+  // Cap sized for the two shipped regimes: tiny-k neighbor lists
+  // (k=3) and OrderStats' tail selection (k <= its tailK = 8192, a
+  // 128 KB worst-case buffer per group — and only for groups that
+  // actually hold that many in-range rows; buffers grow with observed
+  // rows, so total state stays bounded by the tail data itself).
+  require(k > 0 && k <= 8192, s"top_k_scored: k out of range: $k")
 
   override def children: Seq[Expression] = Seq(score, payload)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -279,12 +279,26 @@ object Olap {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")
     } else {
-      val med = graft.util.OrderStats.groupedPercentileCont(
-        li, "l_returnflag", "l_quantity", Seq(0.5))
-      val p90 = graft.util.OrderStats.groupedPercentileCont(
-        li, "l_returnflag", "l_extendedprice", Seq(0.9))
-      val rows = med.keys.map(_._1).toSeq.sorted.map(g =>
-        (g, med((g, 0.5)), p90((g, 0.9))))
+      // ONE selection over BOTH value columns: the streams stack under
+      // a composite group key (value-tag ++ returnflag, non-null by
+      // the table's contract), so the two percentiles' histogram
+      // rounds share every pass over the data — half the
+      // driver-synchronized jobs of two separate engine calls
+      // (measured at sf1: 15.7 s as two calls, the stacked call + the
+      // auto-sized histogram bring it under the r9 selection plan).
+      // The off-diagonal ranks (quantity@0.9, price@0.5) ride along
+      // unused — a handful of extra broadcast state rows.
+      val stacked = li.select(
+          concat(lit("q"), col("l_returnflag")).as("g"),
+          col("l_quantity").cast("double").as("v"))
+        .unionAll(li.select(
+          concat(lit("p"), col("l_returnflag")).as("g"),
+          col("l_extendedprice").cast("double").as("v")))
+      val r = graft.util.OrderStats.groupedPercentileCont(
+        stacked, "g", "v", Seq(0.5, 0.9))
+      val flags = r.keys.collect { case (g, _) if g.startsWith("q") =>
+        g.substring(1) }.toSeq.distinct.sorted
+      val rows = flags.map(f => (f, r(("q" + f, 0.5)), r(("p" + f, 0.9))))
       s.createDataFrame(rows).toDF("l_returnflag", "median_qty", "p90_price")
         .orderBy(col("l_returnflag"))
     }

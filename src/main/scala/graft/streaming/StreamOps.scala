@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** A typed event for stateful processing (epoch seconds). */
 final case class SEvent(user_id: Long, es: Long, value: Double)
@@ -146,6 +146,26 @@ object StreamOps {
       .flatMapGroupsWithState[TBuf, Transition](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(processWatermarked)
   }
+
+  /** Continuous maintenance of a [[graft.sim.SignLshIndex]] — the
+    * daily-crawl ingestion path run as a stream: every micro-batch of
+    * newly-crawled vectors (vec_id, embedding) becomes one delta
+    * segment via `SignLshIndex.append`, so the served ANN graph stays
+    * a bounded number of micro-batches behind the crawl with O(batch)
+    * work per trigger (never a corpus rescan). Restart safety is
+    * exactly append's first-writer-wins contract: foreachBatch is
+    * at-least-once, and a replayed batch's ids are already stored, so
+    * the replay degrades to an empty delta and the served graph is
+    * unchanged. Empty triggers are skipped — an idle crawl writes no
+    * segment (and so causes no version churn for vacuum to sweep).
+    */
+  def indexMaintenance(vecs: DataFrame,
+      index: graft.sim.SignLshIndex): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) index.append(batch.toDF())
+      }
 
   private def emitSorted(user: Long, last0: Option[TLast],
       sealed0: Seq[TEvent]): (Seq[Transition], Option[TLast]) = {

@@ -95,6 +95,24 @@ object OrderStats {
     */
   val GroupBroadcastEnvelope: Long = 65536L
 
+  /** Auto-sized histogram width for `buckets = 0` call sites. Two
+    * opposing forces, both measured on q11/q16 at sf1: wider buckets
+    * collapse the round count (ceil(64 / log2 B) + 1: 8 at B=256, 6
+    * at B=4096), but the histogram's map-side partial aggregation
+    * only compresses while its key space (open ranges × B) stays far
+    * below the row count — at B=65536 near-unique values spread over
+    * ~1.5M keys, partial maps stopped deduplicating, and the
+    * "summary" shuffle approached a full-data shuffle per round
+    * (q16 warm 3.5 s → 5.2 s, q11 stacked WORSE than unstacked). The
+    * ~256k-cell target with a 4096 cap keeps every task's partial
+    * hash cache-resident at any group cardinality; past ~1k ranges
+    * the width backs off toward the floor so the summary, not the
+    * data, stays the shuffled object.
+    */
+  private[util] def autoBuckets(nRanges: Long): Int =
+    math.max(256L, math.min(4096L,
+      (256L * 1024) / math.max(nRanges, 1L))).toInt
+
   // ---- internal engine ------------------------------------------------
 
   /** Exact selection over prepared inputs.
@@ -112,13 +130,21 @@ object OrderStats {
     // ceil(64 / log2 B) + 1 structural bound (see scaladoc) + slack
     val maxRounds = 64 / (31 - Integer.numberOfLeadingZeros(buckets)) + 5
 
+    // The data-side join fans each row out to its group's DISTINCT
+    // open (lo, hi) ranges only — in round 1 every rank of a group
+    // shares the group's [min, max], so without the dedup the first
+    // (and dominant: it sees all rows) round multiplies the scan by
+    // the rank count (4× on q11, 18× on q16 — measured 8.3 s warm for
+    // q11's round 1 at sf1, dominated by exactly this fan-out). The
+    // per-rank bookkeeping (rank, t) rejoins on the summary side,
+    // where rows number ranges × B, not n.
     def ranges(st: DataFrame): DataFrame = {
-      val renamed = st.select(col("gk").as("rgk"), col("rank"), col("lo"),
-        col("hi"), col("t"), col("cnt").as("rcnt"))
+      val renamed = st.select(col("gk").as("rgk"), col("lo").as("rlo"),
+        col("hi").as("rhi")).distinct()
       if (broadcastState) broadcast(renamed) else renamed.hint("shuffle_hash")
     }
     def inRange(): Column =
-      col("gk") === col("rgk") && col("v") >= col("lo") && col("v") <= col("hi")
+      col("gk") === col("rgk") && col("v") >= col("rlo") && col("v") <= col("rhi")
 
     var state = state0.localCheckpoint()
     var rounds = 0
@@ -135,25 +161,30 @@ object OrderStats {
       // monotone, and once a range's bit width drops under B the step
       // clamps to 1 — singleton buckets, so the next round resolves.
       val dec = DecimalType(21, 0)
-      val mLo = orderBits(col("lo")).cast(dec)
-      val mHi = orderBits(col("hi")).cast(dec)
+      val mLo = orderBits(col("rlo")).cast(dec)
+      val mHi = orderBits(col("rhi")).cast(dec)
       val mV = orderBits(col("v")).cast(dec)
       val step = greatest(ceil((mHi - mLo + lit(1)) / lit(buckets)), lit(1))
       val b = least(greatest(floor((mV - mLo) / step), lit(0)),
         lit(buckets - 1)).cast("int")
       val hist = vp.join(ranges(active), inRange())
         .withColumn("b", b)
-        .groupBy(col("rgk"), col("rank"), col("t"), col("b"))
+        .groupBy(col("rgk"), col("rlo"), col("rhi"), col("b"))
         .agg(count(lit(1)).as("bcnt"), min(col("v")).as("bmn"),
           max(col("v")).as("bmx"))
-      // pick each range's target bucket with a window over the small
-      // (group × rank × bucket) summary — fully distributed
-      val wcum = Window.partitionBy(col("rgk"), col("rank")).orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val picked = hist
+      // pick each rank's target bucket with a window + join over the
+      // small (distinct range × bucket) summary — fully distributed;
+      // double-equality on (lo, hi) is exact because the state's
+      // bounds are copied bit-for-bit from these summaries' min/max
+      val wcum = Window.partitionBy(col("rgk"), col("rlo"), col("rhi"))
+        .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+      val cums = hist
         .withColumn("cum", coalesce(sum(col("bcnt")).over(wcum), lit(0L)))
+      val picked = active.join(cums,
+          col("gk") === col("rgk") && col("lo") === col("rlo") &&
+            col("hi") === col("rhi"))
         .filter(col("cum") <= col("t") && col("t") < col("cum") + col("bcnt"))
-        .select(col("rgk").as("gk"), col("rank"), col("bmn").as("lo"),
+        .select(col("gk"), col("rank"), col("bmn").as("lo"),
           col("bmx").as("hi"), (col("t") - col("cum")).as("t"),
           col("bcnt").as("cnt"))
       state = rest.unionByName(picked).localCheckpoint()
@@ -165,13 +196,18 @@ object OrderStats {
     if (tails.isEmpty) direct
     else {
       // k bound: a scalar (the largest remaining in-range index, < tailK
-      // by the loop's exit condition), NOT per-group driver state
+      // by the loop's exit condition), NOT per-group driver state.
+      // One bounded top-k per DISTINCT range (the ranges() dedup), each
+      // rank reading its element from the shared array.
       val kMax = tails.agg(max(col("t"))).head().getLong(0).toInt + 1
-      val tailRes = vp.join(ranges(tails), inRange())
-        .groupBy(col("rgk"), col("rank"), col("t"))
+      val tops = vp.join(ranges(tails), inRange())
+        .groupBy(col("rgk"), col("rlo"), col("rhi"))
         .agg(graft.functions.TopKAggregate.topKScored(
           -col("v"), lit(0L), kMax).as("top"))
-        .select(col("rgk").as("gk"), col("rank"),
+      val tailRes = tails.join(tops,
+          col("gk") === col("rgk") && col("lo") === col("rlo") &&
+            col("hi") === col("rhi"))
+        .select(col("gk"), col("rank"),
           (-element_at(col("top"), (col("t") + 1).cast("int"))
             .getField("score")).as("value"))
       direct.unionByName(tailRes)
@@ -194,7 +230,7 @@ object OrderStats {
     *         [0, n); duplicates in `ranks` are fine)
     */
   def orderStatistics(df: DataFrame, valueCol: String, ranks: Seq[Long],
-      buckets: Int = 1024, tailK: Int = 1024): Map[Long, Double] = {
+      buckets: Int = 0, tailK: Int = 8192): Map[Long, Double] = {
     require(ranks.nonEmpty, "no ranks requested")
     val spark = df.sparkSession
     import spark.implicits._
@@ -210,7 +246,8 @@ object OrderStats {
         require(r >= 0 && r < n, s"rank $r out of [0, $n)"))
       val state0 = ranks.distinct.map(r => ("g", r, mn, mx, r, n))
         .toDF("gk", "rank", "lo", "hi", "t", "cnt")
-      runSelection(vp, state0, broadcastState = true, buckets, tailK)
+      val b = if (buckets > 0) buckets else autoBuckets(ranks.distinct.size.toLong)
+      runSelection(vp, state0, broadcastState = true, b, tailK)
         .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     } finally vp.unpersist()
   }
@@ -236,8 +273,8 @@ object OrderStats {
     * @return (groupCol [original type], percentage double, value double)
     */
   def groupedPercentileContDF(df: DataFrame, groupCol: String,
-      valueCol: String, percentages: Seq[Double], buckets: Int = 256,
-      tailK: Int = 1024): DataFrame = {
+      valueCol: String, percentages: Seq[Double], buckets: Int = 0,
+      tailK: Int = 8192): DataFrame = {
     require(percentages.nonEmpty, "no percentages requested")
     percentages.foreach(p =>
       require(p >= 0.0 && p <= 1.0, s"percentage $p out of [0, 1]"))
@@ -251,7 +288,10 @@ object OrderStats {
         .agg(first(col("g")).as("g"), count(lit(1)).as("n"),
           min(col("v")).as("mn"), max(col("v")).as("mx"))
         .localCheckpoint()
-      val broadcastState = heads.count() <= GroupBroadcastEnvelope
+      val nGroups = heads.count()
+      val broadcastState = nGroups <= GroupBroadcastEnvelope
+      val b = if (buckets > 0) buckets
+        else autoBuckets(nGroups * 2L * percentages.distinct.size)
       val vp = if (broadcastState) base.select(col("gk"), col("v"))
       else {
         val r = base.select(col("gk"), col("v")).repartition(col("gk")).persist()
@@ -274,7 +314,7 @@ object OrderStats {
             first(col("n")).as("cnt"))
           .select(col("gk"), col("rank"), col("lo"), col("hi"),
             col("rank").as("t"), col("cnt"))
-        val r = runSelection(vp, state0, broadcastState, buckets, tailK)
+        val r = runSelection(vp, state0, broadcastState, b, tailK)
         val rlo = r.select(col("gk").as("lgk"), col("rank").as("lrank"),
           col("value").as("vlo"))
         val rhi = r.select(col("gk").as("hgk"), col("rank").as("hrank"),
@@ -303,8 +343,8 @@ object OrderStats {
     * @return (group value as string, percentage) -> interpolated value
     */
   def groupedPercentileCont(df: DataFrame, groupCol: String, valueCol: String,
-      percentages: Seq[Double], buckets: Int = 1024,
-      tailK: Int = 1024): Map[(String, Double), Double] = {
+      percentages: Seq[Double], buckets: Int = 0,
+      tailK: Int = 8192): Map[(String, Double), Double] = {
     val out = groupedPercentileContDF(
       df.select(col(groupCol).cast("string").as(groupCol), col(valueCol)),
       groupCol, valueCol, percentages, buckets, tailK)

@@ -120,6 +120,26 @@ class OrderStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("e10's past-the-envelope selection plan equals the built-in aggregate") {
+    // No harness corpus crosses BuiltinEnvelopeRows for e10 (sessions
+    // stay under 4M at every shipped SF), so the selection branch is
+    // pinned here directly against the built-in on the real sf0.01
+    // session table — the stacked duration/event-count call must be
+    // bit-equal, including n_sessions/total_events passthrough.
+    val sess = graft.ops.Events.sessionsTable(spark, "/root/testdata/sf0.01")
+    sess.createOrReplaceTempView("os_e10_sess")
+    val want = spark.sql("""
+      SELECT count(*) AS n_sessions,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY end_es - start_es) AS p50_duration_s,
+        percentile_cont(0.9) WITHIN GROUP (ORDER BY end_es - start_es) AS p90_duration_s,
+        percentile_cont(0.5) WITHIN GROUP (ORDER BY n_events) AS p50_events,
+        CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS BIGINT) AS total_events
+      FROM os_e10_sess""").head()
+    val got = graft.ops.Events.e10ViaSelection(spark, sess,
+      want.getLong(0), want.getLong(4)).head()
+    assert(got == want)
+  }
+
   test("percentileCont equals the SQL percentile_cont bit-for-bit") {
     val rnd = new scala.util.Random(13)
     val values = Seq.fill(3000)(rnd.nextDouble() * 1e6) ++ Seq.fill(100)(777.77)

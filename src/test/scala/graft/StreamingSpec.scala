@@ -350,4 +350,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(out == Seq(Session(5L, 1000L, 1100L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming index maintenance: appended micro-batches serve the full-rebuild ANN graph") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.SignLshIndex
+    val vecs = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    // yesterday's corpus is batch-built; today's crawl arrives as a
+    // stream in two micro-batches, the second replaying part of the
+    // first (at-least-once delivery)
+    val dayZero = vecs.filter(col("vec_id") % 5 < 3)
+    val batchA = vecs.filter(col("vec_id") % 5 === 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val batchB = vecs.filter(col("vec_id") % 5 === 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val idxDir = java.nio.file.Files.createTempDirectory("signidx_stream").toString
+    val idx = new SignLshIndex(spark, idxDir)
+    idx.build(dayZero)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.indexMaintenance(
+      in.toDF().toDF("vec_id", "embedding"), idx).start()
+    try {
+      in.addData(batchA.toSeq)
+      q.processAllAvailable()
+      assert(idx.version.contains(2L))
+      in.addData((batchB ++ batchA.take(10)).toSeq) // replayed overlap
+      q.processAllAvailable()
+      assert(idx.version.contains(3L))
+      q.processAllAvailable() // idle trigger: no data, no version churn
+      assert(idx.version.contains(3L))
+    } finally q.stop()
+
+    // the streamed index serves the bit-exact graph of a from-scratch
+    // build over the whole corpus (s06's oracle hashes cosine bits, so
+    // "close" is not enough)
+    val rebuildDir = java.nio.file.Files.createTempDirectory("signidx_stream_rb").toString
+    val rebuilt = new SignLshIndex(spark, rebuildDir)
+    rebuilt.build(vecs)
+    assert(rebuilt.params == idx.params)
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rowSet(idx.annGraph()) == rowSet(rebuilt.annGraph()))
+  }
 }
