@@ -92,6 +92,39 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "skew") {
+      // g13 salt-switch evidence at scale: inject one aggregator-shaped
+      // hot customer into the REAL corpus pairs (the shape a 100 TB
+      // marketplace graph is guaranteed to contain), show the measured
+      // switch engages, and time the Σd² pair stream salted vs plain —
+      // the plain join must emit the hot key's d²/2 co-pairs from ONE
+      // reducer, the salted plan spreads them across SaltFactor
+      // sub-keys. Usage: graft.Profile <sfDir> skew [hotDegree]
+      import org.apache.spark.sql.functions._
+      val hotDegree = if (args.length > 2) args(2).toInt else 10000
+      val real = graph.Components.bipartitePairs(spark, sfDir)
+        .select(col("cust"), col("supp"))
+      t("pairs.real")(real.count())
+      println(s"measured threshold on real pairs: " +
+        s"${graph.Components.measuredSaltThreshold(real)} (None = stay plain)")
+      import spark.implicits._
+      val hot = (1L to hotDegree.toLong).map(sp => (1000000000L, sp))
+        .toDF("cust", "supp")
+      val skewed = real.unionAll(hot).localCheckpoint()
+      val thr = graph.Components.measuredSaltThreshold(skewed)
+      println(s"measured threshold with injected d=$hotDegree: $thr")
+      def consume(threshold: Int): Long =
+        graph.Components.coCustomerCounts(skewed, threshold,
+            graph.Components.SaltFactor)
+          .agg(count(lit(1)), sum(col("n_common"))).head().getLong(0)
+      t(s"coCustomer.plain (hot d=$hotDegree on one reducer)")(
+        consume(Int.MaxValue))
+      t(s"coCustomer.salted (threshold=${thr.get}, salt=${graph.Components.SaltFactor})")(
+        consume(thr.get))
+      spark.stop()
+      return
+    }
+
     if (args.length > 1) {
       // time the named queries in isolation (fresh JVM, warm session)
       t("warmup")(Tables(spark, sfDir, "lineitem").count())
