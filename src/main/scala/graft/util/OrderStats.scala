@@ -146,7 +146,13 @@ object OrderStats {
     def inRange(): Column =
       col("gk") === col("rgk") && col("v") >= col("rlo") && col("v") <= col("rhi")
 
-    var state = state0.localCheckpoint()
+    // State lives in ONE partition: it holds at most (groups × open
+    // ranks) summary rows, and the loop's emptiness probe runs every
+    // round — on a 32-partition empty state, Dataset.isEmpty's
+    // take(1) escalates through partition waves (several JOBS per
+    // probe; measured as the dominant fixed cost of q16's ~10-job
+    // chain at sf0.1). One partition makes every state op one task.
+    var state = state0.coalesce(1).localCheckpoint()
     var rounds = 0
     while (!state.filter(openCond).isEmpty) {
       rounds += 1
@@ -187,19 +193,22 @@ object OrderStats {
         .select(col("gk"), col("rank"), col("bmn").as("lo"),
           col("bmx").as("hi"), (col("t") - col("cum")).as("t"),
           col("bcnt").as("cnt"))
-      state = rest.unionByName(picked).localCheckpoint()
+      state = rest.unionByName(picked).coalesce(1).localCheckpoint()
     }
 
     val direct = state.filter(col("lo") === col("hi"))
       .select(col("gk"), col("rank"), col("lo").as("value"))
     val tails = state.filter(col("lo") =!= col("hi"))
-    if (tails.isEmpty) direct
+    // one aggregate probes existence AND the k bound together (max is
+    // NULL exactly when no tail range remains)
+    val kRow = tails.agg(max(col("t"))).head()
+    if (kRow.isNullAt(0)) direct
     else {
       // k bound: a scalar (the largest remaining in-range index, < tailK
       // by the loop's exit condition), NOT per-group driver state.
       // One bounded top-k per DISTINCT range (the ranges() dedup), each
       // rank reading its element from the shared array.
-      val kMax = tails.agg(max(col("t"))).head().getLong(0).toInt + 1
+      val kMax = kRow.getLong(0).toInt + 1
       val tops = vp.join(ranges(tails), inRange())
         .groupBy(col("rgk"), col("rlo"), col("rhi"))
         .agg(graft.functions.TopKAggregate.topKScored(
@@ -284,10 +293,12 @@ object OrderStats {
       .filter(col("v").isNotNull)
       .persist()
     try {
+      // lazy checkpoint: the count() right below materializes it, so
+      // the summary costs one job, not two
       val heads = base.groupBy(col("gk"))
         .agg(first(col("g")).as("g"), count(lit(1)).as("n"),
           min(col("v")).as("mn"), max(col("v")).as("mx"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nGroups = heads.count()
       val broadcastState = nGroups <= GroupBroadcastEnvelope
       val b = if (buckets > 0) buckets
