@@ -65,6 +65,18 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
   /** The candidate-pair set: (doc_a, doc_b), doc_a < doc_b. */
   def candidates(): DataFrame = readTable("cand")
 
+  /** The candidate pairs ADDED at version `v` — exactly the pairs with
+    * at least one endpoint first ingested by that version's delta
+    * (segment contents are disjoint by construction, see the class
+    * doc). This is the O(batch)-sized read the streaming crawl-dedup
+    * needs: the dup decision for one ingest touches the ingest's own
+    * collisions, never the full corpus-lifetime pair set.
+    */
+  def candidatesAddedAt(v: Long): DataFrame = {
+    require(snaps.completeVersions.contains(v), s"no complete version $v")
+    spark.read.parquet(new Path(segRoot, s"s$v/cand").toString)
+  }
+
   /** Segment names the newest complete version is the union of. */
   private def currentSegments(): Seq[String] = {
     val v = version.getOrElse(

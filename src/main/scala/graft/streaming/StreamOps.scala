@@ -167,6 +167,56 @@ object StreamOps {
         if (!batch.isEmpty) index.append(batch.toDF())
       }
 
+  /** Streaming crawl dedup against the HISTORICAL corpus: each
+    * micro-batch of crawled documents (doc_id, text) is appended to a
+    * [[graft.dedup.MinHashIndex]] (one delta segment; the old corpus
+    * is never re-shingled) and the batch's SURVIVORS — documents with
+    * no LSH band collision against any earlier-ingested document, and
+    * the canonical (min doc_id) representative of each in-batch
+    * collision — flow to `sink`. Per-trigger work is O(batch): the dup
+    * decision reads only the version's candidate DELTA
+    * ([[graft.dedup.MinHashIndex.candidatesAddedAt]]) plus a doc_id
+    * column scan of the signature store for replay detection. This is
+    * the dedup shape a daily 100 TB crawl runs: "drop what we have
+    * already seen, across all of history, without touching history."
+    *
+    * Collision semantics are d02's (band-collision candidates); a
+    * stricter signature-similarity verification composes downstream
+    * of the candidate filter, exactly as in the batch pipeline.
+    *
+    * Restart-safe: a replayed batch's doc_ids are already stored, so
+    * they are neither re-appended (first-writer-wins) nor re-emitted
+    * (they fail the freshness anti-join); an idle trigger writes no
+    * segment and calls no sink.
+    */
+  def crawlDedup(docs: DataFrame, index: graft.dedup.MinHashIndex)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          // pre-append ids, pinned: "earlier-ingested" must mean the
+          // state BEFORE this batch, and the append below advances it
+          val prev = index.signatures().select(col("doc_id"))
+            .localCheckpoint()
+          val fresh = batch.toDF()
+            .join(prev, Seq("doc_id"), "left_anti").localCheckpoint()
+          if (!fresh.isEmpty) {
+            index.append(fresh)
+            val delta = index.candidatesAddedAt(index.version.get)
+            // pair (a < b): b old -> a is a dup of history; a old ->
+            // b is a dup of history; both fresh -> b drops, the min
+            // id stays as the canonical representative
+            val bOld = delta.join(prev.withColumnRenamed("doc_id", "doc_b"),
+              Seq("doc_b"), "left_semi").select(col("doc_a").as("doc_id"))
+            val bDrops = delta.join(prev.withColumnRenamed("doc_id", "doc_b"),
+              Seq("doc_b"), "left_anti").select(col("doc_b").as("doc_id"))
+            val drops = bOld.unionAll(bDrops).distinct()
+            sink(fresh.join(drops, Seq("doc_id"), "left_anti"))
+          }
+        }
+      }
+
   private def emitSorted(user: Long, last0: Option[TLast],
       sealed0: Seq[TEvent]): (Seq[Transition], Option[TLast]) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Transition]

@@ -351,6 +351,82 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl dedup: survivors match the from-scratch LSH decision per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.{Dedup, MinHashIndex}
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    // history = 2/3 of the corpus; today's crawl arrives in two
+    // micro-batches, the second replaying part of the first
+    val day0 = docs.filter(col("doc_id") % 3 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1)))
+    val batchA = rows(docs.filter(col("doc_id") % 6 === 0))
+    val batchB = rows(docs.filter(col("doc_id") % 6 === 3)) ++ batchA.take(20)
+
+    val idxDir = java.nio.file.Files.createTempDirectory("mhidx_stream").toString
+    val idx = new MinHashIndex(spark, idxDir)
+    idx.build(day0)
+
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.crawlDedup(in.toDF().toDF("doc_id", "text"), idx) { surv =>
+      emitted += surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    }.start()
+
+    // from-scratch reference: band collisions recomputed off the raw
+    // corpus (no index involvement), same drop rule
+    def expectedSurvivors(prevIds: Set[Long], batch: Seq[(Long, String)]): Set[Long] = {
+      import spark.implicits._
+      val freshIds = batch.map(_._1).toSet -- prevIds
+      // every ingested doc originates from the corpus table, so the
+      // reference corpus is the full ingested id set resolved there
+      // (prevIds includes EARLIER BATCHES, not just day0)
+      val corpus = docs
+        .join(((prevIds ++ freshIds).toSeq.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      val b = Dedup.bands(Dedup.minhashes(corpus))
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val drops = pairs.collect {
+        case (a, b) if freshIds(a) && prevIds(b) => a
+        case (a, b) if freshIds(b) => b
+      }.toSet
+      freshIds -- drops
+    }
+
+    try {
+      val prev0 = day0.select("doc_id").collect().map(_.getLong(0)).toSet
+      in.addData(batchA.toSeq)
+      q.processAllAvailable()
+      assert(emitted.size == 1)
+      assert(emitted(0) == expectedSurvivors(prev0, batchA))
+
+      val prev1 = prev0 ++ batchA.map(_._1)
+      in.addData(batchB.toSeq)
+      q.processAllAvailable()
+      assert(emitted.size == 2)
+      // replayed doc_ids are never re-emitted: they are not fresh
+      assert(emitted(1) == expectedSurvivors(prev1, batchB))
+      assert(emitted(1).intersect(batchA.take(20).map(_._1).toSet).isEmpty)
+
+      val v = idx.version
+      q.processAllAvailable() // idle trigger: no segment, no sink call
+      assert(idx.version == v && emitted.size == 2)
+    } finally q.stop()
+
+    // the streamed index still equals a full rebuild (the existing
+    // MinHashIndexSpec contract, re-checked through the streaming path)
+    val rebuilt = new MinHashIndex(spark,
+      java.nio.file.Files.createTempDirectory("mhidx_stream_rb").toString)
+    rebuilt.build(day0.unionByName((batchA ++ batchB).distinct.toSeq.toDF("doc_id", "text")))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(idx.candidates()) == pairSet(rebuilt.candidates()))
+  }
+
   test("streaming index maintenance: appended micro-batches serve the full-rebuild ANN graph") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sim.SignLshIndex
