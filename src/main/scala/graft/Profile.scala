@@ -92,6 +92,31 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "annpath") {
+      // Broadcast-vs-bucketed ANN build cost at this corpus (the
+      // annBroadcastEnvelopeRows switch's two physical shapes, same
+      // rows — SimilaritySpec pins bit-equality). The bucketed plan
+      // pays the one-time tsig/vec_id catalog-table layout on first
+      // touch; the second timing is the steady-state rebuild cost a
+      // cluster-scale corpus would pay per refresh.
+      // Usage: graft.Profile <sfDir> annpath
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions.floatNorm
+      val e = Tables(spark, sfDir, "embeddings")
+        .withColumn("nrm", floatNorm(col("embedding")))
+      val n = e.count()
+      val (bits, tables) = sim.Similarity.annParams(n)
+      println(s"n=$n family=($bits bits, $tables tables)")
+      t("ann.broadcast.build")(
+        sim.Similarity.annGraphBroadcast(e, bits, tables).count())
+      t("ann.bucketed.build+layout")(
+        sim.Similarity.annGraphBucketed(spark, sfDir, bits, tables).count())
+      t("ann.bucketed.build(layout warm)")(
+        sim.Similarity.annGraphBucketed(spark, sfDir, bits, tables).count())
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "skew") {
       // g13 salt-switch evidence at scale: inject one aggregator-shaped
       // hot customer into the REAL corpus pairs (the shape a 100 TB

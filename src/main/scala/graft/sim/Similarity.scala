@@ -339,7 +339,16 @@ object Similarity {
         explode(array(masks.map(lit): _*)).as("m"), col("ts.sig").as("sig"))
       .select(col("query_id"),
         (col("t").cast("long") * p2 + col("sig").bitwiseXOR(col("m"))).as("tsig"))
-    probes.join(index, Seq("tsig"))
+    // SHUFFLE_HASH hint, index side as build: the strategy must not
+    // depend on size estimates — the probe side's estimate is the
+    // column-pruned vector file (~1 MB at sf3) but the explode
+    // multiplies rows tables×(1+bits), and the planner, left alone,
+    // chose to BROADCAST the 172M-row probe stream and died on the
+    // 8 GiB cap (measured at sf3, default session config). The hash
+    // join consumes the index's bucketed layout with zero exchange on
+    // its side (per-partition build = one bucket's slice), shuffles
+    // the probes exactly once, and never sorts either stream.
+    probes.join(index.hint("shuffle_hash"), Seq("tsig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
@@ -358,9 +367,24 @@ object Similarity {
     def vecsAs(idCol: String, embCol: String, nrmCol: String) =
       bucketedVecs(s, dir).select(col("vec_id").as(idCol),
         col("embedding").as(embCol), col("nrm").as(nrmCol))
+    // SHUFFLE_HASH hints with the VECTOR side as build, for two
+    // reasons both measured at sf3 (60k vectors, default config):
+    // (a) the strategy must not depend on size estimates — left
+    // alone, the planner broadcast a pair-stream intermediate and
+    // died on the 8 GiB cap; (b) sort-merge SORTS the streamed side,
+    // and the pair stream with an embedding attached is ~300 B/row —
+    // its external sort spilled ~90 GB and filled the disk. A
+    // shuffled-hash join builds a hash of the per-partition vector
+    // slice (n / buckets rows — bounded by the ingest-time bucket
+    // count) and STREAMS the pairs through unsorted; the downstream
+    // top-k is a hash aggregate, so no operator ever sorts the wide
+    // stream. The one wide exchange (pair + neighbor embedding,
+    // ~300 B × |candidates|) is the path's inherent cost center —
+    // ~2.6 TB per refresh at 10M vectors, routine on a cluster,
+    // amortized by SignLshIndex's delta appends.
     val pairs = cands
-      .join(vecsAs("neighbor_id", "ec", "nc"), Seq("neighbor_id"))
-      .join(vecsAs("query_id", "eq", "nq"), Seq("query_id"))
+      .join(vecsAs("neighbor_id", "ec", "nc").hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(vecsAs("query_id", "eq", "nq").hint("shuffle_hash"), Seq("query_id"))
       .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
     pairs.select(col("query_id"), col("neighbor_id"), col("cos"))
       .groupBy(col("query_id"))

@@ -141,22 +141,35 @@ class SimilaritySpec extends AnyFunSuite {
   // meaningful: the planner cannot sneak a broadcast back in, so
   // every join in the bucketed tree is proven to run on the bucketed
   // layouts (the BucketingSpec pattern).
+  private def assertBucketedEqualsBroadcast(sf: String): Unit = {
+    import graft.functions.VectorFunctions.floatNorm
+    val e = Tables(spark, sf, "embeddings").withColumn("nrm", floatNorm(col("embedding")))
+    val (bits, tables) = sim.Similarity.annParams(e.count())
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = sim.Similarity.annGraphBucketed(spark, sf, bits, tables)
+      val b = bucketed.collect().toSeq
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        "bucketed ANN plan still contains a broadcast")
+      val a = sim.Similarity.annGraphBroadcast(e, bits, tables).collect().toSeq
+      assert(a == b, s"plans diverge: broadcast ${a.size} rows, bucketed ${b.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
     test(s"bucketed ANN graph: bit-equal to the broadcast plan, zero broadcasts, at $sf") {
-      import graft.functions.VectorFunctions.floatNorm
-      val e = Tables(spark, sf, "embeddings").withColumn("nrm", floatNorm(col("embedding")))
-      val (bits, tables) = sim.Similarity.annParams(e.count())
-      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val bucketed = sim.Similarity.annGraphBucketed(spark, sf, bits, tables)
-        val b = bucketed.collect().toSeq
-        val plan = bucketed.queryExecution.executedPlan.toString
-        assert(!plan.contains("BroadcastExchange"),
-          "bucketed ANN plan still contains a broadcast")
-        val a = sim.Similarity.annGraphBroadcast(e, bits, tables).collect().toSeq
-        assert(a == b, s"plans diverge: broadcast ${a.size} rows, bucketed ${b.size}")
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      assertBucketedEqualsBroadcast(sf)
     }
+  }
+
+  test("sf1 scale evidence: bucketed ANN graph bit-equal to broadcast, zero broadcasts, at the calibrated family") {
+    // Gated on the dev-generated sf1 corpus: the equality must hold at
+    // 20k vectors under the sf1-calibrated (bits, tables) — the family
+    // the registered s06/d12 would run right below the envelope switch.
+    assume(new java.io.File("/tmp/graft_testdata/sf1/embeddings.parquet").exists(),
+      "sf1 corpus not generated on this host")
+    assertBucketedEqualsBroadcast("/tmp/graft_testdata/sf1")
   }
 }
