@@ -381,8 +381,9 @@ object Dedup {
     */
   private[graft] def d12Bucketed(s: SparkSession, dir: String,
       bits: Int, tables: Int): DataFrame = {
+    // signCandidatesBucketed pairs arrive CANONICAL (query_id <
+    // neighbor_id) — exactly the (vec_a, vec_b) orientation d12 needs
     val cands = graft.sim.Similarity.signCandidatesBucketed(s, dir, bits, tables)
-      .filter(col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"))
     val vecs = graft.sim.Similarity.bucketedVecs(s, dir)
     val a = vecs.select(col("label"), col("vec_id").as("vec_a"),

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{floatDot, floatNorm}
+import graft.functions.VectorFunctions.floatNorm
 
 /** Incrementally-maintained sign-LSH / ANN index — the similarity-side
   * analog of [[graft.dedup.MinHashIndex]], and the operator a daily
@@ -168,11 +168,17 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
     *
     * Probe signatures derive from the STORED tsig (sig = low `bits`,
     * table = high bits), so candidate generation touches only the
-    * narrow (vec_id, tsig) index: one shuffle of the exploded probe
-    * stream on tsig into the index side, distinct on the surviving
-    * pairs, then vector hydration for exactly those pairs. No
-    * broadcast, no driver-sized state — the index-size-independent
-    * plan shape.
+    * narrow (vec_id, tsig) index — the old corpus is never re-signed.
+    * The candidate join and the exact re-rank are the SHARED
+    * strategy-pinned pipeline ([[Similarity.candidatePairsCanonical]]
+    * / [[Similarity.rerankTop3From]]): SHUFFLE_HASH on every join, so
+    * the plan cannot broadcast the exploded probe stream off its
+    * column-pruned size estimate (the 8 GiB death measured at sf3)
+    * nor sort-merge the wide pair+embedding stream (the ~90 GB spill
+    * measured alongside it). Nothing broadcast, nothing driver-sized,
+    * no sort of any corpus-sized stream — the index-size-independent
+    * shape, asserted under a default session config by
+    * SignLshIndexSpec.
     */
   def annGraph(): DataFrame = {
     val (bits, _) = params
@@ -185,26 +191,9 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
       .select(col("query_id"),
         (col("tsig").bitwiseAND(lit(~low)) +
           col("tsig").bitwiseAND(lit(low)).bitwiseXOR(col("m"))).as("tsig"))
-    val cands = probes
-      .join(sig.select(col("vec_id").as("neighbor_id"), col("tsig")), Seq("tsig"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
-    def vecsAs(idCol: String, embCol: String, nrmCol: String) =
-      vectors().select(col("vec_id").as(idCol), col("embedding").as(embCol),
-        col("nrm").as(nrmCol))
-    val pairs = cands
-      .join(vecsAs("neighbor_id", "ec", "nc"), Seq("neighbor_id"))
-      .join(vecsAs("query_id", "eq", "nq"), Seq("query_id"))
-      .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
-    pairs.select(col("query_id"), col("neighbor_id"), col("cos"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAggregate.topKScored(
-        col("cos"), col("neighbor_id"), 3).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sn")))
-      .select(col("query_id"), col("sn.payload").as("neighbor_id"),
-        col("sn.score").as("cos"), (col("pos") + lit(1)).as("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    val cands = Similarity.candidatePairsCanonical(probes,
+      sig.select(col("vec_id").as("neighbor_id"), col("tsig")))
+    Similarity.rerankTop3From(vectors(), cands)
   }
 
   /** Drop all but the newest `keepLast` complete index versions (the

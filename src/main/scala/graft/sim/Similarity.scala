@@ -286,7 +286,8 @@ object Similarity {
     */
   private[graft] def annGraphBucketed(s: SparkSession, dir: String,
       bits: Int, tables: Int): DataFrame =
-    rerankTop3Bucketed(s, dir, signCandidatesBucketed(s, dir, bits, tables))
+    rerankTop3From(bucketedVecs(s, dir),
+      signCandidatesBucketed(s, dir, bits, tables))
 
   /** The corpus as a catalog table bucketed+sorted on vec_id — the
     * ingest-time layout a cluster-scale embedding store maintains.
@@ -301,8 +302,45 @@ object Similarity {
     graft.util.MatStore.bucketedTable(s, s"annvecs:$dir", "graft_annvec",
       "vec_id", s.conf.get("spark.sql.shuffle.partitions").toInt)(embWithNorm(s, dir))
 
-  /** DISTINCT candidate pairs through a (t, sig)-bucketed signature
-    * index — [[signCandidatesRaw]]'s scale form, per that doc's own
+  /** The candidate join + canonicalization from prepared probe and
+    * index streams — the ONE pipeline behind both no-broadcast
+    * candidate paths ([[signCandidatesBucketed]] over the session's
+    * bucketed catalog tables, and [[SignLshIndex.annGraph]] over the
+    * index's stored segments), so a planner-trap fix lands in both by
+    * construction.
+    *
+    * `probes` is (query_id, tsig) — one row per (vector, table, probe
+    * mask); `index` is (neighbor_id, tsig).
+    *
+    * SHUFFLE_HASH hint, index side as build: the strategy must not
+    * depend on size estimates — the probe side's estimate is the
+    * column-pruned vector file (~1 MB at sf3) but the explode
+    * multiplies rows tables×(1+bits), and the planner, left alone,
+    * chose to BROADCAST the 172M-row probe stream and died on the
+    * 8 GiB cap (measured at sf3, default session config). The hash
+    * join consumes a bucketed index layout with zero exchange on its
+    * side (per-partition build = one bucket's slice; a non-bucketed
+    * index pays one narrow shuffle instead), shuffles the probes
+    * exactly once, and never sorts either stream.
+    *
+    * Output is CANONICAL unordered pairs (query_id < neighbor_id):
+    * the candidate relation is symmetric — sig_q XOR m == sig_n iff
+    * sig_n XOR m == sig_q, and both endpoints probe the identical
+    * mask set over the identical family — so keeping one direction
+    * loses nothing and HALVES both the distinct's shuffle and the
+    * re-rank's wide exchange ([[rerankTop3From]] re-expands after the
+    * cosine is computed once per unordered pair).
+    */
+  private[graft] def candidatePairsCanonical(probes: DataFrame,
+      index: DataFrame): DataFrame =
+    probes.join(index.hint("shuffle_hash"), Seq("tsig"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+
+  /** DISTINCT canonical candidate pairs (query_id < neighbor_id)
+    * through a (t, sig)-bucketed signature index —
+    * [[signCandidatesRaw]]'s scale form, per that doc's own
     * cluster-deployment note. No broadcast anywhere:
     *
     *  - the index is a catalog table bucketed+sorted on the combined
@@ -318,7 +356,8 @@ object Similarity {
     *    partitioning to absorb duplicates for free, and deduping the
     *    narrow (query_id, neighbor_id) stream BEFORE the vector joins
     *    keeps the wide rows (vectors attached) off every later
-    *    exchange.
+    *    exchange. Canonicalization (see [[candidatePairsCanonical]])
+    *    halves the deduped stream again.
     */
   private[graft] def signCandidatesBucketed(s: SparkSession, dir: String,
       bits: Int, tables: Int): DataFrame = {
@@ -339,54 +378,64 @@ object Similarity {
         explode(array(masks.map(lit): _*)).as("m"), col("ts.sig").as("sig"))
       .select(col("query_id"),
         (col("t").cast("long") * p2 + col("sig").bitwiseXOR(col("m"))).as("tsig"))
-    // SHUFFLE_HASH hint, index side as build: the strategy must not
-    // depend on size estimates — the probe side's estimate is the
-    // column-pruned vector file (~1 MB at sf3) but the explode
-    // multiplies rows tables×(1+bits), and the planner, left alone,
-    // chose to BROADCAST the 172M-row probe stream and died on the
-    // 8 GiB cap (measured at sf3, default session config). The hash
-    // join consumes the index's bucketed layout with zero exchange on
-    // its side (per-partition build = one bucket's slice), shuffles
-    // the probes exactly once, and never sorts either stream.
-    probes.join(index.hint("shuffle_hash"), Seq("tsig"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
+    candidatePairsCanonical(probes, index)
   }
 
-  /** Exact cosine re-rank of DISTINCT candidate pairs against the
-    * bucketed vector store — [[rerankTop3]] without the broadcasts.
-    * Join order is chosen for exchange volume: the neighbor join
-    * moves only the narrow (query_id, neighbor_id) pairs; the query
-    * join then lands the stream partitioned on query_id, so the final
-    * top-3 aggregation plans with no exchange of its own (and the
-    * plain top-k buffer suffices — the pairs are already distinct).
+  /** Exact cosine re-rank of CANONICAL candidate pairs (query_id <
+    * neighbor_id, from [[candidatePairsCanonical]]) against an
+    * arbitrary (vec_id, embedding, nrm) vector store — [[rerankTop3]]
+    * without the broadcasts, shared by the bucketed corpus path and
+    * [[SignLshIndex.annGraph]].
+    *
+    * SHUFFLE_HASH hints with the VECTOR side as build, for two
+    * reasons both measured at sf3 (60k vectors, default config):
+    * (a) the strategy must not depend on size estimates — left
+    * alone, the planner broadcast a pair-stream intermediate and
+    * died on the 8 GiB cap; (b) sort-merge SORTS the streamed side,
+    * and the pair stream with an embedding attached is ~300 B/row —
+    * its external sort spilled ~90 GB and filled the disk. A
+    * shuffled-hash join builds a hash of the per-partition vector
+    * slice (n / buckets rows — bounded by the ingest-time bucket
+    * count when `vecs` is a bucketed catalog table, which also makes
+    * the vector side exchange-free) and STREAMS the pairs through
+    * unsorted; the downstream top-k is a hash aggregate, so no
+    * operator ever sorts the wide stream.
+    *
+    * The one wide exchange (pair + neighbor embedding, ~300 B ×
+    * |canonical pairs|) is the path's inherent cost center — but the
+    * canonical-pair contract HALVES it vs the directed form: the
+    * cosine is computed ONCE per unordered pair (bit-identical both
+    * ways — the per-index double products and their accumulation
+    * order don't change under operand swap, and neither does the
+    * norm product) and only then re-expanded to both directions, so
+    * the wide exchange moves |pairs|/2 rows where the directed
+    * pipeline moved |pairs|. The price is that the final top-3
+    * aggregate is no longer exchange-free — the re-expanded stream is
+    * partitioned on the canonical (smaller) id only — but what that
+    * exchange moves is the map-side partial top-k BUFFERS (≤ 3 rows ×
+    * 24 B per (task, query)), a narrow summary stream, not the pair
+    * stream.
     */
-  private def rerankTop3Bucketed(s: SparkSession, dir: String,
+  private[graft] def rerankTop3From(vecs: DataFrame,
       cands: DataFrame): DataFrame = {
     def vecsAs(idCol: String, embCol: String, nrmCol: String) =
-      bucketedVecs(s, dir).select(col("vec_id").as(idCol),
+      vecs.select(col("vec_id").as(idCol),
         col("embedding").as(embCol), col("nrm").as(nrmCol))
-    // SHUFFLE_HASH hints with the VECTOR side as build, for two
-    // reasons both measured at sf3 (60k vectors, default config):
-    // (a) the strategy must not depend on size estimates — left
-    // alone, the planner broadcast a pair-stream intermediate and
-    // died on the 8 GiB cap; (b) sort-merge SORTS the streamed side,
-    // and the pair stream with an embedding attached is ~300 B/row —
-    // its external sort spilled ~90 GB and filled the disk. A
-    // shuffled-hash join builds a hash of the per-partition vector
-    // slice (n / buckets rows — bounded by the ingest-time bucket
-    // count) and STREAMS the pairs through unsorted; the downstream
-    // top-k is a hash aggregate, so no operator ever sorts the wide
-    // stream. The one wide exchange (pair + neighbor embedding,
-    // ~300 B × |candidates|) is the path's inherent cost center —
-    // ~2.6 TB per refresh at 10M vectors, routine on a cluster,
-    // amortized by SignLshIndex's delta appends.
-    val pairs = cands
+    val scored = cands
       .join(vecsAs("neighbor_id", "ec", "nc").hint("shuffle_hash"), Seq("neighbor_id"))
       .join(vecsAs("query_id", "eq", "nq").hint("shuffle_hash"), Seq("query_id"))
       .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
-    pairs.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    // re-expand the unordered pair to both directions AFTER the wide
+    // joins — 48 B/row from here on, and the top-k partials absorb it
+    val directed = scored
+      .select(explode(array(
+        struct(col("query_id"), col("neighbor_id"), col("cos")),
+        struct(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id"), col("cos")))).as("d"))
+      .select(col("d.query_id").as("query_id"),
+        col("d.neighbor_id").as("neighbor_id"), col("d.cos").as("cos"))
+    directed
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAggregate.topKScored(
         col("cos"), col("neighbor_id"), 3).as("top"))

@@ -102,4 +102,30 @@ class SignLshIndexSpec extends AnyFunSuite {
     assert(idx.version.contains(5L))
     assertEqualsRebuild(vecs)
   }
+
+  test("served ANN graph: no broadcast, no sort-merge join, under the DEFAULT session config") {
+    // The serve path runs the shared strategy-pinned pipeline
+    // (Similarity.candidatePairsCanonical / rerankTop3From). This
+    // asserts the two sf3-measured planner misfires can't recur here:
+    // (a) the exploded probe stream — whose size ESTIMATE is the
+    // column-pruned stored index, far under the broadcast threshold —
+    // must not be broadcast (8 GiB death at scale); (b) the wide
+    // pair+embedding stream must not go through a sort-merge join
+    // (the ~90 GB spill). Deliberately run under the session's
+    // DEFAULT autoBroadcastJoinThreshold: the hints, not a disabled
+    // planner feature, must be what pins the strategy.
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "this spec must run under a default broadcast threshold")
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val idxDir = java.nio.file.Files.createTempDirectory("signidx_plan").toString
+    val idx = new SignLshIndex(spark, idxDir)
+    idx.build(vecs)
+    val served = idx.annGraph()
+    served.collect() // drive AQE to its final plan before inspecting
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      "served ANN graph broadcast a stream — the sf3 probe-estimate trap")
+    assert(!plan.contains("SortMergeJoin"),
+      "served ANN graph sort-merge-joined — the sf3 wide-stream spill trap")
+  }
 }
