@@ -138,6 +138,9 @@ object Profile {
       val skewed = real.unionAll(hot).localCheckpoint()
       val thr = graph.Components.measuredSaltThreshold(skewed)
       println(s"measured threshold with injected d=$hotDegree: $thr")
+      require(thr.nonEmpty,
+        s"injected degree $hotDegree did not flip the measured salt " +
+          "switch — pass a larger hotDegree (arg 3) to exercise the salted path")
       def consume(threshold: Int): Long =
         graph.Components.coCustomerCounts(skewed, threshold,
             graph.Components.SaltFactor)

@@ -124,8 +124,14 @@ object OrderStats {
     * @return (gk, rank, value)
     */
   private def runSelection(vp: DataFrame, state0: DataFrame,
-      broadcastState: Boolean, buckets: Int, tailK: Int): DataFrame = {
+      broadcastState: Boolean, buckets: Int, tailK: Int,
+      stateRows: Long): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // fail at the API boundary, not inside the final aggregate: the
+    // tail path's bounded top-k (TopKAggregate) hard-caps k at 8192,
+    // and kMax below can reach tailK
+    require(tailK >= 1 && tailK <= 8192,
+      s"tailK must be in [1, 8192] (TopKAggregate's k cap), got $tailK")
     val openCond = col("lo") =!= col("hi") && col("cnt") > tailK
     // ceil(64 / log2 B) + 1 structural bound (see scaladoc) + slack
     val maxRounds = 64 / (31 - Integer.numberOfLeadingZeros(buckets)) + 5
@@ -146,15 +152,26 @@ object OrderStats {
     def inRange(): Column =
       col("gk") === col("rgk") && col("v") >= col("rlo") && col("v") <= col("rhi")
 
-    // State lives in ONE partition: it holds at most (groups × open
-    // ranks) summary rows, and the loop's emptiness probe runs every
-    // round — on a 32-partition empty state, Dataset.isEmpty's
-    // take(1) escalates through partition waves (several JOBS per
-    // probe; measured as the dominant fixed cost of q16's ~10-job
-    // chain at sf0.1). One partition makes every state op one task.
-    var state = state0.coalesce(1).localCheckpoint()
+    // State partitioning follows the regime. In the broadcast regime
+    // (≤ GroupBroadcastEnvelope groups) state is a few MB at most —
+    // ONE partition makes every state op one task, and the per-round
+    // probe one job (on a 32-partition empty state, Dataset.isEmpty's
+    // take(1) escalated through partition waves — several JOBS per
+    // probe, measured as the dominant fixed cost of q16's ~10-job
+    // chain at sf0.1). Past the envelope state is groups × open ranks
+    // rows — potentially tens of millions — and one task/executor
+    // holding all of it is both a bottleneck and an OOM point, so it
+    // stays spread at ~64k rows/partition (coalesce is a narrow
+    // dependency: no shuffle of the state either way). The probe is a
+    // count() in both regimes: exactly one job at any partition count,
+    // where isEmpty degrades to take(1)'s partition-wave escalation on
+    // a spread state.
+    val statePartitions =
+      if (broadcastState) 1
+      else math.max(1L, math.min(stateRows / 65536L + 1L, 100000L)).toInt
+    var state = state0.coalesce(statePartitions).localCheckpoint()
     var rounds = 0
-    while (!state.filter(openCond).isEmpty) {
+    while (state.filter(openCond).count() > 0) {
       rounds += 1
       require(rounds <= maxRounds, s"selection exceeded the structural " +
         s"round bound ($maxRounds for B=$buckets): bit-space ranges must " +
@@ -193,7 +210,7 @@ object OrderStats {
         .select(col("gk"), col("rank"), col("bmn").as("lo"),
           col("bmx").as("hi"), (col("t") - col("cum")).as("t"),
           col("bcnt").as("cnt"))
-      state = rest.unionByName(picked).coalesce(1).localCheckpoint()
+      state = rest.unionByName(picked).coalesce(statePartitions).localCheckpoint()
     }
 
     val direct = state.filter(col("lo") === col("hi"))
@@ -256,7 +273,8 @@ object OrderStats {
       val state0 = ranks.distinct.map(r => ("g", r, mn, mx, r, n))
         .toDF("gk", "rank", "lo", "hi", "t", "cnt")
       val b = if (buckets > 0) buckets else autoBuckets(ranks.distinct.size.toLong)
-      runSelection(vp, state0, broadcastState = true, b, tailK)
+      runSelection(vp, state0, broadcastState = true, b, tailK,
+        stateRows = ranks.distinct.size.toLong)
         .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     } finally vp.unpersist()
   }
@@ -325,7 +343,8 @@ object OrderStats {
             first(col("n")).as("cnt"))
           .select(col("gk"), col("rank"), col("lo"), col("hi"),
             col("rank").as("t"), col("cnt"))
-        val r = runSelection(vp, state0, broadcastState, b, tailK)
+        val r = runSelection(vp, state0, broadcastState, b, tailK,
+          stateRows = nGroups * 2L * percentages.distinct.size)
         val rlo = r.select(col("gk").as("lgk"), col("rank").as("lrank"),
           col("value").as("vlo"))
         val rhi = r.select(col("gk").as("hgk"), col("rank").as("hrank"),

@@ -140,6 +140,14 @@ class OrderStatsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("tailK past the TopKAggregate cap fails at the API boundary") {
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    val e = intercept[IllegalArgumentException](
+      OrderStats.orderStatistics(df, "v", Seq(0L), tailK = 8193))
+    assert(e.getMessage.contains("8192"),
+      s"boundary error must name the cap, got: ${e.getMessage}")
+  }
+
   test("percentileCont equals the SQL percentile_cont bit-for-bit") {
     val rnd = new scala.util.Random(13)
     val values = Seq.fill(3000)(rnd.nextDouble() * 1e6) ++ Seq.fill(100)(777.77)
