@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
   private val K = 9      // minhash signatures
-  private val BANDS = 3  // bands of 3 rows each
+  private[dedup] val BANDS = 3  // bands of 3 rows each
 
   // ---- shared minhash machinery -------------------------------------
   // char-5-gram shingles; the K=9 signatures are 7-hex-char chunks of

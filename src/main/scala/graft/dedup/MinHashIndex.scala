@@ -2,7 +2,8 @@ package graft.dedup
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, greatest, least}
+import org.apache.spark.sql.functions.{col, concat_ws, explode, greatest, least, size, udf}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Incrementally-maintained MinHash/LSH dedup index — the LLM-pipeline
   * analog of [[graft.graph.DegreeView]], and the operator a daily crawl
@@ -19,10 +20,15 @@ import org.apache.spark.sql.functions.{col, greatest, least}
   * corpus-sized work, linear in the delta), then extends the candidate
   * set by new-vs-all band matches: bands are a per-row projection of
   * the signature table (three md5 calls per doc — index-sized, cheap),
-  * so the join is delta-bands × all-bands, never a re-shingle and
-  * never the old-vs-old self-join again. Old-vs-old collisions are
-  * already in `cand` by induction, so the refreshed index equals a
-  * full rebuild on the appended corpus (spec-proven).
+  * so the join is delta-bands × stored-bands, never a re-shingle and
+  * never the old-vs-old self-join again — and "stored" is BLOOM-PRUNED
+  * to the segments whose band-key bloom might contain one of the
+  * delta's keys, so a quiet day's crawl against a year of history
+  * reads sidecar blooms plus the truly colliding segments, not the
+  * year's signature store (no false negatives, so the candidate set
+  * is exactly the unpruned join's). Old-vs-old collisions are already
+  * in `cand` by induction, so the refreshed index equals a full
+  * rebuild on the appended corpus (spec-proven).
   *
   * WRITES are O(delta) too, not just compute: each append persists only
   * a delta SEGMENT (`seg/s<k>/{sig,cand}` — the new docs' signatures
@@ -77,6 +83,115 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
     spark.read.parquet(new Path(segRoot, s"s$v/cand").toString)
   }
 
+  /** The doc_ids first ingested at version `v` — the version's delta
+    * segment, an O(batch) read.
+    */
+  def idsAddedAt(v: Long): DataFrame = {
+    require(snaps.completeVersions.contains(v), s"no complete version $v")
+    spark.read.parquet(new Path(segRoot, s"s$v/sig").toString)
+      .select(col("doc_id"))
+  }
+
+  /** The caller-supplied tag version `v` was published with, if any —
+    * the streaming crawl's batch journal (one tiny file per version).
+    */
+  def tagOf(v: Long): Option[String] = {
+    val p = new Path(snaps.versionPath(v), "tag")
+    if (fs.exists(p)) Some(snaps.readTextFile(p).trim) else None
+  }
+
+  // ---- bloom sidecars: O(batch)-read membership ----------------------
+
+  /** Per-segment bloom false-positive rate. Sized so the exact-confirm
+    * reads stay rare: a probe key absent from the corpus claims a
+    * segment with probability `fpp`, so expected per-trigger
+    * false-positive segment reads are ~fpp × probe keys × segments —
+    * at 1e-4 and a 40-doc/120-band-key test trigger, ~0.1 spurious
+    * segment reads per trigger (measured: the 0.001 setting showed
+    * 1-2 FP segment reads per trigger as spikes in the read-flatness
+    * spec). The bloom itself costs 19.2 bits ≈ 2.4 B per doc — still
+    * ~30x under the signature row it stands in for.
+    */
+  private val BloomFpp = 0.0001
+
+  private def writeBloom(p: Path, bf: BloomFilter): Unit = {
+    val out = fs.create(p, true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** null when the segment predates bloom sidecars — callers must then
+    * treat the segment as always-suspect (blooms have no false
+    * negatives only when they exist).
+    */
+  private def readBloom(p: Path): BloomFilter =
+    if (!fs.exists(p)) null
+    else {
+      val in = fs.open(p)
+      try BloomFilter.readFrom(in) finally in.close()
+    }
+
+  /** The subset of `ids` (a doc_id column) ALREADY in the signature
+    * store — the first-writer-wins membership probe, reading O(batch +
+    * bloom bytes) instead of the store's full doc_id column: each
+    * segment's id bloom is delta-sized (~1.8 B/doc at fpp 0.001) and
+    * rules the segment out with no false negatives; only ids some
+    * bloom claims (true re-ingestions plus ~fpp false positives) pay
+    * an exact semi-join, against ONLY the claiming segments.
+    */
+  def knownIds(ids: DataFrame): DataFrame = {
+    val segs = currentSegments()
+    val blooms = segs.map(s => readBloom(new Path(segRoot, s"$s/ids_bloom"))).toArray
+    val bc = spark.sparkContext.broadcast(blooms)
+    val hitSegs = udf((id: Long) => {
+      val a = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < a.length) {
+        if (a(i) == null || a(i).mightContainLong(id)) out += i
+        i += 1
+      }
+      out.toSeq
+    })
+    val suspects = ids.select(col("doc_id")).distinct()
+      .withColumn("segi", hitSegs(col("doc_id")))
+      .filter(size(col("segi")) > 0)
+      .localCheckpoint()
+    val segIdx = suspects.select(explode(col("segi")).as("i"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (segIdx.isEmpty) suspects.select(col("doc_id")).limit(0)
+    else {
+      val segSig = spark.read.parquet(
+        segIdx.map(i => new Path(segRoot, s"${segs(i)}/sig").toString).toSeq: _*)
+      suspects.select(col("doc_id"))
+        .join(segSig.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+  }
+
+  /** Combined LSH band key (band || bkey) as one bloom-able string. */
+  private def bandKey = concat_ws(":", col("band"), col("bkey"))
+
+  /** Indices (into `segs`) of segments whose band bloom might contain
+    * any of `nb`'s band keys — the segments a delta's candidate join
+    * must actually read. No false negatives: a segment whose bloom
+    * rejects every delta band key cannot hold a band collision.
+    */
+  private def bandHitSegments(nb: DataFrame, segs: Seq[String]): Seq[Int] = {
+    val blooms = segs.map(s => readBloom(new Path(segRoot, s"$s/bands_bloom"))).toArray
+    val bc = spark.sparkContext.broadcast(blooms)
+    val hitSegs = udf((key: String) => {
+      val a = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < a.length) {
+        if (a(i) == null || a(i).mightContainString(key)) out += i
+        i += 1
+      }
+      out.toSeq
+    })
+    nb.select(explode(hitSegs(bandKey)).as("i"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+  }
+
   /** Segment names the newest complete version is the union of. */
   private def currentSegments(): Seq[String] = {
     val v = version.getOrElse(
@@ -93,50 +208,98 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
     spark.read.parquet(paths: _*)
   }
 
-  /** Write the delta segment for version `v`, then publish `v` as the
-    * previous segments plus it. Segment first, manifest+marker last —
-    * a crash in between leaves an orphan segment no version references.
+  /** Write the delta segment for version `v` (sig + cand parquet plus
+    * the two bloom sidecars — `ids_bloom` over the delta's doc_ids,
+    * `bands_bloom` over its LSH band keys, both delta-sized), then
+    * publish `v` as the previous segments plus it. Segment first,
+    * manifest+marker last — a crash in between leaves an orphan
+    * segment no version references.
+    *
+    * `sig` must be materialized (checkpointed) by the caller: it is
+    * consumed three times here (parquet write, two bloom builds).
     */
   private def writeDelta(sig: DataFrame, cand: DataFrame, v: Long,
-      prevSegments: Seq[String]): Unit = {
+      prevSegments: Seq[String], tag: Option[String]): Unit = {
     val seg = s"s$v"
     sig.write.mode("overwrite").parquet(new Path(segRoot, s"$seg/sig").toString)
     cand.select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(new Path(segRoot, s"$seg/cand").toString)
+    // an empty delta (idempotent replay) gets an empty never-matching
+    // bloom — stat.bloomFilter's sketch aggregate yields null on zero
+    // rows
+    val n = sig.count()
+    writeBloom(new Path(segRoot, s"$seg/ids_bloom"),
+      if (n == 0) BloomFilter.create(1, BloomFpp)
+      else sig.stat.bloomFilter("doc_id", n, BloomFpp))
+    writeBloom(new Path(segRoot, s"$seg/bands_bloom"),
+      if (n == 0) BloomFilter.create(1, BloomFpp)
+      else Dedup.bands(sig).select(bandKey.as("bk"))
+        .stat.bloomFilter("bk", n * Dedup.BANDS, BloomFpp))
     snaps.publish(v) { v =>
       snaps.writeTextFile(new Path(snaps.versionPath(v), "segments"),
         (prevSegments :+ seg).mkString("\n"))
+      tag.foreach(t =>
+        snaps.writeTextFile(new Path(snaps.versionPath(v), "tag"), t))
     }
   }
 
   /** Full build from a corpus (docs: doc_id, text) — initialization. */
   def build(docs: DataFrame): Unit = {
-    val sig = Dedup.minhashes(docs)
-    writeDelta(sig, Dedup.candidates(sig), version.getOrElse(0L) + 1, Seq.empty)
+    val sig = Dedup.minhashes(docs).localCheckpoint()
+    writeDelta(sig, Dedup.candidates(sig), version.getOrElse(0L) + 1,
+      Seq.empty, None)
   }
 
   /** Delta refresh for appended documents: shingle/minhash the NEW
     * docs only, union into the signature store, and extend the
     * candidate set by new-vs-all band matches. The old corpus text is
-    * never touched — only the (index-sized) stored tables are read —
-    * and only the delta segment is written.
+    * never touched, and the INDEX-sized reads are bloom-pruned too:
+    *
+    *  - first-writer-wins membership runs through [[knownIds]]
+    *    (per-segment id blooms), not a full doc_id column scan;
+    *  - the new-vs-all band join reads ONLY the segments whose band
+    *    bloom might contain one of the delta's band keys
+    *    ([[bandHitSegments]] — no false negatives, so the candidate
+    *    set equals the unpruned join's exactly). A quiet day's crawl
+    *    against a year of history reads blooms plus the few truly
+    *    colliding segments, not the year's signature store.
+    *
+    * Only the delta segment (plus its blooms) is written.
+    *
+    * @param tag optional journal tag published with the version (see
+    *            [[tagOf]]) — the streaming crawl's replay detector
     */
-  def append(newDocs: DataFrame): Unit = {
+  def append(newDocs: DataFrame, tag: Option[String] = None): Unit =
+    // first-writer-wins: drop re-ingested doc_ids before shingling
+    appendFresh(newDocs.join(knownIds(newDocs.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti"), tag)
+
+  /** [[append]] minus the membership probe — for callers (the
+    * streaming crawl) that already ran [[knownIds]] this trigger and
+    * hold the anti-joined result. `fresh` MUST contain no stored
+    * doc_id and no duplicate doc_id, or segment disjointness breaks.
+    */
+  private[graft] def appendFresh(fresh: DataFrame,
+      tag: Option[String] = None): Unit = {
     val v = version.getOrElse(
       throw new java.util.NoSuchElementException(
         s"index at $indexDir never built — call build() first"))
-    val oldSig = signatures()
-    // first-writer-wins: drop re-ingested doc_ids before shingling
-    val fresh = newDocs.join(oldSig.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val newSig = Dedup.minhashes(fresh)
-    val allSig = oldSig.unionByName(newSig)
+    val segs = segmentsOf(v)
+    val newSig = Dedup.minhashes(fresh).localCheckpoint()
 
-    // new-vs-all band collisions; canonicalize (a<b) then dedup — a
-    // new-new pair surfaces from both sides of the join, and a pair
-    // sharing several bands surfaces once per band
+    // new-vs-all band collisions over the bloom-surviving segments
+    // (plus new-vs-new via the delta's own bands); canonicalize (a<b)
+    // then dedup — a new-new pair surfaces from both sides of the
+    // join, and a pair sharing several bands surfaces once per band
     val nb = Dedup.bands(newSig)
       .select(col("doc_id").as("doc_n"), col("band"), col("bkey"))
-    val ab = Dedup.bands(allSig)
+      .localCheckpoint()
+    val hit = bandHitSegments(nb, segs)
+    val oldRelevant =
+      if (hit.isEmpty) newSig.limit(0)
+      else spark.read.parquet(
+        hit.map(i => new Path(segRoot, s"${segs(i)}/sig").toString): _*)
+    val ab = Dedup.bands(oldRelevant.unionByName(newSig))
       .select(col("doc_id").as("doc_o"), col("band").as("band_o"), col("bkey").as("bkey_o"))
     val newCand = nb.join(ab,
         col("band") === col("band_o") && col("bkey") === col("bkey_o") &&
@@ -147,7 +310,7 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
 
     // delta fully computed from v<k> inputs before v<k+1> is written;
     // the manifest+marker publish it atomically-enough
-    writeDelta(newSig, newCand, v + 1, segmentsOf(v))
+    writeDelta(newSig, newCand, v + 1, segs, tag)
   }
 
   /** Drop all but the newest `keepLast` complete index versions (the

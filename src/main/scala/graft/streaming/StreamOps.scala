@@ -173,49 +173,85 @@ object StreamOps {
     * is never re-shingled) and the batch's SURVIVORS — documents with
     * no LSH band collision against any earlier-ingested document, and
     * the canonical (min doc_id) representative of each in-batch
-    * collision — flow to `sink`. Per-trigger work is O(batch): the dup
-    * decision reads only the version's candidate DELTA
-    * ([[graft.dedup.MinHashIndex.candidatesAddedAt]]) plus a doc_id
-    * column scan of the signature store for replay detection. This is
-    * the dedup shape a daily 100 TB crawl runs: "drop what we have
-    * already seen, across all of history, without touching history."
+    * collision — flow to `sink`. Per-trigger reads are O(batch) plus
+    * bloom sidecars: the dup decision reads only the version's
+    * candidate DELTA ([[graft.dedup.MinHashIndex.candidatesAddedAt]])
+    * and its own fresh-id segment; freshness/replay membership runs
+    * through the per-segment id blooms
+    * ([[graft.dedup.MinHashIndex.knownIds]] — delta-sized sidecars,
+    * exact-confirm reads only for claiming segments), never a
+    * corpus-lifetime doc_id column scan. This is the dedup shape a
+    * daily 100 TB crawl runs: "drop what we have already seen, across
+    * all of history, without touching history."
     *
     * Collision semantics are d02's (band-collision candidates); a
     * stricter signature-similarity verification composes downstream
     * of the candidate filter, exactly as in the batch pipeline.
     *
-    * Restart-safe: a replayed batch's doc_ids are already stored, so
-    * they are neither re-appended (first-writer-wins) nor re-emitted
-    * (they fail the freshness anti-join); an idle trigger writes no
-    * segment and calls no sink.
+    * Restart-safe, AT-LEAST-ONCE to an idempotent sink. The batch's
+    * index version is journaled with a batchId tag atomically with
+    * the append, so the crash window between append and sink is
+    * closed: a replayed batch whose tag is already published
+    * recomputes its survivor set from the stored delta (same rows —
+    * the decision inputs are all versioned) and re-emits it, instead
+    * of silently dropping the batch's survivors because its ids are
+    * "already seen". Duplicate doc_ids WITHIN a trigger are collapsed
+    * before any decision (two copies of one id would otherwise both
+    * survive the drop rule — the (a,a) self-pair is excluded — and
+    * violate the index's one-row-per-doc_id invariant). An idle
+    * trigger writes no segment and calls no sink; a batch with no
+    * fresh ids (all ingested by EARLIER batches) appends nothing and
+    * emits nothing.
     */
   def crawlDedup(docs: DataFrame, index: graft.dedup.MinHashIndex)(
       sink: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          // pre-append ids, pinned: "earlier-ingested" must mean the
-          // state BEFORE this batch, and the append below advances it
-          val prev = index.signatures().select(col("doc_id"))
-            .localCheckpoint()
-          val fresh = batch.toDF()
-            .join(prev, Seq("doc_id"), "left_anti").localCheckpoint()
-          if (!fresh.isEmpty) {
-            index.append(fresh)
-            val delta = index.candidatesAddedAt(index.version.get)
-            // pair (a < b): b old -> a is a dup of history; a old ->
-            // b is a dup of history; both fresh -> b drops, the min
-            // id stays as the canonical representative
-            val bOld = delta.join(prev.withColumnRenamed("doc_id", "doc_b"),
-              Seq("doc_b"), "left_semi").select(col("doc_a").as("doc_id"))
-            val bDrops = delta.join(prev.withColumnRenamed("doc_id", "doc_b"),
-              Seq("doc_b"), "left_anti").select(col("doc_b").as("doc_id"))
-            val drops = bOld.unionAll(bDrops).distinct()
-            sink(fresh.join(drops, Seq("doc_id"), "left_anti"))
-          }
-        }
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) crawlDedupBatch(index, batch.toDF(), batchId)(sink)
       }
+
+  /** One [[crawlDedup]] trigger — factored out so the replay path is
+    * directly testable (StreamingSpec drives it with a repeated
+    * batchId to simulate the crash-between-append-and-sink window).
+    */
+  private[graft] def crawlDedupBatch(index: graft.dedup.MinHashIndex,
+      batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
+    val tag = s"crawl_batch_$batchId"
+    val b = batch.dropDuplicates("doc_id").localCheckpoint()
+    // Replay detection is O(1): batches commit in order, so a replayed
+    // batch's append — if it happened at all — is the NEWEST version.
+    val replayed = index.version.filter(v => index.tagOf(v).contains(tag))
+    val appendedV = replayed.orElse {
+      val fresh = b.join(index.knownIds(b.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti").localCheckpoint()
+      if (fresh.isEmpty) None
+      else {
+        // appendFresh: the membership probe above is the trigger's one
+        // — b is already id-deduped, so fresh meets its contract
+        index.appendFresh(fresh, Some(tag))
+        index.version
+      }
+    }
+    appendedV.foreach { v =>
+      // every decision input below is versioned state, so a replay
+      // recomputes the identical survivor set
+      val freshIds = index.idsAddedAt(v).localCheckpoint()
+      val delta = index.candidatesAddedAt(v)
+      val fb = freshIds.withColumnRenamed("doc_id", "doc_b")
+      // pair (a < b), ≥1 endpoint fresh by segment disjointness:
+      // b fresh -> b drops (if a is old, b dups history; if both
+      // fresh, the min id a stays as the canonical representative);
+      // b old -> a is fresh and dups history
+      val drops = delta.join(fb, Seq("doc_b"), "left_semi")
+          .select(col("doc_b").as("doc_id"))
+        .unionAll(delta.join(fb, Seq("doc_b"), "left_anti")
+          .select(col("doc_a").as("doc_id")))
+        .distinct()
+      sink(b.join(freshIds, Seq("doc_id"), "left_semi")
+        .join(drops, Seq("doc_id"), "left_anti"))
+    }
+  }
 
   private def emitSorted(user: Long, last0: Option[TLast],
       sealed0: Seq[TEvent]): (Seq[Transition], Option[TLast]) = {

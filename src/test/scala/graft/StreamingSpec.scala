@@ -427,6 +427,108 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairSet(idx.candidates()) == pairSet(rebuilt.candidates()))
   }
 
+  test("crawl dedup: a replayed batch re-emits its survivors after a crashed sink") {
+    // The at-least-once contract: foreachBatch can crash BETWEEN the
+    // index append (published, versioned) and the sink. On replay the
+    // batch's ids are all "already seen", so a freshness-only design
+    // silently drops the batch's survivors forever. The batchId tag
+    // journaled with the version must instead route the replay to a
+    // recompute-and-re-emit of the identical survivor set.
+    import graft.dedup.MinHashIndex
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    val day0 = docs.filter(col("doc_id") % 3 =!= 0)
+    val batchRows = docs.filter(col("doc_id") % 6 === 0).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // plus an in-batch duplicate id: both copies must collapse before
+    // the drop rule (the (a,a) self-pair is excluded, so two copies
+    // would otherwise both survive AND double-write the signature)
+    val batch = (batchRows ++ batchRows.take(3)).toDF("doc_id", "text")
+
+    def newIdx(pfx: String) = {
+      val idx = new MinHashIndex(spark,
+        java.nio.file.Files.createTempDirectory(pfx).toString)
+      idx.build(day0)
+      idx
+    }
+
+    // reference: the same batch through a clean (never-crashing) run
+    val clean = newIdx("mhidx_clean")
+    var expected: Set[Long] = null
+    StreamOps.crawlDedupBatch(clean, batch, 7L)(s =>
+      expected = s.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(expected != null && expected.nonEmpty)
+
+    val idx = newIdx("mhidx_crash")
+    val vBefore = idx.version.get
+    intercept[RuntimeException](
+      StreamOps.crawlDedupBatch(idx, batch, 7L)(_ =>
+        throw new RuntimeException("sink crashed")))
+    // the append published before the sink crashed — the exact window
+    assert(idx.version.contains(vBefore + 1))
+    assert(idx.tagOf(vBefore + 1).contains("crawl_batch_7"))
+
+    var replayed: Set[Long] = null
+    StreamOps.crawlDedupBatch(idx, batch, 7L)(s =>
+      replayed = s.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(replayed == expected,
+      s"replay must re-emit the crashed batch's survivors (${expected.size}), " +
+        s"got ${Option(replayed).map(_.size)}")
+    // and must NOT double-append
+    assert(idx.version.contains(vBefore + 1))
+    // in-batch duplicate collapsed: one signature row per doc_id
+    val sigDups = idx.signatures().groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count()
+    assert(sigDups == 0, s"$sigDups doc_ids have duplicate signature rows")
+  }
+
+  test("crawl dedup per-trigger reads stay ~flat while the index grows (bloom-pruned membership)") {
+    // The 100 TB property: the dup decision for one trigger must not
+    // re-read corpus-lifetime state. Freshness/replay membership goes
+    // through per-segment id blooms and the candidate join through
+    // per-segment band blooms, so per-trigger read bytes stay ~flat
+    // across chained batches — the previous design's per-trigger
+    // signatures() doc_id scan grew linearly with history.
+    import graft.dedup.MinHashIndex
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    val idx = new MinHashIndex(spark,
+      java.nio.file.Files.createTempDirectory("mhidx_flat").toString)
+    idx.build(docs)
+
+    val stats = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+    assume(stats != null, "no 'file' scheme storage statistics on this host")
+    def bytesRead: Long = stats.getLong("bytesRead")
+
+    def syntheticBatch(i: Int) = {
+      // pairwise-DISSIMILAR texts (seeded random strings — near-zero
+      // shared shingles, so no true band collisions against history or
+      // each other): measured reads isolate the MEMBERSHIP machinery,
+      // not legitimate candidate hydration
+      (0 until 40).map { j =>
+        val id = 1000000L + i * 1000L + j
+        val rnd = new scala.util.Random(id)
+        (id, Seq.fill(60)(rnd.alphanumeric.take(5).mkString).mkString(" "))
+      }.toDF("doc_id", "text")
+    }
+
+    val deltas = (1 to 12).map { i =>
+      val b0 = bytesRead
+      StreamOps.crawlDedupBatch(idx, syntheticBatch(i), 100L + i)(_.count())
+      bytesRead - b0
+    }
+    info(s"per-trigger bytesRead: ${deltas.mkString(", ")}")
+    // 12 chained appends: history grew ~12x in segments. Compare the
+    // median of late triggers to the median of early ones — linear
+    // growth would put late at ~4-8x early; the bloom design adds only
+    // KB-sized sidecar reads per extra segment.
+    val early = deltas.slice(1, 5).sorted.apply(2)
+    val late = deltas.takeRight(4).sorted.apply(2)
+    assert(late <= early * 2 + (512 << 10),
+      s"late-trigger reads grew with history: early median $early B, " +
+        s"late median $late B")
+  }
+
   test("streaming index maintenance: appended micro-batches serve the full-rebuild ANN graph") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sim.SignLshIndex
