@@ -127,6 +127,38 @@ object Traversals {
     WHERE node NOT IN (SELECT src FROM dag)
     ORDER BY node"""
 
+  /** Reachable terminal (sink) nodes from the busiest DAG hub — g04's
+    * DFS-terminal semantics with a DATA-DERIVED non-zero source,
+    * closing the same parity gap for reference op 3 that g22 closes
+    * for op 4 (the reference client passes an arbitrary start to both
+    * traversals, client.c:23-29). The hub is the max-out-degree DAG
+    * source with smallest-id tie-break, so the DuckDB oracle
+    * rederives the identical node; the driver-side `head()` is one
+    * scalar (argmax), not graph-sized state.
+    */
+  private def g23(s: SparkSession, dir: String): DataFrame = {
+    val dag = TradeGraph.dagEdges(TradeGraph.edgesTable(s, dir)).localCheckpoint()
+    val hub = dag.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).head().getInt(0)
+    val reach = reachableFrom(dag, source = hub)
+    reach.join(dag.select(col("src")).distinct(),
+        reach("node") === col("src"), "left_anti")
+      .select(col("node")).orderBy(col("node"))
+  }
+
+  private val g23Sql = s"""
+    WITH RECURSIVE ${GraphSql.edgesCte}, ${GraphSql.dagCte},
+    hub AS (
+      SELECT src FROM dag GROUP BY src
+      ORDER BY count(*) DESC, src LIMIT 1),
+    reach(node) AS (
+      SELECT src FROM hub
+      UNION
+      SELECT e.dst FROM reach r JOIN dag e ON e.src = r.node)
+    SELECT node FROM reach
+    WHERE node NOT IN (SELECT src FROM dag)
+    ORDER BY node"""
+
   /** Transitive closure: per source node, how many nodes it reaches
     * via ≥1 edge. One frontier loop over (root, node) pairs — all
     * sources advance together, so the hop count (not the source
@@ -257,6 +289,7 @@ object Traversals {
     Op("g03_bfs_levels", g03, Some(g03Sql)),
     Op("g22_bfs_from_hub", g22, Some(g22Sql)),
     Op("g04_dfs_terminal", g04, Some(g04Sql)),
+    Op("g23_dfs_terminal_from_hub", g23, Some(g23Sql)),
     Op("g07_reachability", g07, Some(g07Sql)),
     Op("g08_shortest_path_weighted", g08, Some(g08Sql)),
     Op("g14_closeness", g14, Some(g14Sql)))
