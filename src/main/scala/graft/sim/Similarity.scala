@@ -492,9 +492,10 @@ object Similarity {
     * in-between L values interpolate the same ~1.4×/bit growth.
     * The registered envelope caps at (16, 192) — the largest family
     * the calibration curve has measured; past n = 2^17 the library
-    * path is [[annKnnGraphAt]] with (bits, tables) solved from a
-    * measured per-table retention probe (the documented 100 TB
-    * method), which this map then grows to mirror.
+    * path is [[annKnnGraphAt]] with (bits, tables) solved by
+    * [[annParamsProbed]] from a measured per-table retention probe
+    * (validated against all four anchors here — SimilaritySpec),
+    * which this map then grows to mirror.
     */
   def annParams(n: Long): (Int, Int) = {
     require(n > 0, "annParams needs a non-empty corpus")
@@ -511,6 +512,97 @@ object Similarity {
     * mirror materializes exactly this many signature branches.
     */
   private val AnnMaxTables = 192
+
+  /** The L ladder the calibration map draws from, extended
+    * geometrically (~1.4×/step) past the map's reach for
+    * [[annParamsProbed]].
+    */
+  private[graft] val AnnTableLadder: Seq[Int] =
+    Seq(16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024)
+
+  /** Number of family tables the retention probe samples. The probe
+    * tables are the REAL family's first 1024 (same seeded draws), so
+    * the measured retention is over the distribution the solved L
+    * will instantiate. 1024 because the quantity being estimated is
+    * SMALL: at 13+ bits a true pair's per-table retention is ~1%, so
+    * a 32-table probe sees zero hits for most pairs and the per-pair
+    * model floors them at unreachable (measured: it solved L=1024
+    * against the 128 anchor at sf1). 1024 probes put ~10 hits on a
+    * typical pair at the smallest retentions the ladder serves, and
+    * the probe's cost is per sampled PAIR (~1.2k rows), not per
+    * corpus row.
+    */
+  private val ProbeTables = 1024
+
+  /** MEASURED-retention family solver — the documented method for
+    * corpora past the calibration map's 2^17 reach, now runnable:
+    * solve (bits, tables) from a per-pair retention probe instead of
+    * the anchor table.
+    *
+    *  - `bits` follows the same occupancy rule as [[annParams]]
+    *    (clamp(floor(log2 n) − 1, 8, 31): per-bucket occupancy stays
+    *    in [2, 4)) but WITHOUT the map's 16-bit cap — the cap existed
+    *    because tables beyond it had no measured anchor, which is
+    *    exactly what the probe supplies.
+    *  - `tables` is solved from data: take a deterministic ~400-query
+    *    sample, build its EXACT top-3 (broadcast sample × corpus —
+    *    linear in n, the s07 sampled-recall shape), and measure each
+    *    true pair's per-table retention r_i = fraction of 32 real
+    *    family tables where the pair's signatures are within Hamming
+    *    distance 1 (the 0/1-bit multi-probe's hit condition) — a
+    *    direct measurement, so dim correlations and the corpus' angle
+    *    distribution are priced in with no independence assumption
+    *    across bits. Predicted recall at L tables is
+    *    mean_i(1 − (1 − r_i)^L) (tables are independent draws);
+    *    the smallest ladder L meeting `targetRecall` wins.
+    *
+    * Driver state is the sampled pairs' retention scalars (~1.2k
+    * doubles) — nothing corpus-sized. Validated against all four
+    * measured anchors in SimilaritySpec: the solved L lands within
+    * one ladder step of the anchor at every shipped corpus.
+    */
+  def annParamsProbed(s: SparkSession, dir: String,
+      targetRecall: Double = 0.80): (Int, Int) = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall out of (0, 1): $targetRecall")
+    val e = embWithNorm(s, dir)
+    val n = e.count()
+    require(n > 0, "annParamsProbed needs a non-empty corpus")
+    val floorLog2 = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val bits = math.max(8, math.min(31, floorLog2 - 1))
+
+    // deterministic ~400-query sample; exact top-3 via broadcast
+    // sample × corpus (linear in n)
+    val mod = math.max(1L, n / 400L)
+    val q = e.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"),
+        col("nrm").as("nq"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ec"), col("nrm").as("nc"))
+    val pairs = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val top = pairs
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+
+    // per-pair retention over the family's first ProbeTables tables
+    val groups = scaledDimGroups(bits, ProbeTables)
+    def sigs(embCol: String) = array(groups.map(dims =>
+      graft.functions.VectorFunctions.floatSignBits(col(embCol), dims)): _*)
+    val retention = top
+      .withColumn("hits", zip_with(sigs("eq"), sigs("ec"),
+        (a, b) => when(bit_count(a.bitwiseXOR(b)) <= 1, 1).otherwise(0)))
+      .select((aggregate(col("hits"), lit(0), (acc, x) => acc + x)
+        .cast("double") / lit(ProbeTables.toDouble)).as("r"))
+      .collect().map(_.getDouble(0))
+
+    def predictedRecall(tables: Int): Double =
+      retention.map(r => 1.0 - math.pow(1.0 - r, tables)).sum / retention.length
+    val tables = AnnTableLadder.find(predictedRecall(_) >= targetRecall)
+      .getOrElse(AnnTableLadder.last)
+    (bits, tables)
+  }
 
   // (Spark-side signatures are the codegen'd FloatVecSignBits — same
   // `>= 0` per-dim bit semantics as the DuckDB CASE-sum form)

@@ -164,6 +164,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("annParamsProbed reproduces the measured anchors within one ladder step") {
+    // The solver is the documented path past the calibration map's
+    // 2^17 reach; its credibility is that it REDERIVES the measured
+    // anchors from the retention probe alone. Anchor L values come
+    // from the recall measurements in annParams' scaladoc.
+    val ladder = sim.Similarity.AnnTableLadder
+    val anchors = Seq(
+      "/root/testdata/sf0.001" -> (8, 24),
+      "/root/testdata/sf0.01" -> (8, 24),
+      "/root/testdata/sf0.1" -> (9, 32),
+      "/tmp/graft_testdata/sf1" -> (13, 128),
+      "/tmp/graft_testdata/sf3" -> (14, 192))
+    anchors.foreach { case (dir, (aBits, aTables)) =>
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val (bits, tables) = sim.Similarity.annParamsProbed(spark, dir)
+        info(s"$dir: solved ($bits, $tables), anchor ($aBits, $aTables)")
+        assert(bits == aBits, s"$dir: occupancy bits $bits != anchor $aBits")
+        val (si, ai) = (ladder.indexOf(tables), ladder.indexOf(aTables))
+        assert(si >= 0 && ai >= 0 && math.abs(si - ai) <= 1,
+          s"$dir: solved L=$tables not within one ladder step of anchor $aTables")
+      }
+    }
+  }
+
   test("sf1 scale evidence: bucketed ANN graph bit-equal to broadcast, zero broadcasts, at the calibrated family") {
     // Gated on the dev-generated sf1 corpus: the equality must hold at
     // 20k vectors under the sf1-calibrated (bits, tables) — the family
