@@ -106,6 +106,52 @@ object Bench {
     */
   private val HostProbeReferenceSec = 0.47
 
+  /** Multi-thread MEMORY-BANDWIDTH probe: 16 threads each stream 12
+    * read+write passes over a private 64 MB long array (~25 GB of
+    * traffic), wall-clocked; min of 3 runs. This measures the channel
+    * the single-thread ALU probe is blind to: two rounds in a row the
+    * untouched-query band sat at 1.5–1.8× while host_factor read
+    * ~1.06, because a foreign memory-bandwidth hog slows every
+    * shuffle and scan without slowing a register-resident xorshift
+    * loop. Arrays are allocated (and faulted in by pass 0, untimed)
+    * before the clock starts, so the number is bandwidth, not
+    * allocation or page-fault service.
+    */
+  private def membwProbeSec(): Double = {
+    val nThreads = 16
+    val words = 8 * 1024 * 1024 // 64 MB of longs per thread
+    val arrays = Array.fill(nThreads)(new Array[Long](words))
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    def pass(a: Array[Long], seed: Long): Unit = {
+      var i = 0
+      var acc = seed
+      while (i < words) { acc += a(i); a(i) = acc + i; i += 1 }
+      sink.addAndGet(acc): Unit
+    }
+    arrays.foreach(pass(_, 1L)) // fault pages in, untimed
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = arrays.map { a =>
+        val t = new Thread(() => { var p = 0; while (p < 12) { pass(a, p); p += 1 } })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = (1 to 3).map(_ => once()).min
+    if (sink.get == 42L) System.err.println("improbable") // keep work live
+    best
+  }
+
+  /** [[membwProbeSec]] on the round-11 canonical host state (the
+    * round the probe was introduced) — denominator for
+    * `membw_factor`. Cross-round rule: trust a warm-median comparison
+    * only when BOTH factors are near the untouched-query band;
+    * tools/bench_diff.py flags takes where band and probes disagree
+    * by >1.2×.
+    */
+  private val MembwProbeReferenceSec = 0.24
+
   /** max/min over successful rep times; 1.0 when fewer than 2. */
   private def spread(ts: Seq[Double]): Double = {
     val good = ts.filter(_ > 0)
@@ -142,6 +188,7 @@ object Bench {
     val loadStart = loadavg()
     val tStart = java.time.Instant.now().toString
     val probePre = hostProbeSec()
+    val membwPre = membwProbeSec()
     // Warm the JVM + parquet footers so per-query numbers measure the
     // plans, not first-touch class loading.
     SparkEntry.queries("q06_forecast_filter")(spark, sfDir).count()
@@ -227,7 +274,9 @@ object Bench {
     val loadEnd = loadavg()
     val tEnd = java.time.Instant.now().toString
     val probePost = hostProbeSec()
+    val membwPost = membwProbeSec()
     val hostFactor = ((probePre + probePost) / 2.0) / HostProbeReferenceSec
+    val membwFactor = ((membwPre + membwPost) / 2.0) / MembwProbeReferenceSec
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-rep times, in execution order. Rep 1 is the COLD run: for the
@@ -268,12 +317,17 @@ object Bench {
       f"$foreignThreshold%.2f and iowait share<=$iowaitThreshold%.2f " +
       "— do not trust their numbers; host_probe_sec is a fixed " +
       "single-thread CPU probe (pre/post run) and host_factor its mean " +
-      "over the pinned reference — divide warm medians by host_factor " +
-      "before cross-round comparison"
+      "over the pinned reference; membw_probe_sec is a fixed 16-thread " +
+      "memory-bandwidth probe and membw_factor its mean over the pinned " +
+      "reference — it sees the contention channel the ALU probe is " +
+      "blind to. Divide warm medians by host_factor before cross-round " +
+      "comparison, and distrust the whole take when the untouched-query " +
+      "band disagrees with BOTH factors by >1.2x (tools/bench_diff.py " +
+      "flags this)"
     val subsetField = only.fold("")(s =>
       "\"subset\":" + s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val env =
-      s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"iowait_threshold":$iowaitThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"host_probe_sec":[$probePre,$probePost],"host_factor":$hostFactor,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
+      s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"iowait_threshold":$iowaitThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"host_probe_sec":[$probePre,$probePost],"host_factor":$hostFactor,"membw_probe_sec":[$membwPre,$membwPost],"membw_factor":$membwFactor,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"queries_iowait":$qiowait,"note":"$note",$env,"sf":"$sfDir"}"""
     // Long per-query line first; persist a copy where truncation can't
@@ -286,6 +340,6 @@ object Bench {
       java.nio.file.Paths.get(if (only.isDefined) "bench_subset.json" else "bench.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"reps":$reps,"contended_count":${contendedKeys.size},"host_factor":$hostFactor,"loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"reps":$reps,"contended_count":${contendedKeys.size},"host_factor":$hostFactor,"membw_factor":$membwFactor,"loadavg_end":"$loadEnd","sf":"$sfDir"}""")
   }
 }

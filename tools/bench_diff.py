@@ -44,6 +44,12 @@ def main():
     if norm is not None:
         print(f"host_factor: old {hf_old:.3f}, new {hf_new:.3f} "
               f"(ratios normalized by {norm:.3f})")
+    mw_old, mw_new = old.get("membw_factor"), new.get("membw_factor")
+    mw_ratio = (mw_new / mw_old) if isinstance(mw_old, (int, float)) \
+        and isinstance(mw_new, (int, float)) and mw_old > 0 and mw_new > 0 else None
+    if mw_ratio is not None:
+        print(f"membw_factor: old {mw_old:.3f}, new {mw_new:.3f} "
+              f"(memory-bandwidth drift {mw_ratio:.3f})")
     regressed, improved, skipped = [], [], []
     for q in shared:
         o, n = old["queries"][q], new["queries"][q]
@@ -88,6 +94,25 @@ def main():
         print(f"warm totals: {ow:.1f}s -> {nw:.1f}s "
               f"(per-query medians are the trustworthy signal; totals shift "
               f"with host state)")
+
+    # Band-vs-probe cross-check (the round-9/10 lesson: two rounds in a
+    # row the whole shared-query band sat at 1.5-1.8x while the
+    # single-thread probe read ~1.06 — the probes UNDER-measured the
+    # contention channel). If the median shared-query ratio disagrees
+    # with every probe by >1.2x, the host state changed in a way the
+    # probes can't normalize — treat the whole take as contaminated
+    # and re-take on a quiet host rather than chasing per-query deltas.
+    ratios = sorted((new["queries"][q] / old["queries"][q])
+                    for q in shared if q not in contended
+                    and old["queries"][q] > 0 and new["queries"][q] > 0)
+    if ratios:
+        band = ratios[len(ratios) // 2]
+        probes = [r for r in (norm, mw_ratio) if r is not None] or [1.0]
+        if all(max(band / p, p / band) > 1.2 for p in probes):
+            print(f"WARNING: shared-query median ratio {band:.2f} disagrees "
+                  f"with every probe ({', '.join(f'{p:.2f}' for p in probes)}) "
+                  f"by >1.2x — host state the probes cannot see changed; "
+                  f"distrust this comparison and re-take on a quiet host")
     sys.exit(1 if regressed else 0)
 
 
