@@ -98,20 +98,46 @@ object Profile {
       // rows — SimilaritySpec pins bit-equality). The bucketed plan
       // pays the one-time tsig/vec_id catalog-table layout on first
       // touch; the second timing is the steady-state rebuild cost a
-      // cluster-scale corpus would pay per refresh.
+      // cluster-scale corpus would pay per refresh. Per-phase shuffle
+      // WRITE bytes are reported alongside wall time — the bucketed
+      // path's inherent cost center is its one wide exchange, and the
+      // canonical-pair rewrite's claim (half the bytes) must be
+      // measured, not asserted.
       // Usage: graft.Profile <sfDir> annpath
       import org.apache.spark.sql.functions._
       import graft.functions.VectorFunctions.floatNorm
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          sw.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+        }
+      })
+      def ts(name: String)(f: => Any): Unit = {
+        Thread.sleep(2000) // let straggler listener events drain
+        val b0 = sw.get
+        t(name)(f)
+        Thread.sleep(2000)
+        println(f"          shuffle-write ${(sw.get - b0) / 1e9}%.2f GB in $name")
+        // release the finished phase's shuffle files before the next
+        // one: ContextCleaner only deletes them when the shuffle's RDD
+        // is collected, and two retained ~64 GB exchanges don't fit
+        // this box's disk (measured: the warm re-run died on ENOSPC
+        // with the first run's files still held)
+        spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        Thread.sleep(5000)
+      }
       val e = Tables(spark, sfDir, "embeddings")
         .withColumn("nrm", floatNorm(col("embedding")))
       val n = e.count()
       val (bits, tables) = sim.Similarity.annParams(n)
       println(s"n=$n family=($bits bits, $tables tables)")
-      t("ann.broadcast.build")(
+      ts("ann.broadcast.build")(
         sim.Similarity.annGraphBroadcast(e, bits, tables).count())
-      t("ann.bucketed.build+layout")(
+      ts("ann.bucketed.build+layout")(
         sim.Similarity.annGraphBucketed(spark, sfDir, bits, tables).count())
-      t("ann.bucketed.build(layout warm)")(
+      ts("ann.bucketed.build(layout warm)")(
         sim.Similarity.annGraphBucketed(spark, sfDir, bits, tables).count())
       spark.stop()
       return

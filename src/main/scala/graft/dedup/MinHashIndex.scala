@@ -2,8 +2,9 @@ package graft.dedup
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, explode, greatest, least, size, udf}
-import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.sql.functions.{col, concat_ws, explode, greatest, least, size}
+
+import graft.util.BloomSidecars
 
 /** Incrementally-maintained MinHash/LSH dedup index — the LLM-pipeline
   * analog of [[graft.graph.DegreeView]], and the operator a daily crawl
@@ -101,59 +102,25 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
   }
 
   // ---- bloom sidecars: O(batch)-read membership ----------------------
-
-  /** Per-segment bloom false-positive rate. Sized so the exact-confirm
-    * reads stay rare: a probe key absent from the corpus claims a
-    * segment with probability `fpp`, so expected per-trigger
-    * false-positive segment reads are ~fpp × probe keys × segments —
-    * at 1e-4 and a 40-doc/120-band-key test trigger, ~0.1 spurious
-    * segment reads per trigger (measured: the 0.001 setting showed
-    * 1-2 FP segment reads per trigger as spikes in the read-flatness
-    * spec). The bloom itself costs 19.2 bits ≈ 2.4 B per doc — still
-    * ~30x under the signature row it stands in for.
-    */
-  private val BloomFpp = 0.0001
-
-  private def writeBloom(p: Path, bf: BloomFilter): Unit = {
-    val out = fs.create(p, true)
-    try bf.writeTo(out) finally out.close()
-  }
-
-  /** null when the segment predates bloom sidecars — callers must then
-    * treat the segment as always-suspect (blooms have no false
-    * negatives only when they exist).
-    */
-  private def readBloom(p: Path): BloomFilter =
-    if (!fs.exists(p)) null
-    else {
-      val in = fs.open(p)
-      try BloomFilter.readFrom(in) finally in.close()
-    }
+  // (machinery shared with SignLshIndex via graft.util.BloomSidecars;
+  // fpp trade documented there — the 0.001 setting measured 1-2
+  // false-positive segment reads per trigger as spikes in the
+  // read-flatness spec, 1e-4 retires them)
 
   /** The subset of `ids` (a doc_id column) ALREADY in the signature
     * store — the first-writer-wins membership probe, reading O(batch +
     * bloom bytes) instead of the store's full doc_id column: each
-    * segment's id bloom is delta-sized (~1.8 B/doc at fpp 0.001) and
-    * rules the segment out with no false negatives; only ids some
-    * bloom claims (true re-ingestions plus ~fpp false positives) pay
-    * an exact semi-join, against ONLY the claiming segments.
+    * segment's id bloom is delta-sized (~2.4 B/doc) and rules the
+    * segment out with no false negatives; only ids some bloom claims
+    * (true re-ingestions plus ~fpp false positives) pay an exact
+    * semi-join, against ONLY the claiming segments.
     */
   def knownIds(ids: DataFrame): DataFrame = {
     val segs = currentSegments()
-    val blooms = segs.map(s => readBloom(new Path(segRoot, s"$s/ids_bloom"))).toArray
-    val bc = spark.sparkContext.broadcast(blooms)
-    val hitSegs = udf((id: Long) => {
-      val a = bc.value
-      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var i = 0
-      while (i < a.length) {
-        if (a(i) == null || a(i).mightContainLong(id)) out += i
-        i += 1
-      }
-      out.toSeq
-    })
+    val bc = spark.sparkContext.broadcast(segs.map(s =>
+      BloomSidecars.read(fs, new Path(segRoot, s"$s/ids_bloom"))).toArray)
     val suspects = ids.select(col("doc_id")).distinct()
-      .withColumn("segi", hitSegs(col("doc_id")))
+      .withColumn("segi", BloomSidecars.longHits(bc)(col("doc_id")))
       .filter(size(col("segi")) > 0)
       .localCheckpoint()
     val segIdx = suspects.select(explode(col("segi")).as("i"))
@@ -176,19 +143,9 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
     * rejects every delta band key cannot hold a band collision.
     */
   private def bandHitSegments(nb: DataFrame, segs: Seq[String]): Seq[Int] = {
-    val blooms = segs.map(s => readBloom(new Path(segRoot, s"$s/bands_bloom"))).toArray
-    val bc = spark.sparkContext.broadcast(blooms)
-    val hitSegs = udf((key: String) => {
-      val a = bc.value
-      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var i = 0
-      while (i < a.length) {
-        if (a(i) == null || a(i).mightContainString(key)) out += i
-        i += 1
-      }
-      out.toSeq
-    })
-    nb.select(explode(hitSegs(bandKey)).as("i"))
+    val bc = spark.sparkContext.broadcast(segs.map(s =>
+      BloomSidecars.read(fs, new Path(segRoot, s"$s/bands_bloom"))).toArray)
+    nb.select(explode(BloomSidecars.stringHits(bc)(bandKey)).as("i"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
   }
 
@@ -224,17 +181,12 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
     sig.write.mode("overwrite").parquet(new Path(segRoot, s"$seg/sig").toString)
     cand.select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(new Path(segRoot, s"$seg/cand").toString)
-    // an empty delta (idempotent replay) gets an empty never-matching
-    // bloom — stat.bloomFilter's sketch aggregate yields null on zero
-    // rows
     val n = sig.count()
-    writeBloom(new Path(segRoot, s"$seg/ids_bloom"),
-      if (n == 0) BloomFilter.create(1, BloomFpp)
-      else sig.stat.bloomFilter("doc_id", n, BloomFpp))
-    writeBloom(new Path(segRoot, s"$seg/bands_bloom"),
-      if (n == 0) BloomFilter.create(1, BloomFpp)
-      else Dedup.bands(sig).select(bandKey.as("bk"))
-        .stat.bloomFilter("bk", n * Dedup.BANDS, BloomFpp))
+    BloomSidecars.write(fs, new Path(segRoot, s"$seg/ids_bloom"),
+      BloomSidecars.build(sig, "doc_id", n))
+    BloomSidecars.write(fs, new Path(segRoot, s"$seg/bands_bloom"),
+      BloomSidecars.build(
+        Dedup.bands(sig).select(bandKey.as("bk")), "bk", n * Dedup.BANDS))
     snaps.publish(v) { v =>
       snaps.writeTextFile(new Path(snaps.versionPath(v), "segments"),
         (prevSegments :+ seg).mkString("\n"))

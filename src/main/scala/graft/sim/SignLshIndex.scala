@@ -106,7 +106,34 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
         (col("ts.t").cast("long") * p2 + col("ts.sig")).as("tsig"))
   }
 
-  /** Write the delta segment for version `v`, then publish `v` as the
+  /** The subset of `ids` (a vec_id column) ALREADY in the vector
+    * store — the first-writer-wins membership probe through the
+    * per-segment id bloom sidecars ([[graft.util.BloomSidecars]]):
+    * per-append reads are O(batch + bloom bytes), never the store's
+    * full vec_id column (which grows with corpus lifetime — the same
+    * per-trigger scan the crawl-dedup index retired).
+    */
+  def knownIds(ids: DataFrame): DataFrame = {
+    val segs = segmentsOf(requireVersion())
+    val bc = spark.sparkContext.broadcast(segs.map(s =>
+      graft.util.BloomSidecars.read(fs, new Path(segRoot, s"$s/ids_bloom"))).toArray)
+    val suspects = ids.select(col("vec_id")).distinct()
+      .withColumn("segi", graft.util.BloomSidecars.longHits(bc)(col("vec_id")))
+      .filter(size(col("segi")) > 0)
+      .localCheckpoint()
+    val segIdx = suspects.select(explode(col("segi")).as("i"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (segIdx.isEmpty) suspects.select(col("vec_id")).limit(0)
+    else {
+      val segVec = spark.read.parquet(
+        segIdx.map(i => new Path(segRoot, s"${segs(i)}/vec").toString).toSeq: _*)
+      suspects.select(col("vec_id"))
+        .join(segVec.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    }
+  }
+
+  /** Write the delta segment for version `v` (vec + sig parquet plus
+    * the delta-sized vec_id bloom sidecar), then publish `v` as the
     * previous segments plus it (segment first, manifest+marker last —
     * a crash in between leaves an orphan segment no version
     * references, which [[vacuum]] sweeps).
@@ -116,6 +143,8 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
     val seg = s"s$v"
     vec.write.mode("overwrite").parquet(new Path(segRoot, s"$seg/vec").toString)
     sig.write.mode("overwrite").parquet(new Path(segRoot, s"$seg/sig").toString)
+    graft.util.BloomSidecars.write(fs, new Path(segRoot, s"$seg/ids_bloom"),
+      graft.util.BloomSidecars.build(vec, "vec_id", vec.count()))
     snaps.publish(v) { v =>
       snaps.writeTextFile(new Path(snaps.versionPath(v), "segments"),
         (prevSegments :+ seg).mkString("\n"))
@@ -139,15 +168,16 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
   /** Delta refresh for appended vectors: norm + sign the NEW vectors
     * only under the pinned family — the only corpus-shaped work is
     * linear in the delta, and only the delta segment is written.
-    * First-writer-wins per vec_id: re-ingested ids keep their original
-    * vector and signatures, so replaying an overlapping batch is
-    * idempotent.
+    * First-writer-wins per vec_id (membership via the bloom-pruned
+    * [[knownIds]], not a store-lifetime id scan): re-ingested ids keep
+    * their original vector and signatures, so replaying an overlapping
+    * batch is idempotent.
     */
   def append(newVecs: DataFrame): Unit = {
     val v = requireVersion()
     val (bits, tables) = params
     val fresh = withNorm(newVecs
-      .join(vectors().select(col("vec_id")), Seq("vec_id"), "left_anti"))
+      .join(knownIds(newVecs.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
       .persist()
     try writeDelta(fresh, sigOf(fresh, bits, tables), v + 1,
       segmentsOf(v), s"$bits $tables")

@@ -1,0 +1,89 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-segment bloom sidecar machinery shared by the incremental
+  * indexes ([[graft.dedup.MinHashIndex]]: doc_id + band-key blooms;
+  * [[graft.sim.SignLshIndex]]: vec_id blooms) — ONE implementation so
+  * a sizing or probe fix lands in every index (the same
+  * drift-by-duplication risk the shared ANN pipeline closed).
+  *
+  * Contract: a segment's bloom has NO false negatives over the keys
+  * it was built from, so "no bloom claims this key" proves absence
+  * from the whole store, and per-trigger membership reads collapse to
+  * the delta-sized sidecars plus an exact confirm against only the
+  * CLAIMING segments (true hits + ~fpp false positives).
+  */
+object BloomSidecars {
+
+  /** False-positive rate. Expected spurious segment reads per trigger
+    * are ~fpp × probe keys × segments — at 1e-4 and a 10^3-key
+    * trigger against a year of segments, ~0.04; the sidecar costs
+    * 19.2 bits ≈ 2.4 B per key.
+    */
+  val Fpp: Double = 0.0001
+
+  /** Bloom over `column` of `df` (`n` = row estimate; `n == 0` yields
+    * an empty never-matching bloom — the sketch aggregate returns
+    * null on zero rows).
+    */
+  def build(df: DataFrame, column: String, n: Long): BloomFilter =
+    if (n == 0) BloomFilter.create(1, Fpp)
+    else df.stat.bloomFilter(column, n, Fpp)
+
+  def write(fs: FileSystem, p: Path, bf: BloomFilter): Unit = {
+    val out = fs.create(p, true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** null when the sidecar is missing (a segment predating blooms) —
+    * callers treat that segment as always-suspect, preserving the
+    * no-false-negative contract.
+    */
+  def read(fs: FileSystem, p: Path): BloomFilter =
+    if (!fs.exists(p)) null
+    else {
+      val in = fs.open(p)
+      try BloomFilter.readFrom(in) finally in.close()
+    }
+
+  /** Column of segment indices whose bloom might contain the LONG key
+    * in `key` (missing blooms always match). Blooms ride a broadcast
+    * — shipped once per executor, not per task closure.
+    */
+  def longHits(bc: org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])(
+      key: Column): Column = {
+    val f = udf((id: Long) => {
+      val a = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < a.length) {
+        if (a(i) == null || a(i).mightContainLong(id)) out += i
+        i += 1
+      }
+      out.toSeq
+    })
+    f(key)
+  }
+
+  /** Column of segment indices whose bloom might contain the STRING
+    * key in `key` (missing blooms always match).
+    */
+  def stringHits(bc: org.apache.spark.broadcast.Broadcast[Array[BloomFilter]])(
+      key: Column): Column = {
+    val f = udf((k: String) => {
+      val a = bc.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < a.length) {
+        if (a(i) == null || a(i).mightContainString(k)) out += i
+        i += 1
+      }
+      out.toSeq
+    })
+    f(key)
+  }
+}
