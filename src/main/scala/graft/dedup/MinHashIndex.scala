@@ -101,6 +101,15 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
     if (fs.exists(p)) Some(snaps.readTextFile(p).trim) else None
   }
 
+  /** Newest complete version carrying `tag` — the replay detector.
+    * Scans ALL retained versions (newest first, tiny manifest reads,
+    * count bounded by [[vacuum]] retention) rather than only the
+    * newest, so a maintenance [[compact]] published between a crashed
+    * append and its replay cannot hide the batch's journal entry.
+    */
+  def versionTagged(tag: String): Option[Long] =
+    snaps.completeVersions.sorted.reverse.find(tagOf(_).contains(tag))
+
   // ---- bloom sidecars: O(batch)-read membership ----------------------
   // (machinery shared with SignLshIndex via graft.util.BloomSidecars;
   // fpp trade documented there — the 0.001 setting measured 1-2
@@ -263,6 +272,33 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
     // delta fully computed from v<k> inputs before v<k+1> is written;
     // the manifest+marker publish it atomically-enough
     writeDelta(newSig, newCand, v + 1, segs, tag)
+  }
+
+  /** Merge the current version's segments into ONE and publish it as
+    * a new version (tagged `compaction`, which no crawl batch tag can
+    * collide with). Read-equality is free — segments are disjoint, so
+    * the merged tables are exactly the union the old manifest served —
+    * and the rewrite is O(corpus), amortized: a per-trigger append
+    * adds a segment, and segment COUNT is what grows per-trigger
+    * sidecar/footer reads and bloom-probe width, so a periodic
+    * compact (weekly, against a day-granularity crawl) bounds it.
+    * Old versions still reference the pre-compaction segments until
+    * [[vacuum]] retires them; run compaction from the same
+    * single-writer maintenance loop as appends, never between an
+    * append and its streaming sink's completion ([[versionTagged]]
+    * keeps replay detection correct across a compaction, but a
+    * vacuumed-away tagged version cannot be replayed — retain ≥ 1
+    * version of slack).
+    *
+    * @return the published compaction version
+    */
+  def compact(): Long = {
+    val v = version.getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"index at $indexDir never built — call build() first"))
+    val sig = signatures().localCheckpoint()
+    writeDelta(sig, candidates(), v + 1, Seq.empty, Some("compaction"))
+    v + 1
   }
 
   /** Drop all but the newest `keepLast` complete index versions (the

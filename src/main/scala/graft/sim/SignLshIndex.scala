@@ -184,6 +184,24 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
     finally fresh.unpersist()
   }
 
+  /** Merge the current version's segments into ONE and publish it as
+    * a new version (family pinned unchanged). Read-equality is free —
+    * segments are disjoint, so the merged vec/sig tables are exactly
+    * the union the old manifest served. O(corpus) rewrite, amortized:
+    * per-append segments are what grow sidecar/footer reads and
+    * bloom-probe width per trigger; a periodic compact bounds them.
+    * Old segments are retired by [[vacuum]].
+    *
+    * @return the published compaction version
+    */
+  def compact(): Long = {
+    val v = requireVersion()
+    val (bits, tables) = params
+    val vec = vectors().localCheckpoint()
+    writeDelta(vec, signatures(), v + 1, Seq.empty, s"$bits $tables")
+    v + 1
+  }
+
   /** Per-bucket occupancy n / 2^bits of the CURRENT corpus against the
     * pinned family — the calibration band is [2, 4); past ~4× build
     * size, rebuild with a recalibrated family.

@@ -219,9 +219,12 @@ object StreamOps {
       batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
     val tag = s"crawl_batch_$batchId"
     val b = batch.dropDuplicates("doc_id").localCheckpoint()
-    // Replay detection is O(1): batches commit in order, so a replayed
-    // batch's append — if it happened at all — is the NEWEST version.
-    val replayed = index.version.filter(v => index.tagOf(v).contains(tag))
+    // Replay detection: batches commit in order, so a replayed batch's
+    // append — if it happened at all — is at or near the newest
+    // version; versionTagged scans retained versions newest-first
+    // (tiny manifest reads, count bounded by vacuum retention) so a
+    // maintenance compaction published in between cannot hide it.
+    val replayed = index.versionTagged(tag)
     val appendedV = replayed.orElse {
       val fresh = b.join(index.knownIds(b.select(col("doc_id"))),
         Seq("doc_id"), "left_anti").localCheckpoint()

@@ -16,6 +16,17 @@ import org.apache.spark.util.sketch.BloomFilter
   * from the whole store, and per-trigger membership reads collapse to
   * the delta-sized sidecars plus an exact confirm against only the
   * CLAIMING segments (true hits + ~fpp false positives).
+  *
+  * Envelope, priced honestly: sidecar TOTAL is ~2.4 B/key — 100-odd
+  * times under the rows they stand in for, but still linear in corpus
+  * lifetime (24 GB at 10^10 keys), and the probe broadcasts them.
+  * Two structural mitigations, both preserved by this design: segment
+  * COMPACTION (the indexes' `compact()`) keeps the sidecar count
+  * bounded so the per-trigger open/footer cost doesn't grow with
+  * ingest count, and because membership is per-segment with no false
+  * negatives, the probe can be sharded (each executor holding a
+  * subset of blooms, keys routed by segment) without changing any
+  * answer when the broadcast form stops fitting.
   */
 object BloomSidecars {
 

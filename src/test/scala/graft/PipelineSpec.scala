@@ -150,19 +150,41 @@ class PipelineSpec extends AnyFunSuite {
       "an empty delta's segment must be near-empty")
     assert(dirBytes("v4") < 4096, "a version publish is manifest-sized")
 
-    // retention sweeps history, keeps the served snapshot
-    assert(idx.vacuum(1).toSet == Set(1L, 2L, 3L))
+    // compaction merges the four per-ingest segments into ONE — the
+    // sidecar/footer growth bound for a long-running crawl — and the
+    // served tables are unchanged (segments are disjoint, so the
+    // merge is exactly the union the old manifest served)
+    assert(idx.compact() == 5L)
     assertEqualsRebuild(docs)
+    val compactManifest = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$idxDir/v5/segments"))
+    assert(compactManifest.size == 1,
+      s"compaction must publish one segment, got $compactManifest")
+
+    // appends continue on top of the compacted layout
+    idx.append(dayTwo) // idempotent empty delta
+    assert(idx.version.contains(6L))
+    assertEqualsRebuild(docs)
+
+    // retention sweeps every pre-compaction version and their segments
+    assert(idx.vacuum(1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assertEqualsRebuild(docs)
+    import scala.jdk.CollectionConverters._
+    val liveSegs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$idxDir/seg")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(liveSegs == Set("s5", "s6"),
+      s"pre-compaction segments must be swept, got $liveSegs")
 
     // a markerless crash leftover (writer died between the sig and
     // cand writes) is invisible: version() stays at the newest COMPLETE
     // snapshot and the next append publishes right past the garbage
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$idxDir/v9/sig"))
-    assert(idx.version.contains(4L))
+    assert(idx.version.contains(6L))
     assertEqualsRebuild(docs)
-    idx.append(dayTwo) // still idempotent, now writes v5
-    assert(idx.version.contains(5L))
+    idx.append(dayTwo) // still idempotent, now writes v7
+    assert(idx.version.contains(7L))
     assertEqualsRebuild(docs)
   }
 }

@@ -101,6 +101,12 @@ class SignLshIndexSpec extends AnyFunSuite {
     idx.append(dayTwo)
     assert(idx.version.contains(5L))
     assertEqualsRebuild(vecs)
+
+    // compaction merges the per-ingest segments into one; the pinned
+    // family and the served graph are unchanged, bit-exact
+    assert(idx.compact() == 6L)
+    assert(idx.params == pinned)
+    assertEqualsRebuild(vecs)
   }
 
   test("served ANN graph: no broadcast, no sort-merge join, under the DEFAULT session config") {

@@ -468,14 +468,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(idx.version.contains(vBefore + 1))
     assert(idx.tagOf(vBefore + 1).contains("crawl_batch_7"))
 
+    // a maintenance compaction published between the crash and the
+    // replay must not hide the batch's journal entry (versionTagged
+    // scans retained versions, not only the newest)
+    idx.compact()
+
     var replayed: Set[Long] = null
     StreamOps.crawlDedupBatch(idx, batch, 7L)(s =>
       replayed = s.select("doc_id").collect().map(_.getLong(0)).toSet)
     assert(replayed == expected,
       s"replay must re-emit the crashed batch's survivors (${expected.size}), " +
         s"got ${Option(replayed).map(_.size)}")
-    // and must NOT double-append
-    assert(idx.version.contains(vBefore + 1))
+    // and must NOT double-append (the compaction is the only version
+    // past the crashed batch's)
+    assert(idx.version.contains(vBefore + 2))
     // in-batch duplicate collapsed: one signature row per doc_id
     val sigDups = idx.signatures().groupBy(col("doc_id")).count()
       .filter(col("count") > 1).count()
