@@ -159,12 +159,21 @@ object StreamOps {
     * unchanged. Empty triggers are skipped — an idle crawl writes no
     * segment (and so causes no version churn for vacuum to sweep).
     */
-  def indexMaintenance(vecs: DataFrame,
-      index: graft.sim.SignLshIndex): DataStreamWriter[Row] =
+  /** @param compactEvery when > 0, run `index.compact()` after every
+    *   N-th trigger — the lifecycle cadence that stops per-trigger
+    *   segment count (and so sidecar/footer reads) growing without
+    *   bound on a long-running stream. Compaction is equality-free
+    *   maintenance (segments are disjoint), so a crash-replayed
+    *   trigger that re-runs it is harmless churn, not corruption.
+    */
+  def indexMaintenance(vecs: DataFrame, index: graft.sim.SignLshIndex,
+      compactEvery: Int = 0): DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) index.append(batch.toDF())
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          index.compact(): Unit
       }
 
   /** Streaming crawl dedup against the HISTORICAL corpus: each
@@ -203,12 +212,21 @@ object StreamOps {
     * fresh ids (all ingested by EARLIER batches) appends nothing and
     * emits nothing.
     */
-  def crawlDedup(docs: DataFrame, index: graft.dedup.MinHashIndex)(
+  /** @param compactEvery when > 0, compact the index after every N-th
+    *   trigger, AFTER the sink completes — never between an append
+    *   and its emission, so the replay contract is untouched (and
+    *   [[graft.dedup.MinHashIndex.versionTagged]] finds a batch's
+    *   journal entry across compaction versions regardless).
+    */
+  def crawlDedup(docs: DataFrame, index: graft.dedup.MinHashIndex,
+      compactEvery: Int = 0)(
       sink: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) crawlDedupBatch(index, batch.toDF(), batchId)(sink)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          index.compact(): Unit
       }
 
   /** One [[crawlDedup]] trigger — factored out so the replay path is

@@ -554,17 +554,20 @@ class StreamingSpec extends AnyFunSuite {
     idx.build(dayZero)
 
     val in = MemoryStream[(Long, Array[Float])]
+    // compactEvery=1: the second trigger also compacts, so the final
+    // equality below proves the served graph survives in-stream
+    // segment compaction bit-exactly
     val q = StreamOps.indexMaintenance(
-      in.toDF().toDF("vec_id", "embedding"), idx).start()
+      in.toDF().toDF("vec_id", "embedding"), idx, compactEvery = 1).start()
     try {
       in.addData(batchA.toSeq)
       q.processAllAvailable()
       assert(idx.version.contains(2L))
       in.addData((batchB ++ batchA.take(10)).toSeq) // replayed overlap
       q.processAllAvailable()
-      assert(idx.version.contains(3L))
+      assert(idx.version.contains(4L)) // append v3 + in-stream compaction v4
       q.processAllAvailable() // idle trigger: no data, no version churn
-      assert(idx.version.contains(3L))
+      assert(idx.version.contains(4L))
     } finally q.stop()
 
     // the streamed index serves the bit-exact graph of a from-scratch
