@@ -597,6 +597,9 @@ object Similarity {
         .cast("double") / lit(ProbeTables.toDouble)).as("r"))
       .collect().map(_.getDouble(0))
 
+    require(retention.nonEmpty,
+      s"retention probe found no (query, true-neighbor) pairs (n=$n) — " +
+        "the solver needs a corpus with at least 2 vectors")
     def predictedRecall(tables: Int): Double =
       retention.map(r => 1.0 - math.pow(1.0 - r, tables)).sum / retention.length
     val tables = AnnTableLadder.find(predictedRecall(_) >= targetRecall)

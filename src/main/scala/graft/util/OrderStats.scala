@@ -169,7 +169,16 @@ object OrderStats {
     val statePartitions =
       if (broadcastState) 1
       else math.max(1L, math.min(stateRows / 65536L + 1L, 100000L)).toInt
-    var state = state0.coalesce(statePartitions).localCheckpoint()
+    // coalesce when narrowing (no shuffle); repartition when the state
+    // needs MORE partitions than its producing join's
+    // shuffle-partition count gave it (coalesce cannot grow a
+    // partitioning, and leaving a billion-group state in 32
+    // partitions is the OOM this path exists to avoid) — the
+    // round-cost is a state-sized shuffle, summary rows only
+    def spread(df: DataFrame): DataFrame =
+      if (statePartitions <= df.rdd.getNumPartitions) df.coalesce(statePartitions)
+      else df.repartition(statePartitions)
+    var state = spread(state0).localCheckpoint()
     var rounds = 0
     while (state.filter(openCond).count() > 0) {
       rounds += 1
@@ -210,7 +219,7 @@ object OrderStats {
         .select(col("gk"), col("rank"), col("bmn").as("lo"),
           col("bmx").as("hi"), (col("t") - col("cum")).as("t"),
           col("bcnt").as("cnt"))
-      state = rest.unionByName(picked).coalesce(statePartitions).localCheckpoint()
+      state = spread(rest.unionByName(picked)).localCheckpoint()
     }
 
     val direct = state.filter(col("lo") === col("hi"))

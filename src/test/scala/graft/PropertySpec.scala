@@ -132,4 +132,30 @@ class PropertySpec extends AnyFunSuite {
           s"scores=$scores k=$k split=$split got=$got expect=$expect")
       }
   }
+
+  test("bloom sidecars: no false negatives; a missing sidecar is always suspect") {
+    import graft.util.BloomSidecars
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("bloomprop").toString
+    samples(Gen.listOfN(200, Gen.choose(Long.MinValue, Long.MaxValue)), 10)
+      .zipWithIndex.foreach { case (keys, i) =>
+        val df = keys.toDF("k")
+        val p = new org.apache.hadoop.fs.Path(s"$dir/b$i")
+        BloomSidecars.write(fs, p, BloomSidecars.build(df, "k", keys.size.toLong))
+        val bf = BloomSidecars.read(fs, p)
+        // the membership contract: EVERY inserted key must be claimed
+        // after a write/read roundtrip — a false negative here silently
+        // drops dup detection for that doc forever
+        keys.foreach(k => assert(bf.mightContainLong(k),
+          s"false negative for $k in sample $i"))
+      }
+    // empty build: a never-matching (but valid) bloom
+    val empty = BloomSidecars.build(Seq.empty[Long].toDF("k"), "k", 0L)
+    assert(!(0L to 50L).exists(empty.mightContainLong))
+    // a missing sidecar reads as null = always-suspect, preserving
+    // correctness for segments that predate blooms
+    assert(BloomSidecars.read(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/nope")) == null)
+  }
 }
