@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, explode, greatest, least, size}
+import org.apache.spark.sql.functions.{col, concat_ws, explode, greatest, least}
 
 import graft.util.BloomSidecars
 
@@ -126,21 +126,9 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
     */
   def knownIds(ids: DataFrame): DataFrame = {
     val segs = currentSegments()
-    val bc = spark.sparkContext.broadcast(segs.map(s =>
-      BloomSidecars.read(fs, new Path(segRoot, s"$s/ids_bloom"))).toArray)
-    val suspects = ids.select(col("doc_id")).distinct()
-      .withColumn("segi", BloomSidecars.longHits(bc)(col("doc_id")))
-      .filter(size(col("segi")) > 0)
-      .localCheckpoint()
-    val segIdx = suspects.select(explode(col("segi")).as("i"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    if (segIdx.isEmpty) suspects.select(col("doc_id")).limit(0)
-    else {
-      val segSig = spark.read.parquet(
-        segIdx.map(i => new Path(segRoot, s"${segs(i)}/sig").toString).toSeq: _*)
-      suspects.select(col("doc_id"))
-        .join(segSig.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    }
+    BloomSidecars.knownKeys(spark, ids, "doc_id", fs,
+      segs.map(s => new Path(segRoot, s"$s/ids_bloom")),
+      segs.map(s => new Path(segRoot, s"$s/sig")))
   }
 
   /** Combined LSH band key (band || bkey) as one bloom-able string. */

@@ -115,21 +115,9 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
     */
   def knownIds(ids: DataFrame): DataFrame = {
     val segs = segmentsOf(requireVersion())
-    val bc = spark.sparkContext.broadcast(segs.map(s =>
-      graft.util.BloomSidecars.read(fs, new Path(segRoot, s"$s/ids_bloom"))).toArray)
-    val suspects = ids.select(col("vec_id")).distinct()
-      .withColumn("segi", graft.util.BloomSidecars.longHits(bc)(col("vec_id")))
-      .filter(size(col("segi")) > 0)
-      .localCheckpoint()
-    val segIdx = suspects.select(explode(col("segi")).as("i"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    if (segIdx.isEmpty) suspects.select(col("vec_id")).limit(0)
-    else {
-      val segVec = spark.read.parquet(
-        segIdx.map(i => new Path(segRoot, s"${segs(i)}/vec").toString).toSeq: _*)
-      suspects.select(col("vec_id"))
-        .join(segVec.select(col("vec_id")), Seq("vec_id"), "left_semi")
-    }
+    graft.util.BloomSidecars.knownKeys(spark, ids, "vec_id", fs,
+      segs.map(s => new Path(segRoot, s"$s/ids_bloom")),
+      segs.map(s => new Path(segRoot, s"$s/vec")))
   }
 
   /** Write the delta segment for version `v` (vec + sig parquet plus
@@ -176,8 +164,15 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
   def append(newVecs: DataFrame): Unit = {
     val v = requireVersion()
     val (bits, tables) = params
-    val fresh = withNorm(newVecs
-      .join(knownIds(newVecs.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+    // one row per vec_id even WITHIN a batch: an at-least-once source
+    // can repeat an id in one trigger, and two stored rows for one id
+    // would multiply annGraph's hydration joins and could seat the
+    // same neighbor twice in a query's top-3. Arbitrary winner among
+    // in-batch copies — the same semantics as cross-batch
+    // first-writer-wins.
+    val batch = newVecs.dropDuplicates("vec_id")
+    val fresh = withNorm(batch
+      .join(knownIds(batch.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
       .persist()
     try writeDelta(fresh, sigOf(fresh, bits, tables), v + 1,
       segmentsOf(v), s"$bits $tables")

@@ -158,22 +158,27 @@ object StreamOps {
     * the replay degrades to an empty delta and the served graph is
     * unchanged. Empty triggers are skipped — an idle crawl writes no
     * segment (and so causes no version churn for vacuum to sweep).
-    */
-  /** @param compactEvery when > 0, run `index.compact()` after every
+    *
+    * @param compactEvery when > 0, run `index.compact()` after every
     *   N-th trigger — the lifecycle cadence that stops per-trigger
     *   segment count (and so sidecar/footer reads) growing without
     *   bound on a long-running stream. Compaction is equality-free
     *   maintenance (segments are disjoint), so a crash-replayed
     *   trigger that re-runs it is harmless churn, not corruption.
+    * @param vacuumKeep when > 0, `index.vacuum(vacuumKeep)` after
+    *   every trigger — bounds version-history metadata on a stream
+    *   that adds a version per trigger (the newest version is always
+    *   retained, so the served index is untouched).
     */
   def indexMaintenance(vecs: DataFrame, index: graft.sim.SignLshIndex,
-      compactEvery: Int = 0): DataStreamWriter[Row] =
+      compactEvery: Int = 0, vacuumKeep: Int = 0): DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) index.append(batch.toDF())
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           index.compact(): Unit
+        if (vacuumKeep > 0) index.vacuum(vacuumKeep): Unit
       }
 
   /** Streaming crawl dedup against the HISTORICAL corpus: each
@@ -198,9 +203,9 @@ object StreamOps {
     * of the candidate filter, exactly as in the batch pipeline.
     *
     * Restart-safe, AT-LEAST-ONCE to an idempotent sink. The batch's
-    * index version is journaled with a batchId tag atomically with
-    * the append, so the crash window between append and sink is
-    * closed: a replayed batch whose tag is already published
+    * index version is journaled with a batchId + content-identity tag
+    * atomically with the append, so the crash window between append
+    * and sink is closed: a replayed batch whose tag is already published
     * recomputes its survivor set from the stored delta (same rows —
     * the decision inputs are all versioned) and re-emits it, instead
     * of silently dropping the batch's survivors because its ids are
@@ -211,23 +216,34 @@ object StreamOps {
     * trigger writes no segment and calls no sink; a batch with no
     * fresh ids (all ingested by EARLIER batches) appends nothing and
     * emits nothing.
-    */
-  /** @param compactEvery when > 0, compact the index after every N-th
+    *
+    * @param compactEvery when > 0, compact the index after every N-th
     *   trigger, AFTER the sink completes — never between an append
     *   and its emission, so the replay contract is untouched (and
     *   [[graft.dedup.MinHashIndex.versionTagged]] finds a batch's
     *   journal entry across compaction versions regardless).
+    * @param vacuumKeep when > 0 (must be ≥ 2), vacuum after every
+    *   trigger — bounds version-history metadata (and so
+    *   `versionTagged`'s scan) on a stream that adds a version per
+    *   trigger. ≥ 2 because a crash can land between a trigger's
+    *   vacuum and its checkpoint commit: the replayed batch's tagged
+    *   version is then the newest or (past an interleaved compaction)
+    *   one behind it, and vacuuming it away would break re-emission.
     */
   def crawlDedup(docs: DataFrame, index: graft.dedup.MinHashIndex,
-      compactEvery: Int = 0)(
-      sink: DataFrame => Unit): DataStreamWriter[Row] =
+      compactEvery: Int = 0, vacuumKeep: Int = 0)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    require(vacuumKeep == 0 || vacuumKeep >= 2,
+      s"vacuumKeep must be 0 (off) or >= 2 (replay-window slack), got $vacuumKeep")
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) crawlDedupBatch(index, batch.toDF(), batchId)(sink)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           index.compact(): Unit
+        if (vacuumKeep > 0) index.vacuum(vacuumKeep): Unit
       }
+  }
 
   /** One [[crawlDedup]] trigger — factored out so the replay path is
     * directly testable (StreamingSpec drives it with a repeated
@@ -235,8 +251,17 @@ object StreamOps {
     */
   private[graft] def crawlDedupBatch(index: graft.dedup.MinHashIndex,
       batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
-    val tag = s"crawl_batch_$batchId"
     val b = batch.dropDuplicates("doc_id").localCheckpoint()
+    // The journal tag carries the batch's CONTENT identity (id count +
+    // order-insensitive id xor-hash) alongside the batchId: batchId
+    // alone collides when a stream restarts with a fresh checkpoint
+    // against the same index — batchIds restart at 0, the old run's
+    // "batch 0" tag matches, and the brand-new batch would be silently
+    // swallowed as a replay. A true engine replay re-delivers the same
+    // rows, so its content identity matches; a checkpoint-reset batch
+    // does not.
+    val idRow = b.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+    val tag = s"crawl_batch_${batchId}_${idRow.getLong(0)}_${idRow.getLong(1)}"
     // Replay detection: batches commit in order, so a replayed batch's
     // append — if it happened at all — is at or near the newest
     // version; versionTagged scans retained versions newest-first

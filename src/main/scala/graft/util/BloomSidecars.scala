@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{col, explode, size, udf}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Per-segment bloom sidecar machinery shared by the incremental
@@ -60,6 +60,40 @@ object BloomSidecars {
       val in = fs.open(p)
       try BloomFilter.readFrom(in) finally in.close()
     }
+
+  /** The subset of `ids` (one LONG `keyCol` column) present in a
+    * segmented store — the shared membership probe behind
+    * `MinHashIndex.knownIds` and `SignLshIndex.knownIds` (one
+    * implementation, so a probe fix cannot land in one index and not
+    * the other): per-segment blooms rule segments out with no false
+    * negatives; only keys some bloom claims (true members plus ~fpp
+    * false positives) pay an exact semi-join, against ONLY the
+    * claiming segments' key columns.
+    *
+    * @param bloomPaths segment bloom sidecars, parallel to
+    *                   `tablePaths` (missing sidecar = that segment is
+    *                   always suspect)
+    * @param tablePaths the segments' parquet tables carrying `keyCol`
+    */
+  def knownKeys(spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
+      keyCol: String, fs: FileSystem, bloomPaths: Seq[Path],
+      tablePaths: Seq[Path]): DataFrame = {
+    require(bloomPaths.size == tablePaths.size, "segment lists must align")
+    val bc = spark.sparkContext.broadcast(
+      bloomPaths.map(read(fs, _)).toArray)
+    val suspects = ids.select(col(keyCol)).distinct()
+      .withColumn("segi", longHits(bc)(col(keyCol)))
+      .filter(size(col("segi")) > 0)
+      .localCheckpoint()
+    val segIdx = suspects.select(explode(col("segi")).as("i"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (segIdx.isEmpty) suspects.select(col(keyCol)).limit(0)
+    else {
+      val segTable = spark.read.parquet(segIdx.map(tablePaths(_).toString).toSeq: _*)
+      suspects.select(col(keyCol))
+        .join(segTable.select(col(keyCol)), Seq(keyCol), "left_semi")
+    }
+  }
 
   /** Column of segment indices whose bloom might contain the LONG key
     * in `key` (missing blooms always match). Blooms ride a broadcast

@@ -466,7 +466,7 @@ class StreamingSpec extends AnyFunSuite {
         throw new RuntimeException("sink crashed")))
     // the append published before the sink crashed — the exact window
     assert(idx.version.contains(vBefore + 1))
-    assert(idx.tagOf(vBefore + 1).contains("crawl_batch_7"))
+    assert(idx.tagOf(vBefore + 1).exists(_.startsWith("crawl_batch_7_")))
 
     // a maintenance compaction published between the crash and the
     // replay must not hide the batch's journal entry (versionTagged
@@ -486,6 +486,24 @@ class StreamingSpec extends AnyFunSuite {
     val sigDups = idx.signatures().groupBy(col("doc_id")).count()
       .filter(col("count") > 1).count()
     assert(sigDups == 0, s"$sigDups doc_ids have duplicate signature rows")
+
+    // checkpoint-reset collision: a DIFFERENT batch arriving under an
+    // already-journaled batchId (the stream restarted with a fresh
+    // checkpoint, so batchIds restart at 0) must NOT be swallowed as
+    // a replay — the tag's content identity disambiguates. The new
+    // docs must be appended and their survivors emitted.
+    val newbieRows = docs.filter(col("doc_id") % 6 === 3).limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val vBeforeReset = idx.version.get
+    var resetEmitted: Set[Long] = null
+    StreamOps.crawlDedupBatch(idx, newbieRows.toDF("doc_id", "text"), 7L)(s =>
+      resetEmitted = s.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(idx.version.contains(vBeforeReset + 1),
+      "a fresh-content batch under a reused batchId must append, not replay")
+    assert(resetEmitted != null &&
+      resetEmitted.subsetOf(newbieRows.map(_._1).toSet) &&
+      resetEmitted.intersect(expected).isEmpty,
+      s"fresh-content batch emitted wrong rows: $resetEmitted")
   }
 
   test("crawl dedup per-trigger reads stay ~flat while the index grows (bloom-pruned membership)") {

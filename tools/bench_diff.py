@@ -105,14 +105,21 @@ def main():
     ratios = sorted((new["queries"][q] / old["queries"][q])
                     for q in shared if q not in contended
                     and old["queries"][q] > 0 and new["queries"][q] > 0)
-    if ratios:
+    probes = [r for r in (norm, mw_ratio) if r is not None]
+    # No probe fields (pre-r11 artifacts): stay silent — with nothing
+    # to cross-check against, a uniform shift is just as likely a real
+    # code change, and a bogus "host contamination" verdict would steer
+    # the reader away from it.
+    if ratios and probes:
         band = ratios[len(ratios) // 2]
-        probes = [r for r in (norm, mw_ratio) if r is not None] or [1.0]
         if all(max(band / p, p / band) > 1.2 for p in probes):
             print(f"WARNING: shared-query median ratio {band:.2f} disagrees "
                   f"with every probe ({', '.join(f'{p:.2f}' for p in probes)}) "
                   f"by >1.2x — host state the probes cannot see changed; "
-                  f"distrust this comparison and re-take on a quiet host")
+                  f"distrust this comparison and re-take on a quiet host "
+                  f"(note: the median includes code-touched queries — a "
+                  f"round that deliberately shifts most queries can also "
+                  f"trip this)")
     sys.exit(1 if regressed else 0)
 
 
