@@ -608,6 +608,78 @@ object Dedup {
     GROUP BY 1 ORDER BY n_matches"""
   }
 
+  // ---- d13: train→eval contamination scan ---------------------------
+  /** Benchmark-contamination audit over d10's deterministic split:
+    * for every eval-side (test-split) document, how many of its
+    * distinct 8-gram token windows also appear anywhere in the train
+    * split — the standard n-gram-overlap decontamination check run
+    * before an eval set is trusted.
+    *
+    * Scale shape: both sides explode to per-doc DISTINCT 8-grams and
+    * meet in ONE equi-join keyed by a 64-bit gram digest (a 16-hex-char
+    * md5 prefix) — the exchange carries a fixed-width key instead of
+    * arbitrary-length text, the key space is hash-uniform so no salt
+    * is needed, and the train side deduplicates to the distinct gram
+    * set before the join (the corpus-lifetime gram table a production
+    * decontaminator materializes once per training snapshot). Digest
+    * collisions are not a parity risk: both engines compute the same
+    * md5, so both see the identical collision, and at 64 bits the
+    * expected collision count stays < 1 up to ~10^9 distinct grams per
+    * the birthday bound — and a real deployment shards the same audit
+    * per training snapshot anyway.
+    */
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val gramN = 8
+    val toksExpr = "filter(split(text, ' '), t -> t != '')"
+    val parts = (0 until gramN).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    val gramExpr = s"""CASE WHEN size(toks) >= $gramN THEN
+        transform(sequence(1, size(toks) - ${gramN - 1}), i -> concat_ws(' ', $parts))
+      ELSE array() END"""
+    val docs = Tables(s, dir, "documents")
+      .withColumn("nib",
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string")).cast("binary")), 1, 1))
+    val grams = docs
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), col("nib"), explode(expr(gramExpr)).as("gram"))
+      .select(col("doc_id"), col("nib"),
+        substring(md5(col("gram").cast("binary")), 1, 16).as("g64"))
+      .distinct()
+    val train = grams.filter(!col("nib").isin("c", "d", "e", "f"))
+      .select(col("g64")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("nib").isin("e", "f"))
+      .join(train, Seq("g64"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d13Sql = {
+    val toksDuck = "list_filter(string_split(text, ' '), t -> t != '')"
+    val parts = (0 until 8).map(j => if (j == 0) "toks[i]" else s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+        substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) AS nib,
+        substr(md5(gram), 1, 16) AS g64
+      FROM (
+        SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+            list_transform(range(1, len(toks) - 6), i -> $parts)
+          ELSE [] END) AS gram
+        FROM (SELECT doc_id, $toksDuck AS toks FROM documents))),
+    train AS (
+      SELECT DISTINCT g64 FROM grams WHERE nib NOT IN ('c', 'd', 'e', 'f'))
+    SELECT g.doc_id, count(*) AS n_grams,
+      CAST(SUM(CASE WHEN t.g64 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+      CAST(SUM(CASE WHEN t.g64 IS NULL THEN 0 ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        AS contamination_frac
+    FROM grams g LEFT JOIN train t ON t.g64 = g.g64
+    WHERE g.nib IN ('e', 'f')
+    GROUP BY g.doc_id ORDER BY g.doc_id"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
     Op("d09_cross_source", d09, Some(d09Sql)),
@@ -620,5 +692,6 @@ object Dedup {
     Op("d03_simhash", d03, Some(d03Sql)),
     Op("d04_ngram_jaccard", d04, Some(d04Sql)),
     Op("d05_embedding_neardup", d05, Some(d05Sql)),
-    Op("d12_neardup_ann", d12, Some(d12Sql)))
+    Op("d12_neardup_ann", d12, Some(d12Sql)),
+    Op("d13_contamination", d13, Some(d13Sql)))
 }

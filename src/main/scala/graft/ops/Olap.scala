@@ -584,7 +584,79 @@ object Olap {
       (SELECT count(*) FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)) AS n_both,
       (SELECT count(*) FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b96)) AS n_only_1997"""
 
+  // ---- q18: KMV distinct sketch -------------------------------------
+  /** Approximate COUNT(DISTINCT) via a k-minimum-values sketch, the
+    * scale substitute for q10's exact distinct aggregation: per group,
+    * keep the k smallest DISTINCT 32-bit key hashes; with R = the kth
+    * smallest, estimate (k-1)·2³²/(R+1) (the +1 guards the
+    * measure-zero R=0 hash identically in both engines). The sketch
+    * state is a bounded k-entry buffer with an exact partial/merge
+    * decomposition — at 100 TB the map side reduces each partition to
+    * ≤k values per group and the exchange carries sketches, never the
+    * key stream, where exact distinct must shuffle every distinct key.
+    *
+    * The engine side rides `topKScoredDistinct` (score = −h ⇒
+    * k-smallest, distinct payloads ⇒ set semantics), so the estimate
+    * is partitioning-independent — a min-k of a set is the same set
+    * under any split — and the DuckDB oracle (row_number over distinct
+    * hashes) lands on the identical R bit-for-bit. The exact distinct
+    * count rides along as the accuracy witness (same pattern as
+    * s05/s07's recall columns).
+    */
+  private val kmvK = 128
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAggregate
+    val li = Tables(s, dir, "lineitem")
+      .withColumn("h8",
+        substring(md5(concat(lit("kmv:"), col("l_orderkey").cast("string")).cast("binary")), 1, 8))
+      .withColumn("h32", expr(
+        """aggregate(sequence(1, 8), cast(0 as bigint),
+             (acc, i) -> acc * 16 + cast(instr('0123456789abcdef', substring(h8, i, 1)) - 1 as bigint))"""))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        TopKAggregate.topKScoredDistinct(negate(col("h32").cast("double")), col("h32"), kmvK)
+          .as("mins"),
+        countDistinct(col("l_orderkey")).as("n_exact"))
+      .select(col("l_returnflag"), col("n_exact"),
+        least(size(col("mins")).cast("long"), lit(kmvK.toLong)).as("n_kept"),
+        when(size(col("mins")) < kmvK, size(col("mins")).cast("double"))
+          .otherwise(lit((kmvK - 1).toDouble) * lit(4294967296.0) /
+            (element_at(col("mins"), kmvK).getField("payload").cast("double") + lit(1.0)))
+          .as("kmv_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q18Sql = s"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+        list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, 9),
+            i -> CAST(strpos('0123456789abcdef',
+                   substr(md5('kmv:' || CAST(l_orderkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+          (acc, c) -> acc * 16 + c) AS h32
+      FROM lineitem),
+    ranked AS (
+      SELECT l_returnflag, h32,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY h32) AS rn
+      FROM h),
+    sk AS (
+      SELECT l_returnflag,
+        CAST(least(max(rn), $kmvK) AS BIGINT) AS n_kept,
+        max(CASE WHEN rn = $kmvK THEN h32 END) AS kth,
+        CAST(max(rn) AS BIGINT) AS n_distinct_h
+      FROM ranked GROUP BY l_returnflag),
+    ex AS (
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT sk.l_returnflag, ex.n_exact, sk.n_kept,
+      CASE WHEN sk.n_distinct_h < $kmvK THEN CAST(sk.n_distinct_h AS DOUBLE)
+           ELSE CAST(${kmvK - 1} AS DOUBLE) * 4294967296.0 / (CAST(sk.kth AS DOUBLE) + CAST(1 AS DOUBLE))
+      END AS kmv_est
+    FROM sk JOIN ex ON ex.l_returnflag = sk.l_returnflag
+    ORDER BY sk.l_returnflag"""
+
   val ops: Seq[Op] = Seq(
+    Op("q18_kmv_distinct", q18, Some(q18Sql)),
     Op("q01_pricing_summary", q01, Some(q01Sql)),
     Op("q02_min_cost_supplier", q02, Some(q02Sql)),
     Op("q17_set_ops", q17, Some(q17Sql)),

@@ -348,6 +348,151 @@ object TextOps {
       md5(kept) AS clean_md5
     FROM kept ORDER BY doc_id"""
 
+  // ---- t10: repetition filters --------------------------------------
+  /** Gopher-style repetition quality signals: the fraction of a
+    * document occupied by its single most frequent bigram, and the
+    * fraction of duplicated (non-distinct) trigrams — the two
+    * highest-yield heuristics for catching boilerplate / template /
+    * degenerate-generation text before it reaches a training mix.
+    *
+    * Scale shape: explode(grams) → two map-side-combining
+    * aggregations keyed by (doc_id, gram) then doc_id — the gram
+    * stream is hash-uniform (keyed by content), per-doc state is three
+    * scalars, and nothing is quadratic in document length (the
+    * explode+count form is O(tokens), where a row-local
+    * `transform(distinct, g -> count(filter(...)))` mode would be
+    * O(tokens²) on a long document). Thresholds are the published
+    * Gopher cut-offs; the flag is emitted as 0/1 so both engines hash
+    * it identically.
+    */
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
+    def gramExpr(n: Int): String = {
+      val parts = (0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+      s"""CASE WHEN size(toks) >= $n THEN
+            transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))
+          ELSE array() END"""
+    }
+    def stats(n: Int, pre: String): DataFrame = toks
+      .select(col("doc_id"), explode(expr(gramExpr(n))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as(s"${pre}_total"),
+        count(lit(1)).as(s"${pre}_distinct"),
+        max(col("c")).as(s"${pre}_max"))
+    docs.select(col("doc_id"))
+      .join(stats(2, "bi"), Seq("doc_id"), "left")
+      .join(stats(3, "tri"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bi_total"), lit(0L)).as("n_bigrams"),
+        when(col("bi_total").isNull, lit(0.0))
+          .otherwise(col("bi_max").cast("double") / col("bi_total").cast("double"))
+          .as("top_bigram_frac"),
+        coalesce(col("tri_total"), lit(0L)).as("n_trigrams"),
+        when(col("tri_total").isNull, lit(0.0))
+          .otherwise(lit(1.0) - col("tri_distinct").cast("double") / col("tri_total").cast("double"))
+          .as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        (col("top_bigram_frac") > lit(0.18) || col("dup_trigram_frac") > lit(0.30))
+          .cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t10Sql = s"""
+    WITH toks AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+    bi AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+        ELSE [] END) AS gram
+      FROM toks),
+    bis AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS bi_total, CAST(MAX(c) AS BIGINT) AS bi_max
+      FROM (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY doc_id, gram)
+      GROUP BY doc_id),
+    tri AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        ELSE [] END) AS gram
+      FROM toks),
+    tris AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tri_total, CAST(COUNT(*) AS BIGINT) AS tri_distinct
+      FROM (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY doc_id, gram)
+      GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id,
+        COALESCE(bi_total, 0) AS n_bigrams,
+        CASE WHEN bi_total IS NULL THEN CAST(0 AS DOUBLE)
+             ELSE CAST(bi_max AS DOUBLE) / CAST(bi_total AS DOUBLE) END AS top_bigram_frac,
+        COALESCE(tri_total, 0) AS n_trigrams,
+        CASE WHEN tri_total IS NULL THEN CAST(0 AS DOUBLE)
+             ELSE CAST(1 AS DOUBLE) - CAST(tri_distinct AS DOUBLE) / CAST(tri_total AS DOUBLE) END
+          AS dup_trigram_frac
+      FROM documents d
+      LEFT JOIN bis ON bis.doc_id = d.doc_id
+      LEFT JOIN tris ON tris.doc_id = d.doc_id)
+    SELECT *,
+      CAST(top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30 AS INT) AS repetitive
+    FROM scored ORDER BY doc_id"""
+
+  // ---- t11: pretraining chunk packing -------------------------------
+  /** Concatenate-and-chunk sequence packing — the layout step between
+    * a curated corpus and a pretraining dataloader: documents are
+    * deterministically sharded (256 content-stable shards via an md5
+    * prefix), concatenated in doc_id order within each shard, and cut
+    * into fixed-capacity token chunks. Emits each document's position
+    * in that chunk stream (start offset, first/last chunk, chunks
+    * spanned) — exactly what an offline tokenize-and-pack job
+    * materializes.
+    *
+    * Scale shape: one window cumsum per shard. The sequential scan per
+    * shard is inherent to the semantics (a chunk stream IS an ordered
+    * concatenation), so parallelism = shard count: 256 here, and the
+    * shard key is two md5 hex chars — widen to three (4096 shards) at
+    * 100 TB without changing the contract. No driver state, no
+    * explode; the window reads (doc_id, n_tok) only.
+    */
+  private def t11(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 64L // chunk capacity in whitespace tokens (proportional to the ~56-token synthetic docs; a real deployment uses 2048+)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(md5(concat(lit("pack:"), col("doc_id").cast("string")).cast("binary")), 1, 2)
+          .as("shard"),
+        size(expr(toksExpr)).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("start_off", col("cum") - col("n_tok"))
+      .withColumn("first_chunk", expr(s"start_off div $cap"))
+      .withColumn("last_chunk",
+        when(col("n_tok") > 0, expr(s"(cum - 1) div $cap")).otherwise(col("first_chunk")))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("start_off"),
+        col("first_chunk"), col("last_chunk"),
+        (col("last_chunk") - col("first_chunk") + lit(1L)).as("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t11Sql = s"""
+    WITH base AS (
+      SELECT doc_id,
+        substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+        CAST(len($toksDuck) AS BIGINT) AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT doc_id, shard, n_tok,
+        CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM base),
+    chunks AS (
+      SELECT doc_id, shard, n_tok, cum - n_tok AS start_off,
+        (cum - n_tok) // 64 AS first_chunk,
+        CASE WHEN n_tok > 0 THEN (cum - 1) // 64 ELSE (cum - n_tok) // 64 END AS last_chunk
+      FROM packed)
+    SELECT doc_id, shard, n_tok, start_off, first_chunk, last_chunk,
+      last_chunk - first_chunk + 1 AS n_chunks
+    FROM chunks ORDER BY doc_id"""
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -361,5 +506,7 @@ object TextOps {
     Op("t06_tfidf", t06, Some(t06Sql)),
     Op("t07_vocab_coverage", t07, Some(t07Sql)),
     Op("t08_winnow_fingerprint", t08, Some(t08Sql)),
-    Op("t09_normalize", t09, Some(t09Sql)))
+    Op("t09_normalize", t09, Some(t09Sql)),
+    Op("t10_repetition", t10, Some(t10Sql)),
+    Op("t11_token_chunks", t11, Some(t11Sql)))
 }
