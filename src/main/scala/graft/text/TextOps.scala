@@ -374,16 +374,23 @@ object TextOps {
             transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))
           ELSE array() END"""
     }
-    def stats(n: Int, pre: String): DataFrame = toks
-      .select(col("doc_id"), explode(expr(gramExpr(n))).as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    // both gram orders ride ONE aggregation tree: union the tagged
+    // gram streams, count per (doc, order, gram), then fold both
+    // orders' totals/distincts/maxima in a single per-doc aggregate —
+    // one shuffle chain and one spine join where a stats-per-order
+    // form costs two of each (and a third documents scan)
+    def gramStream(n: Int): DataFrame = toks
+      .select(col("doc_id"), lit(n).as("g_n"), explode(expr(gramExpr(n))).as("gram"))
+    val stats = gramStream(2).unionAll(gramStream(3))
+      .groupBy(col("doc_id"), col("g_n"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as(s"${pre}_total"),
-        count(lit(1)).as(s"${pre}_distinct"),
-        max(col("c")).as(s"${pre}_max"))
+      .agg(
+        sum(when(col("g_n") === 2, col("c"))).as("bi_total"),
+        max(when(col("g_n") === 2, col("c"))).as("bi_max"),
+        sum(when(col("g_n") === 3, col("c"))).as("tri_total"),
+        count(when(col("g_n") === 3, lit(1))).as("tri_distinct"))
     docs.select(col("doc_id"))
-      .join(stats(2, "bi"), Seq("doc_id"), "left")
-      .join(stats(3, "tri"), Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("bi_total"), lit(0L)).as("n_bigrams"),
         when(col("bi_total").isNull, lit(0.0))
