@@ -605,14 +605,24 @@ object Olap {
     */
   private val kmvK = 128
 
-  private def q18(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TopKAggregate
-    val li = Tables(s, dir, "lineitem")
-      .withColumn("h8",
-        substring(md5(concat(lit("kmv:"), col("l_orderkey").cast("string")).cast("binary")), 1, 8))
+  /** 32-bit uniform key hash both engines compute identically: the
+    * first 8 hex chars of md5(salt ‖ key), folded to a bigint — the
+    * shared primitive under the q18/q19 sketch family.
+    */
+  private def withH32(df: DataFrame, salt: String, key: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("h8", substring(md5(concat(lit(salt), key).cast("binary")), 1, 8))
       .withColumn("h32", expr(
         """aggregate(sequence(1, 8), cast(0 as bigint),
              (acc, i) -> acc * 16 + cast(instr('0123456789abcdef', substring(h8, i, 1)) - 1 as bigint))"""))
+
+  private def h32Duck(saltedKeySql: String): String = s"""
+    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, 9),
+        i -> CAST(strpos('0123456789abcdef', substr(md5($saltedKeySql), i, 1)) - 1 AS BIGINT)),
+      (acc, c) -> acc * 16 + c)"""
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAggregate
+    val li = withH32(Tables(s, dir, "lineitem"), "kmv:", col("l_orderkey").cast("string"))
     li.groupBy(col("l_returnflag"))
       .agg(
         TopKAggregate.topKScoredDistinct(negate(col("h32").cast("double")), col("h32"), kmvK)
@@ -630,10 +640,7 @@ object Olap {
   private val q18Sql = s"""
     WITH h AS (
       SELECT DISTINCT l_returnflag,
-        list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, 9),
-            i -> CAST(strpos('0123456789abcdef',
-                   substr(md5('kmv:' || CAST(l_orderkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
-          (acc, c) -> acc * 16 + c) AS h32
+        ${h32Duck("'kmv:' || CAST(l_orderkey AS VARCHAR)")} AS h32
       FROM lineitem),
     ranked AS (
       SELECT l_returnflag, h32,
@@ -655,8 +662,81 @@ object Olap {
     FROM sk JOIN ex ON ex.l_returnflag = sk.l_returnflag
     ORDER BY sk.l_returnflag"""
 
+  // ---- q19: hash-sampled quantiles ----------------------------------
+  /** Quantile estimation from a deterministic uniform sample — the
+    * sketch-family sibling of q18 for ORDER-statistics at scale: per
+    * group, keep the k=512 rows with the smallest 32-bit row hash
+    * (a content-stable "bottom-k by hash" sample — the distributed,
+    * coordinator-free replacement for a reservoir sample, since a
+    * min-k of a set is partitioning- and order-independent), then read
+    * p50/p90 off the sorted sample values. Exchange cost is ≤k
+    * fixed-width entries per group per map partition, vs q11/q16's
+    * exact machinery when ±1/√k relative rank error is acceptable.
+    *
+    * Values travel as exact cents (double → DECIMAL(14,2) → ×100
+    * BIGINT: half-away rounding is identical in both engines, integer
+    * math after that), so the boundary tie-break (h32, cents) and the
+    * final element lookup are bit-deterministic; DuckDB rederives the
+    * identical sample via row_number over the same (h32, cents) order.
+    * Groups smaller than k degrade to the exact quantile (the sample
+    * IS the group).
+    */
+  private val smpK = 512
+
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKAggregate
+    val li = withH32(Tables(s, dir, "lineitem"), "smp:",
+      concat(col("l_orderkey").cast("string"), lit(":"), col("l_linenumber").cast("string")))
+      .withColumn("cents",
+        (col("l_extendedprice").cast("decimal(14,2)") * 100).cast("bigint"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        TopKAggregate.topKScored(negate(col("h32").cast("double")), col("cents"), smpK)
+          .as("smp"))
+      .withColumn("vals", expr("array_sort(transform(smp, x -> x.payload))"))
+      .withColumn("n_sample", size(col("vals")).cast("long"))
+      .select(col("l_returnflag"), col("n_rows"), col("n_sample"),
+        (expr("element_at(vals, cast(ceil(0.5 * n_sample) as int))").cast("double") / lit(100.0))
+          .as("p50_est"),
+        (expr("element_at(vals, cast(ceil(0.9 * n_sample) as int))").cast("double") / lit(100.0))
+          .as("p90_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q19Sql = s"""
+    WITH base AS (
+      SELECT l_returnflag,
+        ${h32Duck("'smp:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} AS h32,
+        CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM lineitem),
+    ranked AS (
+      SELECT l_returnflag, cents,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY h32, cents) AS rn
+      FROM base),
+    smp AS (SELECT l_returnflag, cents FROM ranked WHERE rn <= $smpK),
+    sv AS (
+      SELECT l_returnflag, cents,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS vrn
+      FROM smp),
+    agg AS (SELECT l_returnflag, count(*) AS n_sample FROM smp GROUP BY 1),
+    tot AS (SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1),
+    sel AS (
+      SELECT sv.l_returnflag,
+        max(CASE WHEN sv.vrn = CAST(ceil(0.5 * a.n_sample) AS BIGINT) THEN sv.cents END) AS c50,
+        max(CASE WHEN sv.vrn = CAST(ceil(0.9 * a.n_sample) AS BIGINT) THEN sv.cents END) AS c90
+      FROM sv JOIN agg a ON a.l_returnflag = sv.l_returnflag
+      GROUP BY sv.l_returnflag)
+    SELECT s.l_returnflag, t.n_rows, a.n_sample,
+      CAST(s.c50 AS DOUBLE) / CAST(100 AS DOUBLE) AS p50_est,
+      CAST(s.c90 AS DOUBLE) / CAST(100 AS DOUBLE) AS p90_est
+    FROM sel s
+    JOIN agg a ON a.l_returnflag = s.l_returnflag
+    JOIN tot t ON t.l_returnflag = s.l_returnflag
+    ORDER BY s.l_returnflag"""
+
   val ops: Seq[Op] = Seq(
     Op("q18_kmv_distinct", q18, Some(q18Sql)),
+    Op("q19_sampled_quantiles", q19, Some(q19Sql)),
     Op("q01_pricing_summary", q01, Some(q01Sql)),
     Op("q02_min_cost_supplier", q02, Some(q02Sql)),
     Op("q17_set_ops", q17, Some(q17Sql)),

@@ -500,6 +500,49 @@ object TextOps {
       last_chunk - first_chunk + 1 AS n_chunks
     FROM chunks ORDER BY doc_id"""
 
+  // ---- t12: heavy hitters (frequent-items sketch + exact recount) ---
+  /** Corpus heavy hitters at bounded memory: a Misra–Gries candidate
+    * pass (`FreqSketch.misraGriesKeys` over xxhash64(term), k=4096 —
+    * per-partition state ≤ k entries, the exchange carries one ≤k
+    * summary per partition) guarantees a SUPERSET of every term with
+    * frequency > n/(k+1) ≈ 0.024%; an exact recount of candidate
+    * terms only (semi-join keyed by the 64-bit hash, so the second
+    * pass shuffles candidate-matching tokens, never the full stream)
+    * then applies the real 0.2% cut. The final output is therefore
+    * EXACT and partitioning-independent — the sketch decides what to
+    * recount, never what to emit — which is what makes a DuckDB
+    * oracle possible for a sketch whose internal counters are
+    * arrival-order-dependent. (t05/t07's full groupBy is the right
+    * shape for top-N; this is the bounded-state shape for "every term
+    * above a share floor" when the vocabulary itself is too large to
+    * shuffle: web-scale tokens, URLs, n-grams.)
+    */
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FreqSketch
+    val terms = Tables(s, dir, "documents")
+      .select(explode(expr(toksExpr)).as("term"))
+    val termsH = terms.withColumn("h", xxhash64(col("term")))
+    val cands = termsH.agg(FreqSketch.misraGriesKeys(col("h"), 4096).as("ks"))
+      .select(explode(col("ks")).as("h"))
+    val total = terms.agg(count(lit(1)).as("n_total"))
+    termsH.join(cands, Seq("h"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n").cast("double") >= lit(0.002) * col("n_total").cast("double"))
+      .select(col("term"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("share"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
+  private val t12Sql = s"""
+    WITH terms AS (SELECT unnest($toksDuck) AS term FROM documents),
+    tot AS (SELECT count(*) AS n_total FROM terms),
+    cnt AS (SELECT term, count(*) AS n FROM terms GROUP BY term)
+    SELECT c.term, c.n, CAST(c.n AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+    FROM cnt c CROSS JOIN tot t
+    WHERE CAST(c.n AS DOUBLE) >= 0.002 * CAST(t.n_total AS DOUBLE)
+    ORDER BY c.n DESC, c.term"""
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -515,5 +558,6 @@ object TextOps {
     Op("t08_winnow_fingerprint", t08, Some(t08Sql)),
     Op("t09_normalize", t09, Some(t09Sql)),
     Op("t10_repetition", t10, Some(t10Sql)),
-    Op("t11_token_chunks", t11, Some(t11Sql)))
+    Op("t11_token_chunks", t11, Some(t11Sql)),
+    Op("t12_heavy_hitters", t12, Some(t12Sql)))
 }

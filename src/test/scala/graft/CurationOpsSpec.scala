@@ -141,6 +141,27 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q19 sampled quantiles land near the exact percentiles") {
+    val dir01 = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("q19_sampled_quantiles")(spark, dir01)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val exact = Tables(spark, dir01, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    exact.foreach { case (g, (p50, p90)) =>
+      val (n, e50, e90) = est(g)
+      assert(n == 512L, s"group $g sample size $n")
+      val r50 = math.abs(e50 - p50) / p50
+      val r90 = math.abs(e90 - p90) / p90
+      info(f"$g: p50 $e50%.0f vs $p50%.0f (rel $r50%.3f); p90 $e90%.0f vs $p90%.0f (rel $r90%.3f)")
+      // k=512 ⇒ rank sd ≈ 1/sqrt(k) ≈ 4.4%; a fixed hash draw and a
+      // smooth value distribution keep 20% a >3σ value-error gate
+      assert(r50 < 0.20 && r90 < 0.20, s"group $g: rel errors $r50 / $r90")
+    }
+  }
+
   test("q18 falls back to the exact count below k distinct values") {
     import graft.functions.TopKAggregate
     import spark.implicits._
