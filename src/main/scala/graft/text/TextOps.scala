@@ -519,12 +519,19 @@ object TextOps {
     */
   private def t12(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.FreqSketch
-    val terms = Tables(s, dir, "documents")
+    val termsH = Tables(s, dir, "documents")
       .select(explode(expr(toksExpr)).as("term"))
-    val termsH = terms.withColumn("h", xxhash64(col("term")))
-    val cands = termsH.agg(FreqSketch.misraGriesKeys(col("h"), 4096).as("ks"))
-      .select(explode(col("ks")).as("h"))
-    val total = terms.agg(count(lit(1)).as("n_total"))
+      .withColumn("h", xxhash64(col("term")))
+    // candidate keys AND the token total ride ONE pass over the
+    // exploded stream; the 1-row result is pinned so its two
+    // consumers don't each re-run the scan (2 passes total, the
+    // floor for sketch-then-exact-recount)
+    val sketch = termsH
+      .agg(FreqSketch.misraGriesKeys(col("h"), 4096).as("ks"),
+        count(lit(1)).as("n_total"))
+      .localCheckpoint()
+    val cands = sketch.select(explode(col("ks")).as("h"))
+    val total = sketch.select(col("n_total"))
     termsH.join(cands, Seq("h"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
