@@ -1,6 +1,6 @@
 package graft.graph
 
-import graft.{Op, Tables}
+import graft.Op
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 

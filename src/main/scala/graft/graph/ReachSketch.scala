@@ -1,7 +1,7 @@
 package graft.graph
 
 import graft.Op
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based reachability counts — the scale path for g07/g14.
