@@ -245,6 +245,24 @@ object StreamOps {
       }
   }
 
+  /** Continuously-maintained heavy-hitter candidates over a key
+    * stream — the streaming face of t12's bounded-memory frequent
+    * items: one global Misra–Gries aggregate whose ≤k-entry buffer IS
+    * the streaming state (TypedImperativeAggregate serialize/merge is
+    * exactly the state-store save/restore contract), so state is
+    * bounded at k entries FOREVER while the stream is unbounded, and
+    * the mergeable-summaries combine keeps the deterministic guarantee
+    * across every micro-batch: after any trigger, the emitted
+    * candidate set is a superset of every key with lifetime frequency
+    * > n/(k+1). Downstream, the same exact-recount contract as t12
+    * applies (candidates say what to COUNT, never what to report).
+    * Complete-mode: each trigger re-emits the one summary row.
+    */
+  def heavyHittersStream(keys: DataFrame, keyCol: String, k: Int): DataFrame =
+    keys.groupBy()
+      .agg(graft.functions.FreqSketch.misraGriesKeys(col(keyCol), k).as("candidate_keys"),
+        count(lit(1)).as("n_total"))
+
   /** One [[crawlDedup]] trigger — factored out so the replay path is
     * directly testable (StreamingSpec drives it with a repeated
     * batchId to simulate the crash-between-append-and-sink window).

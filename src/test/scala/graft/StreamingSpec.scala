@@ -598,4 +598,39 @@ class StreamingSpec extends AnyFunSuite {
     def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
     assert(rowSet(idx.annGraph()) == rowSet(rebuilt.annGraph()))
   }
+
+  test("streaming heavy hitters: bounded state, lifetime superset guarantee per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    // three skewed micro-batches; the heavy set SHIFTS between them
+    // (key 100 heavy early, key 200 heavy late) so the per-trigger
+    // guarantee is about the lifetime stream, not any single batch
+    def burst(key: Long, n: Int): Seq[Long] = Seq.fill(n)(key)
+    val batches: Seq[Seq[Long]] = Seq(
+      burst(100L, 900) ++ (1 to 300).map(i => (i % 60).toLong),
+      burst(200L, 700) ++ burst(100L, 100) ++ (1 to 300).map(i => (i % 60 + 60).toLong),
+      burst(300L, 1200) ++ (1 to 300).map(i => (i % 60 + 120).toLong))
+
+    val in = MemoryStream[Long]
+    val q = StreamOps.heavyHittersStream(in.toDF().toDF("h"), "h", k)
+      .writeStream.format("memory").queryName("hh_out").outputMode("complete").start()
+    try {
+      var lifetime = Seq.empty[Long]
+      batches.foreach { b =>
+        lifetime ++= b
+        in.addData(b)
+        q.processAllAvailable()
+        val row = spark.table("hh_out").head()
+        val cands = row.getSeq[Long](0).toSet
+        val nTotal = row.getLong(1)
+        assert(nTotal == lifetime.size.toLong, "lifetime total")
+        assert(cands.size <= k, s"state bound violated: ${cands.size}")
+        val mustKeep = lifetime.groupBy(identity)
+          .filter(_._2.size > lifetime.size / (k + 1)).keySet
+        assert(mustKeep.nonEmpty, "test stream must exercise the bound")
+        assert(mustKeep.subsetOf(cands),
+          s"missing lifetime-heavy keys after trigger: ${mustKeep -- cands}")
+      }
+    } finally q.stop()
+  }
 }
