@@ -54,6 +54,7 @@ class PlanSpec extends AnyFunSuite {
     "s03_ivf_label",      // distance probe vs the tiny centroid table
     "t06_tfidf",          // scalar corpus doc-count join
     "t07_vocab_coverage", // scalar total-token join
+    "t12_heavy_hitters",  // scalar total-count join vs ≤k candidates
     "g10_adjacency_roundtrip" // dense 25x25 matrix codec, fixed size
   )
 
