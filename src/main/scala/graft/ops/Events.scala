@@ -405,8 +405,110 @@ object Events {
       CAST(SUM(CAST(n_events AS DECIMAL(18,0))) AS BIGINT) AS total_events
     FROM sess"""
 
+  // ---- e11: rolling distinct users from merged KMV sketches ---------
+  /** 7-day rolling distinct users per event_type, computed by MERGING
+    * per-day KMV sketches — the reason sketches (not just sampled
+    * counts) matter for a rolling metric at 100 TB: exact rolling
+    * distinct cannot reuse yesterday's answer (distinct counts don't
+    * subtract), so every day costs a full re-scan of the window's
+    * events; daily min-k sketches merge in O(7k log 7k) per group per
+    * day, reading no event twice. Correctness of the merge is
+    * structural: each day retains its k smallest distinct user
+    * hashes, and any of the window's k smallest is among its own
+    * day's k smallest, so the union of daily sketches contains the
+    * window's true bottom-k — the merged estimate equals the one a
+    * single pass over the whole window would produce, which is
+    * exactly what the DuckDB oracle computes (rank over the window's
+    * distinct hashes, no sketch simulation needed).
+    *
+    * Groups with fewer than k distinct hashes degrade to the exact
+    * (hash-)distinct count, same convention as q18. The exact
+    * 7-day countDistinct rides along as the accuracy witness — each
+    * event row is exploded to the ≤7 windows it serves (map-side ×7,
+    * then one shuffle of (type, day, user)), which is the linear cost
+    * the sketch path replaces and would be dropped at scale.
+    */
+  private val rkK = 64
+
+  private def e11(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Hash32, TopKAggregate}
+    val ev = Hash32.withH32(
+      withEpoch(s, dir).withColumn("day_idx", expr("es div 86400")),
+      "rk:", col("user_id").cast("string"))
+    // per-(type, day) sketch: ascending array of the k smallest
+    // DISTINCT user hashes (score = −h ⇒ k-smallest, distinct
+    // payloads ⇒ set semantics; bounded k-entry state, exact
+    // partial/merge decomposition on the exchange)
+    val daily = ev.groupBy(col("event_type"), col("day_idx"))
+      .agg(TopKAggregate.topKScoredDistinct(
+        negate(col("h32").cast("double")), col("h32"), rkK).as("mins"))
+      .select(col("event_type"), col("day_idx"),
+        expr("transform(mins, x -> x.payload)").as("sk"))
+    // merge the window's ≤7 sketches: union-distinct, re-sort, kth
+    // smallest is the same R a single whole-window pass would find
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("day_idx")).rangeBetween(-6, 0)
+    val merged = daily
+      .withColumn("u", array_sort(array_distinct(flatten(collect_list(col("sk")).over(w)))))
+      .withColumn("nu", size(col("u")).cast("long"))
+      .select(col("event_type"), col("day_idx"),
+        least(col("nu"), lit(rkK.toLong)).as("n_kept"),
+        when(col("nu") < rkK, col("nu").cast("double"))
+          .otherwise(lit((rkK - 1).toDouble) * lit(4294967296.0) /
+            (element_at(col("u"), rkK).cast("double") + lit(1.0)))
+          .as("kmv_est_7d"))
+    val exact = ev
+      .select(col("event_type"), col("user_id"),
+        explode(expr("sequence(day_idx, day_idx + 6)")).as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx"))
+      .agg(countDistinct(col("user_id")).as("n_exact_7d"))
+    merged.join(exact, Seq("event_type", "day_idx"))
+      .select(col("event_type"),
+        date_format(date_from_unix_date(col("day_idx").cast("int")), "yyyy-MM-dd").as("day"),
+        col("n_exact_7d"), col("n_kept"), col("kmv_est_7d"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val e11Sql = s"""
+    WITH ev AS (
+      SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day_idx,
+        user_id,
+        ${graft.functions.Hash32.h32Duck("'rk:' || CAST(user_id AS VARCHAR)")} AS h32
+      FROM events),
+    days AS (SELECT DISTINCT event_type, day_idx FROM ev),
+    dh AS (SELECT DISTINCT event_type, day_idx, h32 FROM ev),
+    wh AS (
+      SELECT DISTINCT d.event_type, d.day_idx, h.h32
+      FROM days d JOIN dh h ON h.event_type = d.event_type
+        AND h.day_idx BETWEEN d.day_idx - 6 AND d.day_idx),
+    ranked AS (
+      SELECT event_type, day_idx, h32,
+        row_number() OVER (PARTITION BY event_type, day_idx ORDER BY h32) AS rn
+      FROM wh),
+    sk AS (
+      SELECT event_type, day_idx,
+        CAST(least(max(rn), $rkK) AS BIGINT) AS n_kept,
+        max(CASE WHEN rn = $rkK THEN h32 END) AS kth,
+        max(rn) AS m
+      FROM ranked GROUP BY event_type, day_idx),
+    ex AS (
+      SELECT d.event_type, d.day_idx, count(DISTINCT e.user_id) AS n_exact_7d
+      FROM days d JOIN ev e ON e.event_type = d.event_type
+        AND e.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
+      GROUP BY d.event_type, d.day_idx)
+    SELECT sk.event_type,
+      CAST(DATE '1970-01-01' + CAST(sk.day_idx AS INTEGER) AS VARCHAR) AS day,
+      ex.n_exact_7d, sk.n_kept,
+      CASE WHEN sk.m < $rkK THEN CAST(sk.m AS DOUBLE)
+           ELSE CAST(${rkK - 1} AS DOUBLE) * 4294967296.0 / (CAST(sk.kth AS DOUBLE) + CAST(1 AS DOUBLE))
+      END AS kmv_est_7d
+    FROM sk
+    JOIN ex ON ex.event_type = sk.event_type AND ex.day_idx = sk.day_idx
+    ORDER BY sk.event_type, day"""
+
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
+    Op("e11_rolling_distinct_kmv", e11, Some(e11Sql)),
     Op("e09_pivot", e09, Some(e09Sql)),
     Op("e10_session_stats", e10, Some(e10Sql)),
     Op("e02_tumbling_window", e02, Some(e02Sql)),

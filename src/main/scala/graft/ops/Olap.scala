@@ -605,20 +605,13 @@ object Olap {
     */
   private val kmvK = 128
 
-  /** 32-bit uniform key hash both engines compute identically: the
-    * first 8 hex chars of md5(salt ‖ key), folded to a bigint — the
-    * shared primitive under the q18/q19 sketch family.
-    */
+  // 32-bit uniform key hash: the shared graft.functions.Hash32
+  // primitive (also under e11's mergeable rolling-distinct sketch).
   private def withH32(df: DataFrame, salt: String, key: org.apache.spark.sql.Column): DataFrame =
-    df.withColumn("h8", substring(md5(concat(lit(salt), key).cast("binary")), 1, 8))
-      .withColumn("h32", expr(
-        """aggregate(sequence(1, 8), cast(0 as bigint),
-             (acc, i) -> acc * 16 + cast(instr('0123456789abcdef', substring(h8, i, 1)) - 1 as bigint))"""))
+    graft.functions.Hash32.withH32(df, salt, key)
 
-  private def h32Duck(saltedKeySql: String): String = s"""
-    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, 9),
-        i -> CAST(strpos('0123456789abcdef', substr(md5($saltedKeySql), i, 1)) - 1 AS BIGINT)),
-      (acc, c) -> acc * 16 + c)"""
+  private def h32Duck(saltedKeySql: String): String =
+    graft.functions.Hash32.h32Duck(saltedKeySql)
 
   private def q18(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKAggregate

@@ -162,6 +162,58 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e11 merged rolling sketch equals a single whole-window pass, within the k=64 envelope") {
+    import graft.functions.{Hash32, TopKAggregate}
+    val dir01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("e11_rolling_distinct_kmv")(spark, dir01)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // single-pass reference: every event exploded to the ≤7 windows it
+    // serves, ONE sketch per (type, window) over the whole window —
+    // if merging daily bottom-k sets lost any of the window's true
+    // bottom-k, the estimates would diverge bit-wise
+    val ev = Hash32.withH32(
+      graft.ops.Events.withEpoch(spark, dir01).withColumn("day_idx", expr("es div 86400")),
+      "rk:", col("user_id").cast("string"))
+    val active = ev.select(col("event_type"), col("day_idx")).distinct()
+      .withColumnRenamed("day_idx", "wday")
+    val single = ev
+      .select(col("event_type"), col("user_id"), col("h32"),
+        explode(expr("sequence(day_idx, day_idx + 6)")).as("wday"))
+      .join(active, Seq("event_type", "wday"))
+      .groupBy(col("event_type"), col("wday"))
+      .agg(TopKAggregate.topKScoredDistinct(
+          negate(col("h32").cast("double")), col("h32"), 64).as("mins"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(col("event_type"),
+        date_format(date_from_unix_date(col("wday").cast("int")), "yyyy-MM-dd").as("day"),
+        col("n_exact"),
+        least(size(col("mins")).cast("long"), lit(64L)).as("n_kept"),
+        when(size(col("mins")) < 64, size(col("mins")).cast("double"))
+          .otherwise(lit(63.0) * lit(4294967296.0) /
+            (element_at(col("mins"), 64).getField("payload").cast("double") + lit(1.0)))
+          .as("est"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == single.keySet)
+    got.foreach { case (k, (nExact, nKept, est)) =>
+      val (sExact, sKept, sEst) = single(k)
+      assert(nExact == sExact && nKept == sKept && est == sEst,
+        s"$k: merged ($nExact,$nKept,$est) != single-pass ($sExact,$sKept,$sEst)")
+    }
+    // estimate branch must actually engage (7-day windows exceed k=64
+    // distinct users at this SF) and stay inside the error envelope:
+    // sd ≈ 1/sqrt(k-2) ≈ 12.7%, 40% is a >3σ gate on a fixed hash draw
+    val engaged = got.values.count(_._2 == 64L)
+    assert(engaged > 0, "no window reached the k=64 estimate branch")
+    got.foreach { case (k, (nExact, _, est)) =>
+      val rel = math.abs(est - nExact) / nExact.toDouble
+      assert(rel < 0.40, f"$k: exact $nExact, est $est%.1f, rel err $rel%.3f")
+    }
+  }
+
   test("q18 falls back to the exact count below k distinct values") {
     import graft.functions.TopKAggregate
     import spark.implicits._
