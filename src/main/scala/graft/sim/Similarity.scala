@@ -856,8 +856,117 @@ object Similarity {
     LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
     GROUP BY e.query_id ORDER BY e.query_id"""
 
+  // ---- s08: int8-quantized search + recall witness ------------------
+  /** Top-k search over an int8-QUANTIZED vector store — the memory
+    * lever for a 100 TB embedding corpus: per-vector symmetric scalar
+    * quantization (`q_i = round(127·x_i / max|x|)`) shrinks the store
+    * 4× vs float32 (8× vs the float64 the rerank would otherwise
+    * hydrate), which is the difference between an executor caching
+    * 2M and 8M vectors per GB — and at cluster scale between the
+    * candidate hydration exchange fitting in memory or spilling
+    * (the r10 sf3 experiment's ~90 GB failure mode was exactly that
+    * wide exchange). Quantization is orthogonal to candidate
+    * generation: at scale the s06 bucketed-LSH path produces the
+    * pairs and the quantized store serves the rerank; here the s01
+    * probe-set brute force (same documented broadcast envelope)
+    * exercises the arithmetic end-to-end.
+    *
+    * Determinism, the reason this is oracle-checkable at all: the
+    * quantized dot and the squared norms are INTEGER sums
+    * (order-independent — no float accumulation anywhere in the hot
+    * path), each bounded far below 2⁵³ for 64-d int8 vectors, and the
+    * final `qdot / √(qa²·qb²)` is three correctly-rounded IEEE ops on
+    * exact integers, so both engines produce identical bits with no
+    * fold-order pinning needed (contrast [[Cosine]]'s left-fold
+    * contract for the float path). Zero vectors quantize to the zero
+    * vector and score a −2 sentinel (below any cosine), keeping the
+    * CASE identical in both engines. The per-query recall against the
+    * exact float-cosine top-5 (s01 composed as a CTE, s05's pattern)
+    * rides along as the accuracy witness: int8 is a lossy code, and
+    * the recall column is the measured price.
+    */
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    val qe = Tables(s, dir, "embeddings")
+      .withColumn("maxabs", expr(
+        """aggregate(embedding, cast(0.0 as double),
+             (acc, x) -> greatest(acc, abs(cast(x as double))))"""))
+      .withColumn("qv", expr(
+        """transform(embedding, x ->
+             CASE WHEN maxabs = 0.0 THEN cast(0 as bigint)
+                  ELSE cast(round(cast(x as double) * 127.0 / maxabs) as bigint) END)"""))
+      .withColumn("qn2", expr(
+        """aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)"""))
+    val q = qe.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn2").as("qa2"))
+    val c = qe.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("qn2").as("qb2"))
+    val pairs = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", expr(
+        """aggregate(sequence(1, least(size(qa), size(qb))), cast(0 as bigint),
+             (acc, i) -> acc + element_at(qa, i) * element_at(qb, i))"""))
+      .withColumn("cos",
+        when(col("qa2") > 0 && col("qb2") > 0,
+          col("qdot").cast("double") / sqrt((col("qa2") * col("qb2")).cast("double")))
+        .otherwise(lit(-2.0)))
+    val qtop = topkUnordered(pairs, TOPK)
+      .withColumnRenamed("cos", "qcos")
+    val exact = s01(s, dir)
+      .select(col("query_id").as("qe_id"), col("neighbor_id").as("ne_id"))
+    val rec = qtop
+      .join(exact, col("query_id") === col("qe_id") && col("neighbor_id") === col("ne_id"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("qe_id")).cast("double") / lit(TOPK.toDouble)).as("recall_at_5"))
+    qtop.join(rec, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qcos"), col("rank"),
+        col("recall_at_5"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val s08Sql = s"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+        list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
+          i -> abs(CAST(embedding[i] AS DOUBLE))), (x, y) -> greatest(x, y)) AS maxabs
+      FROM embeddings),
+    qe AS (
+      SELECT vec_id,
+        list_transform(range(1, len(embedding) + 1),
+          i -> CASE WHEN maxabs = 0.0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(round(CAST(embedding[i] AS DOUBLE) * 127.0 / maxabs) AS BIGINT) END) AS qv
+      FROM base),
+    qn AS (
+      SELECT vec_id, qv,
+        list_reduce([CAST(0 AS BIGINT)] || list_transform(qv, x -> x * x), (x, y) -> x + y) AS qn2
+      FROM qe),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CASE WHEN q.qn2 > 0 AND c.qn2 > 0 THEN
+          CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(
+              range(1, least(len(q.qv), len(c.qv)) + 1), i -> q.qv[i] * c.qv[i]),
+            (x, y) -> x + y) AS DOUBLE)
+            / sqrt(CAST(q.qn2 * c.qn2 AS DOUBLE))
+        ELSE -2.0 END AS qcos
+      FROM qn q JOIN qn c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < $NQUERIES),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY qcos DESC, neighbor_id) AS rank
+      FROM pairs),
+    qtop AS (SELECT query_id, neighbor_id, qcos, rank FROM ranked WHERE rank <= $TOPK),
+    exact AS ($s01Sql),
+    rec AS (
+      SELECT t.query_id,
+        CAST(count(e.query_id) AS DOUBLE) / CAST($TOPK AS DOUBLE) AS recall_at_5
+      FROM qtop t LEFT JOIN exact e
+        ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id)
+    SELECT t.query_id, t.neighbor_id, t.qcos, t.rank, r.recall_at_5
+    FROM qtop t JOIN rec r ON r.query_id = t.query_id
+    ORDER BY t.query_id, t.rank"""
+
   val ops: Seq[Op] = Seq(
     Op("s01_knn_bruteforce", s01, Some(s01Sql)),
+    Op("s08_quantized_knn", s08, Some(s08Sql)),
     Op("s02_ann_signlsh", s02, Some(s02Sql)),
     Op("s03_ivf_label", s03, Some(s03Sql)),
     Op("s04_knn_graph", s04, Some(s04Sql)),

@@ -48,6 +48,7 @@ class PlanSpec extends AnyFunSuite {
     "s01_knn_bruteforce", // exact baseline for s05's recall gate
     "s04_knn_graph",      // exact KNN graph, denominator of s07
     "s05_ann_recall",     // composes s01's plan
+    "s08_quantized_knn",  // probe-set brute force, composes s01's plan
     "q16_spend_deciles",  // broadcast compare vs a 10-row boundary frame
     "q17_set_ops",        // crossJoin of three 1-row scalar aggregates
     "e05_funnel",         // scalar per-stage count assembly

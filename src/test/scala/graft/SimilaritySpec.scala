@@ -27,6 +27,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // int8 quantization is a lossy code; the gate is the measured price
+  // (0.98 at sf0.01) with slack for corpus growth, and the cosine
+  // distortion bound catches a broken quantizer (wrong scale, signed
+  // overflow) even when rank order survives by luck
+  Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+    test(s"s08 int8-quantized top-5 holds recall >= 0.8 and distorts cosine < 0.05 at $sf") {
+      val out = SparkEntry.queries("s08_quantized_knn")(spark, sf)
+        .select(col("query_id"), col("neighbor_id"), col("qcos"), col("recall_at_5"))
+        .collect()
+      val recall = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap.values
+      assert(recall.sum / recall.size >= 0.80,
+        f"avg quantized recall ${recall.sum / recall.size}%.3f < 0.80")
+      // exact float cosine for the emitted pairs
+      val e = Tables(spark, sf, "embeddings")
+        .withColumn("nrm", graft.functions.VectorFunctions.floatNorm(col("embedding")))
+      val exactCos = e.select(col("vec_id").as("qid"), col("embedding").as("eq"), col("nrm").as("nq"))
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("ec"), col("nrm").as("nc")),
+          col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (graft.functions.VectorFunctions.floatDot(col("eq"), col("ec")) /
+            (col("nq") * col("nc"))).as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      out.foreach { r =>
+        val d = math.abs(r.getDouble(2) - exactCos((r.getLong(0), r.getLong(1))))
+        assert(d < 0.05, f"pair (${r.getLong(0)},${r.getLong(1)}): |qcos-cos| = $d%.4f")
+      }
+    }
+  }
+
   test("bits is the scale knob: +log2(n growth) bits cuts candidates, holds recall") {
     val sf = "/root/testdata/sf0.1" // 2000 vectors = 4x sf0.01's 500
     val exact = SparkEntry.queries("s04_knn_graph")(spark, sf)
