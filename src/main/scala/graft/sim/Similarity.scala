@@ -907,16 +907,22 @@ object Similarity {
         when(col("qa2") > 0 && col("qb2") > 0,
           col("qdot").cast("double") / sqrt((col("qa2") * col("qb2")).cast("double")))
         .otherwise(lit(-2.0)))
+    // qtop is consumed twice (recall denominator + final join); pin
+    // the ≤|probes|·k-row result so the quantized all-pairs pass runs
+    // once, not once per consumer (t12's pinned-sketch pattern)
     val qtop = topkUnordered(pairs, TOPK)
       .withColumnRenamed("cos", "qcos")
+      .localCheckpoint()
+    // both join sides are ≤|probes|·k rows by construction — broadcast
+    // them so no corpus-independent bookkeeping join ever sorts
     val exact = s01(s, dir)
       .select(col("query_id").as("qe_id"), col("neighbor_id").as("ne_id"))
     val rec = qtop
-      .join(exact, col("query_id") === col("qe_id") && col("neighbor_id") === col("ne_id"),
-        "left")
+      .join(broadcast(exact),
+        col("query_id") === col("qe_id") && col("neighbor_id") === col("ne_id"), "left")
       .groupBy(col("query_id"))
       .agg((count(col("qe_id")).cast("double") / lit(TOPK.toDouble)).as("recall_at_5"))
-    qtop.join(rec, Seq("query_id"))
+    qtop.join(broadcast(rec), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("qcos"), col("rank"),
         col("recall_at_5"))
       .orderBy(col("query_id"), col("rank"))
