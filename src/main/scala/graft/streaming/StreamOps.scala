@@ -263,6 +263,36 @@ object StreamOps {
       .agg(graft.functions.FreqSketch.misraGriesKeys(col(keyCol), k).as("candidate_keys"),
         count(lit(1)).as("n_total"))
 
+  /** Continuously-maintained per-group distinct-count estimate over an
+    * unbounded key stream — the streaming face of the q18/e11 KMV
+    * family: per group, the k smallest DISTINCT key hashes ride the
+    * same `topKScoredDistinct` TypedImperativeAggregate, whose
+    * serialize/merge is the state-store save/restore contract, so
+    * state is bounded at k entries per group FOREVER while the
+    * lifetime distinct count is unbounded (contrast
+    * `dropDuplicates`-based exact streaming distinct, whose state IS
+    * the distinct set). Because a min-k of a set is arrival-order- and
+    * batching-independent, the emitted estimate after any trigger is
+    * BIT-EQUAL to the batch estimator over the stream's lifetime
+    * prefix — the batch/stream parity the spec pins across shifted
+    * micro-batch boundaries.
+    *
+    * `keyCol` must be a uniform 32-bit hash in [0, 2³²) — e.g.
+    * [[graft.functions.Hash32]]'s `h32`, the same contract as q18/e11.
+    * Complete-mode: each trigger re-emits one row per group seen.
+    */
+  def distinctSketchStream(keys: DataFrame, keyCol: String,
+      groupCols: Seq[String], k: Int): DataFrame =
+    keys.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKAggregate.topKScoredDistinct(
+        negate(col(keyCol).cast("double")), col(keyCol), k).as("mins"))
+      .select(groupCols.map(col) ++ Seq(
+        least(size(col("mins")).cast("long"), lit(k.toLong)).as("n_kept"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            (element_at(col("mins"), k).getField("payload").cast("double") + lit(1.0)))
+          .as("kmv_est")): _*)
+
   /** One [[crawlDedup]] trigger — factored out so the replay path is
     * directly testable (StreamingSpec drives it with a repeated
     * batchId to simulate the crash-between-append-and-sink window).

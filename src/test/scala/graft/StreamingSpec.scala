@@ -599,6 +599,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(rowSet(idx.annGraph()) == rowSet(rebuilt.annGraph()))
   }
 
+  test("streaming KMV distinct: bounded state, bit-equal to the batch estimator per trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = 32
+    // (group, h32) key stream in three micro-batches; heavy overlap
+    // between batches (re-arrivals must not move the estimate) and a
+    // group that stays below k (exact-fallback regime) beside one far
+    // above it (estimate regime)
+    def h(i: Long): Long = (i * 2654435761L) % 4294967296L
+    val batches: Seq[Seq[(String, Long)]] = Seq(
+      (1 to 200).map(i => "big" -> h(i)) ++ (1 to 10).map(i => "small" -> h(i)),
+      (100 to 400).map(i => "big" -> h(i)) ++ (5 to 15).map(i => "small" -> h(i)),
+      (300 to 900).map(i => "big" -> h(i)) ++ (1 to 20).map(i => "small" -> h(i)))
+
+    val in = MemoryStream[(String, Long)]
+    val q = StreamOps.distinctSketchStream(
+        in.toDF().toDF("g", "h32"), "h32", Seq("g"), k)
+      .writeStream.format("memory").queryName("kmv_out").outputMode("complete").start()
+    try {
+      var lifetime = Seq.empty[(String, Long)]
+      batches.foreach { b =>
+        lifetime ++= b
+        in.addData(b)
+        q.processAllAvailable()
+        val got = spark.table("kmv_out").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        // batch reference over the lifetime prefix: same estimator,
+        // one pass — a min-k of a set cannot depend on batching
+        val ref = StreamOps.distinctSketchStream(
+            lifetime.toDF("g", "h32"), "h32", Seq("g"), k)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        assert(got == ref, s"stream $got != batch $ref")
+        assert(got("small")._1 < k && got("big")._1 == k.toLong,
+          "both regimes must be exercised")
+        // exact-fallback regime: the estimate IS the distinct count
+        val smallExact = lifetime.filter(_._1 == "small").map(_._2).distinct.size
+        assert(got("small")._2 == smallExact.toDouble)
+        // estimate regime: within the 3-sigma envelope of 1/sqrt(k-2)
+        val bigExact = lifetime.filter(_._1 == "big").map(_._2).distinct.size
+        val rel = math.abs(got("big")._2 - bigExact) / bigExact
+        assert(rel < 0.60, f"big: exact $bigExact, est ${got("big")._2}%.1f, rel $rel%.3f")
+      }
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: bounded state, lifetime superset guarantee per trigger") {
     implicit val sqlCtx = spark.sqlContext
     val k = 16
