@@ -284,8 +284,12 @@ final class MinHashIndex(spark: SparkSession, indexDir: String) {
     val v = version.getOrElse(
       throw new java.util.NoSuchElementException(
         s"index at $indexDir never built — call build() first"))
-    val sig = signatures().localCheckpoint()
-    writeDelta(sig, candidates(), v + 1, Seq.empty, Some("compaction"))
+    // No pin (cf. writeDelta's materialization contract, which is for
+    // COMPUTED deltas): signatures() is a parquet read over the old
+    // segments, which stay on disk until a later vacuum() — the
+    // multiple consumptions re-scan stable storage instead of holding
+    // a full-store localCheckpoint copy alongside the rewrite.
+    writeDelta(signatures(), candidates(), v + 1, Seq.empty, Some("compaction"))
     v + 1
   }
 

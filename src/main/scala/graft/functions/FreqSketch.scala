@@ -8,6 +8,121 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 
+/** Minimal primitive long→long open-addressing hash map (linear
+  * probing, power-of-2 capacity, occupancy flags) — the Misra–Gries
+  * buffer's hot store. A JDK HashMap boxes every key and value on the
+  * update path that runs ONCE PER INPUT ROW (t12 streams millions of
+  * token hashes through it), and distinguishing "absent" from "maps to
+  * 0" needed a fragile null-unboxing idiom; this probe is
+  * allocation-free and absence is the occupancy flag. There is no
+  * remove(): the only shrink the sketch performs is the decrement
+  * sweep, which is already O(capacity), so [[decrementAll]] rebuilds
+  * into fresh arrays and open-addressing tombstones never exist.
+  */
+private[graft] final class LongLongOpenMap(capacityHint: Int) {
+  private def nextPow2(x: Int): Int = {
+    var c = 16
+    while (c < x) c <<= 1
+    c
+  }
+  // load factor <= 0.5: start at 2x the hint, grow doubles
+  private var cap = nextPow2(math.max(16, capacityHint * 2))
+  private var ks = new Array[Long](cap)
+  private var vs = new Array[Long](cap)
+  private var occ = new Array[Boolean](cap)
+  private var n = 0
+
+  def size: Int = n
+
+  /** splitmix64-style finalizer so sequential/low-entropy keys still
+    * spread across slots.
+    */
+  private def slotOf(k: Long): Int = {
+    var h = k * 0x9E3779B97F4A7C15L
+    h ^= h >>> 32
+    var i = (h & (cap - 1)).toInt
+    while (occ(i) && ks(i) != k) i = (i + 1) & (cap - 1)
+    i // the key's slot, or the first empty slot on its probe path
+  }
+
+  def contains(k: Long): Boolean = occ(slotOf(k))
+
+  def get(k: Long, default: Long): Long = {
+    val i = slotOf(k)
+    if (occ(i)) vs(i) else default
+  }
+
+  /** counts(k) += by, inserting at `by` when absent. */
+  def addTo(k: Long, by: Long): Unit = {
+    val i = slotOf(k)
+    if (occ(i)) { vs(i) += by; return }
+    occ(i) = true; ks(i) = k; vs(i) = by; n += 1
+    if (n * 2 > cap) grow()
+  }
+
+  def minValue(): Long = {
+    var m = Long.MaxValue
+    var j = 0
+    while (j < cap) { if (occ(j) && vs(j) < m) m = vs(j); j += 1 }
+    m
+  }
+
+  /** Subtract `dec` from every counter and drop non-positive results,
+    * rebuilding the table in place (same capacity — entry count only
+    * shrinks here).
+    */
+  def decrementAll(dec: Long): Unit = {
+    val oks = ks; val ovs = vs; val oocc = occ; val ocap = cap
+    ks = new Array[Long](cap); vs = new Array[Long](cap); occ = new Array[Boolean](cap)
+    n = 0
+    var j = 0
+    while (j < ocap) {
+      if (oocc(j)) {
+        val nv = ovs(j) - dec
+        if (nv > 0) {
+          val i = slotOf(oks(j))
+          occ(i) = true; ks(i) = oks(j); vs(i) = nv; n += 1
+        }
+      }
+      j += 1
+    }
+  }
+
+  private def grow(): Unit = {
+    val oks = ks; val ovs = vs; val oocc = occ; val ocap = cap
+    cap <<= 1
+    ks = new Array[Long](cap); vs = new Array[Long](cap); occ = new Array[Boolean](cap)
+    n = 0
+    var j = 0
+    while (j < ocap) {
+      if (oocc(j)) {
+        val i = slotOf(oks(j))
+        occ(i) = true; ks(i) = oks(j); vs(i) = ovs(j); n += 1
+      }
+      j += 1
+    }
+  }
+
+  def foreachEntry(f: (Long, Long) => Unit): Unit = {
+    var j = 0
+    while (j < cap) { if (occ(j)) f(ks(j), vs(j)); j += 1 }
+  }
+
+  def keysArray: Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    foreachEntry((k, _) => { out(i) = k; i += 1 })
+    out
+  }
+
+  def valuesArray: Array[Long] = {
+    val out = new Array[Long](n)
+    var i = 0
+    foreachEntry((_, v) => { out(i) = v; i += 1 })
+    out
+  }
+}
+
 /** Misra–Gries frequent-items summary over a BIGINT key stream:
   * bounded state of at most k (key, counter) pairs per aggregation
   * buffer, with the mergeable-summaries combine (sum counters, then
@@ -26,32 +141,21 @@ import org.apache.spark.sql.types._
   * stay amortized O(1).
   */
 private[graft] final class MgBuffer(val k: Int) {
-  // plain open-addressing long->long map would be ideal; a JDK map is
-  // fine at k ≤ 8192 (bounded, rehash-free after warmup)
-  val counts = new java.util.HashMap[Long, Long](k * 2)
+  // transiently up to ~2k entries during mergeFrom (before the trim);
+  // the map grows itself past the hint when that happens
+  val counts = new LongLongOpenMap(math.min(k, 1 << 16))
 
   def add(key: Long, by: Long): Unit = {
-    val cur = counts.get(key)
-    if (cur != 0L || counts.containsKey(key)) {
-      counts.put(key, cur + by)
-    } else if (counts.size < k) {
-      counts.put(key, by)
+    if (counts.contains(key) || counts.size < k) {
+      counts.addTo(key, by)
     } else {
       // full and unseen: decrement-all by the new arrival's weight,
       // capped at the current minimum so no counter goes negative in
       // one sweep; leftovers recurse (weights here are 1 in practice)
       var remaining = by
-      while (remaining > 0 && !counts.containsKey(key) && counts.size >= k) {
-        var min = Long.MaxValue
-        val it0 = counts.values().iterator()
-        while (it0.hasNext) min = math.min(min, it0.next())
-        val dec = math.min(min, remaining)
-        val it = counts.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val nv = e.getValue - dec
-          if (nv <= 0) it.remove() else e.setValue(nv)
-        }
+      while (remaining > 0 && !counts.contains(key) && counts.size >= k) {
+        val dec = math.min(counts.minValue(), remaining)
+        counts.decrementAll(dec)
         remaining -= dec
       }
       if (remaining > 0) add(key, remaining)
@@ -62,34 +166,18 @@ private[graft] final class MgBuffer(val k: Int) {
     * by subtracting the (k+1)-th largest counter from every entry.
     */
   def mergeFrom(other: MgBuffer): Unit = {
-    val it = other.counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val cur = counts.get(e.getKey)
-      counts.put(e.getKey, cur + e.getValue)
-    }
+    other.counts.foreachEntry((key, v) => counts.addTo(key, v))
     if (counts.size > k) {
-      val vals = new Array[Long](counts.size)
-      var i = 0
-      val vi = counts.values().iterator()
-      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      val vals = counts.valuesArray
       java.util.Arrays.sort(vals)
       val cut = vals(vals.length - k - 1) // (k+1)-th largest
-      val ei = counts.entrySet().iterator()
-      while (ei.hasNext) {
-        val e = ei.next()
-        val nv = e.getValue - cut
-        if (nv <= 0) ei.remove() else e.setValue(nv)
-      }
+      counts.decrementAll(cut)
     }
   }
 
   /** Surviving candidate keys, sorted for a deterministic layout. */
   def keysSorted: Array[Long] = {
-    val out = new Array[Long](counts.size)
-    var i = 0
-    val it = counts.keySet().iterator()
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    val out = counts.keysArray
     java.util.Arrays.sort(out)
     out
   }
@@ -136,11 +224,9 @@ case class MisraGriesKeys(
     val bb = java.nio.ByteBuffer.allocate(8 + 16 * buf.counts.size)
     bb.putInt(buf.k)
     bb.putInt(buf.counts.size)
-    val it = buf.counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      bb.putLong(e.getKey)
-      bb.putLong(e.getValue)
+    buf.counts.foreachEntry { (key, cnt) =>
+      bb.putLong(key)
+      bb.putLong(cnt)
     }
     bb.array()
   }
@@ -154,7 +240,7 @@ case class MisraGriesKeys(
     while (i < n) {
       val key = bb.getLong
       val cnt = bb.getLong
-      buf.counts.put(key, cnt)
+      buf.counts.addTo(key, cnt)
       i += 1
     }
     buf

@@ -192,8 +192,13 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
   def compact(): Long = {
     val v = requireVersion()
     val (bits, tables) = params
-    val vec = vectors().localCheckpoint()
-    writeDelta(vec, signatures(), v + 1, Seq.empty, s"$bits $tables")
+    // No pin: vectors()/signatures() are plain parquet reads over the
+    // old segments, which stay on disk until a LATER vacuum() retires
+    // them — writeDelta's multiple consumptions (write, count, bloom)
+    // just re-scan stable storage. A localCheckpoint here would copy
+    // the FULL store into executor memory/disk first, doubling the
+    // compaction's peak footprint for no correctness gain.
+    writeDelta(vectors(), signatures(), v + 1, Seq.empty, s"$bits $tables")
     v + 1
   }
 

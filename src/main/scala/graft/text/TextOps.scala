@@ -365,8 +365,16 @@ object TextOps {
     * Gopher cut-offs; the flag is emitted as 0/1 so both engines hash
     * it identically.
     */
-  private def t10(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  private def t10(s: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** t10's core on an arbitrary (doc_id, text) frame — factored out so
+    * the threshold semantics are testable on constructed degenerate
+    * docs (the shipped corpus has zero repetitive docs at every SF, so
+    * the flag's cut-offs need a synthetic frame to be exercised at
+    * all; CurationOpsSpec drives a spam doc through this exact plan).
+    */
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
     def gramExpr(n: Int): String = {
       val parts = (0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")
@@ -403,7 +411,6 @@ object TextOps {
       .withColumn("repetitive",
         (col("top_bigram_frac") > lit(0.18) || col("dup_trigram_frac") > lit(0.30))
           .cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   private val t10Sql = s"""
@@ -459,6 +466,15 @@ object TextOps {
     * shard key is two md5 hex chars — widen to three (4096 shards) at
     * 100 TB without changing the contract. No driver state, no
     * explode; the window reads (doc_id, n_tok) only.
+    *
+    * Zero-token documents report n_chunks = 1 (first_chunk =
+    * last_chunk = the chunk their zero-length span abuts), BY
+    * CONVENTION: an empty doc still occupies a position in the packed
+    * stream, and keeping first/last total (never NULL) lets downstream
+    * per-chunk joins treat every doc uniformly. Both engines encode
+    * the same convention (the CASE on n_tok > 0), so parity holds; a
+    * deployment that wants empty docs invisible filters n_tok > 0
+    * before packing.
     */
   private def t11(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -525,7 +541,12 @@ object TextOps {
     // candidate keys AND the token total ride ONE pass over the
     // exploded stream; the 1-row result is pinned so its two
     // consumers don't each re-run the scan (2 passes total, the
-    // floor for sketch-then-exact-recount)
+    // floor for sketch-then-exact-recount). localCheckpoint pins
+    // eagerly onto executor-local blocks and truncates lineage, so an
+    // executor loss fails the query instead of recomputing — the
+    // right trade for a 1-ROW summary (re-running the whole query on
+    // a lost executor is cheaper than re-scanning the token stream
+    // once per consumer on every healthy run)
     val sketch = termsH
       .agg(FreqSketch.misraGriesKeys(col("h"), 4096).as("ks"),
         count(lit(1)).as("n_total"))

@@ -49,14 +49,21 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("t10 flags a degenerate repetitive document (threshold semantics)") {
+    import spark.implicits._
     // the synthetic corpus has no repetitive docs (flag sum is 0 at
-    // every shipped SF), so exercise the cut-offs on a local frame fed
-    // through the same gram-stats contract recomputed in SQL terms
-    val spam = "buy now " * 40 // top bigram "buy now" ≈ 1/2 of bigrams
-    val t = toks(spam)
-    val bi = t.sliding(2).map(_.mkString(" ")).toSeq
-    val top = bi.groupBy(identity).values.map(_.size).max.toDouble / bi.size
-    assert(top > 0.18, "constructed doc must cross the Gopher bigram cut-off")
+    // every shipped SF), so exercise the cut-offs by feeding constructed
+    // docs through the ENGINE'S OWN gram-stats/flag pipeline
+    val spam = ("buy now " * 40).trim // top bigram "buy now" ≈ 1/2 of bigrams
+    val clean = "the quick brown fox jumps over one lazy dog near a very old river bank today"
+    val empty = ""
+    val got = text.TextOps.repetitionStats(
+        Seq((1L, spam), (2L, clean), (3L, empty)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(4), r.getInt(5)))).toMap
+    val (spamTop, spamDup, spamFlag) = got(1L)
+    assert(spamTop > 0.18 && spamDup > 0.30, s"spam doc stats ($spamTop, $spamDup)")
+    assert(spamFlag == 1, "engine must flag the degenerate doc")
+    assert(got(2L)._3 == 0, "a normal doc must not be flagged")
+    assert(got(3L) == ((0.0, 0.0, 0)), "an empty doc scores zero fractions, unflagged")
   }
 
   test("t11 chunk packing matches a driver-side shard walk") {
