@@ -430,11 +430,17 @@ object Events {
     */
   private val rkK = 64
 
-  private def e11(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{Hash32, TopKAggregate}
-    val ev = Hash32.withH32(
+  /** Events with the shared rolling-distinct key hash and day index. */
+  private def rkEvents(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Hash32.withH32(
       withEpoch(s, dir).withColumn("day_idx", expr("es div 86400")),
       "rk:", col("user_id").cast("string"))
+
+  /** The merged rolling sketch — (event_type, day_idx, n_kept,
+    * kmv_est_7d) — shared by e11 (witnessed) and e12 (scale form).
+    */
+  private def rollingSketch(ev: DataFrame): DataFrame = {
+    import graft.functions.TopKAggregate
     // per-(type, day) sketch: ascending array of the k smallest
     // DISTINCT user hashes (score = −h ⇒ k-smallest, distinct
     // payloads ⇒ set semantics; bounded k-entry state, exact
@@ -448,7 +454,7 @@ object Events {
     // smallest is the same R a single whole-window pass would find
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("day_idx")).rangeBetween(-6, 0)
-    val merged = daily
+    daily
       .withColumn("u", array_sort(array_distinct(flatten(collect_list(col("sk")).over(w)))))
       .withColumn("nu", size(col("u")).cast("long"))
       .select(col("event_type"), col("day_idx"),
@@ -457,17 +463,69 @@ object Events {
           .otherwise(lit((rkK - 1).toDouble) * lit(4294967296.0) /
             (element_at(col("u"), rkK).cast("double") + lit(1.0)))
           .as("kmv_est_7d"))
+  }
+
+  private def e11(s: SparkSession, dir: String): DataFrame = {
+    val ev = rkEvents(s, dir)
     val exact = ev
       .select(col("event_type"), col("user_id"),
         explode(expr("sequence(day_idx, day_idx + 6)")).as("day_idx"))
       .groupBy(col("event_type"), col("day_idx"))
       .agg(countDistinct(col("user_id")).as("n_exact_7d"))
-    merged.join(exact, Seq("event_type", "day_idx"))
+    rollingSketch(ev).join(exact, Seq("event_type", "day_idx"))
       .select(col("event_type"),
         date_format(date_from_unix_date(col("day_idx").cast("int")), "yyyy-MM-dd").as("day"),
         col("n_exact_7d"), col("n_kept"), col("kmv_est_7d"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  // ---- e12: rolling distinct, sketch-only — the scale form ----------
+  /** e11 WITHOUT the exact witness — the plan a 100 TB metrics
+    * pipeline actually schedules. e11's measured cost is dominated by
+    * its accuracy witness, which explodes EVERY event to the ≤7
+    * windows it serves (the linear-in-window-length re-read the
+    * sketch exists to avoid) and has always been documented "dropped
+    * at scale"; this registers that drop, the d05→d12 pattern. What
+    * remains reads each event once into a bounded k-entry daily
+    * sketch and merges ≤7 of those per output row; the witnessed e11
+    * stays registered as the accuracy evidence at oracle scale.
+    */
+  private def e12(s: SparkSession, dir: String): DataFrame =
+    rollingSketch(rkEvents(s, dir))
+      .select(col("event_type"),
+        date_format(date_from_unix_date(col("day_idx").cast("int")), "yyyy-MM-dd").as("day"),
+        col("n_kept"), col("kmv_est_7d"))
+      .orderBy(col("event_type"), col("day"))
+
+  private val e12Sql = s"""
+    WITH ev AS (
+      SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day_idx,
+        ${graft.functions.Hash32.h32Duck("'rk:' || CAST(user_id AS VARCHAR)")} AS h32
+      FROM events),
+    days AS (SELECT DISTINCT event_type, day_idx FROM ev),
+    dh AS (SELECT DISTINCT event_type, day_idx, h32 FROM ev),
+    wh AS (
+      SELECT DISTINCT d.event_type, d.day_idx, h.h32
+      FROM days d JOIN dh h ON h.event_type = d.event_type
+        AND h.day_idx BETWEEN d.day_idx - 6 AND d.day_idx),
+    ranked AS (
+      SELECT event_type, day_idx, h32,
+        row_number() OVER (PARTITION BY event_type, day_idx ORDER BY h32) AS rn
+      FROM wh),
+    sk AS (
+      SELECT event_type, day_idx,
+        CAST(least(max(rn), $rkK) AS BIGINT) AS n_kept,
+        max(CASE WHEN rn = $rkK THEN h32 END) AS kth,
+        max(rn) AS m
+      FROM ranked GROUP BY event_type, day_idx)
+    SELECT sk.event_type,
+      CAST(DATE '1970-01-01' + CAST(sk.day_idx AS INTEGER) AS VARCHAR) AS day,
+      sk.n_kept,
+      CASE WHEN sk.m < $rkK THEN CAST(sk.m AS DOUBLE)
+           ELSE CAST(${rkK - 1} AS DOUBLE) * 4294967296.0 / (CAST(sk.kth AS DOUBLE) + CAST(1 AS DOUBLE))
+      END AS kmv_est_7d
+    FROM sk
+    ORDER BY sk.event_type, day"""
 
   private val e11Sql = s"""
     WITH ev AS (
@@ -509,6 +567,7 @@ object Events {
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
     Op("e11_rolling_distinct_kmv", e11, Some(e11Sql)),
+    Op("e12_rolling_distinct_scale", e12, Some(e12Sql)),
     Op("e09_pivot", e09, Some(e09Sql)),
     Op("e10_session_stats", e10, Some(e10Sql)),
     Op("e02_tumbling_window", e02, Some(e02Sql)),

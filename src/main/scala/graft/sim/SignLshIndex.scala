@@ -25,7 +25,8 @@ import graft.functions.VectorFunctions.floatNorm
   *     ([[Similarity.signCandidatesBucketed]]) joins on.
   *
   * The (bits, tables) family is CALIBRATED ONCE at [[build]] from the
-  * initial corpus size ([[Similarity.annParams]]) and PINNED: every
+  * initial corpus ([[Similarity.annParamsFor]] — the measured-anchor
+  * map, or the retention-probe solver past 2^17 rows) and PINNED: every
   * append signs its delta with the same family, because signatures
   * from different families cannot share an index. The trade is
   * documented occupancy drift — per-bucket occupancy n/2^bits grows
@@ -147,7 +148,11 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
   def build(vecs: DataFrame): Unit = {
     val e = withNorm(vecs).persist()
     try {
-      val (bits, tables) = Similarity.annParams(e.count())
+      // shared family resolution: the measured-anchor map below
+      // 2^17 rows, the retention-probe solver past it — a corpus the
+      // map has no anchor for must not be pinned to the capped
+      // (16, 192) family for its whole index lifetime
+      val (bits, tables) = Similarity.annParamsFor(e, e.count())
       writeDelta(e, sigOf(e, bits, tables), version.getOrElse(0L) + 1,
         Seq.empty, s"$bits $tables")
     } finally e.unpersist()

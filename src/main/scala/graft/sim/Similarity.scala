@@ -1,6 +1,7 @@
 package graft.sim
 
 import graft.{Op, Tables, par}
+import graft.functions.Int8Functions.{int8Dot, int8NormSq, int8Quantize}
 import graft.functions.VectorFunctions.{floatDot, floatNorm}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -250,7 +251,7 @@ object Similarity {
     graft.util.MatStore.table(s, s"anngraph_cal:$dir", "graft_ann") {
       val e = embWithNorm(s, dir)
       val n = e.count()
-      val (bits, tables) = annParams(n)
+      val (bits, tables) = annParamsFor(e, n)
       if (n <= annBroadcastEnvelopeRows) annGraphBroadcast(e, bits, tables)
       else annGraphBucketed(s, dir, bits, tables)
     }
@@ -490,12 +491,13 @@ object Similarity {
     * 8/24 → 0.87–0.89 (n=500, both small corpora), 9/32 → 0.873
     * (n=2000), 13/128 → 0.824 (n=20000), 14/192 → 0.832 (n=60000);
     * in-between L values interpolate the same ~1.4×/bit growth.
-    * The registered envelope caps at (16, 192) — the largest family
-    * the calibration curve has measured; past n = 2^17 the library
-    * path is [[annKnnGraphAt]] with (bits, tables) solved by
-    * [[annParamsProbed]] from a measured per-table retention probe
-    * (validated against all four anchors here — SimilaritySpec),
-    * which this map then grows to mirror.
+    * The map caps at (16, 192) — the largest family the calibration
+    * curve has measured; past n = 2^17 every index entry point
+    * ([[annGraphTable]], [[SignLshIndex.build]]) routes through
+    * [[annParamsFor]] to the measured-retention solver
+    * [[annParamsProbed]] instead (validated against all four anchors
+    * here — SimilaritySpec), with this map as the fast path below the
+    * threshold.
     */
   def annParams(n: Long): (Int, Int) = {
     require(n > 0, "annParams needs a non-empty corpus")
@@ -563,10 +565,46 @@ object Similarity {
     */
   def annParamsProbed(s: SparkSession, dir: String,
       targetRecall: Double = 0.80): (Int, Int) = {
+    val e = embWithNorm(s, dir)
+    annParamsProbedOf(e, e.count(), targetRecall)
+  }
+
+  /** Calibration-map reach: corpora at or below this row count resolve
+    * their family through the MEASURED-anchor map [[annParams]] (whose
+    * largest anchor is the 2^17-adjacent sf3 corpus); larger corpora
+    * route through the retention-probe solver — the map has no
+    * measured anchor past its cap, which is exactly the regime the
+    * probe exists for. Every shipped scale factor sits below this
+    * threshold, so the REGISTERED s06/d12 oracles (which mirror the
+    * map's integer CASEs) are untouched: past 2^17 the library path is
+    * self-calibrating and its exactness evidence is the probe-anchor
+    * spec plus the recall gate, not a DuckDB mirror of the solver.
+    * Overridable for tests via -Dgraft.ann.calibratedMaxRows.
+    */
+  private[graft] def annCalibratedMaxRows: Long =
+    sys.props.get("graft.ann.calibratedMaxRows").map(_.toLong)
+      .getOrElse(1L << 17)
+
+  /** The family for a corpus of n vectors, routed by [[annCalibratedMaxRows]]:
+    * the anchor map below the threshold (free — no extra pass), the
+    * measured-retention solver above it. This is the ONE resolution
+    * path every index entry point uses ([[annGraphTable]] behind
+    * s06/s07, [[SignLshIndex.build]]), so a past-the-map corpus can
+    * never silently run the capped (16, 192) family the sf1 evidence
+    * showed under-provisioning turns into worse-than-brute-force.
+    */
+  private[graft] def annParamsFor(e: DataFrame, n: Long): (Int, Int) =
+    if (n <= annCalibratedMaxRows) annParams(n)
+    else annParamsProbedOf(e, n, 0.80)
+
+  /** [[annParamsProbed]] on an already-normed (vec_id, embedding, nrm)
+    * frame — shared with [[SignLshIndex.build]], which holds its corpus
+    * as a DataFrame rather than a table directory.
+    */
+  private[graft] def annParamsProbedOf(e: DataFrame, n: Long,
+      targetRecall: Double): (Int, Int) = {
     require(targetRecall > 0.0 && targetRecall < 1.0,
       s"targetRecall out of (0, 1): $targetRecall")
-    val e = embWithNorm(s, dir)
-    val n = e.count()
     require(n > 0, "annParamsProbed needs a non-empty corpus")
     val floorLog2 = 63 - java.lang.Long.numberOfLeadingZeros(n)
     val bits = math.max(8, math.min(31, floorLog2 - 1))
@@ -884,32 +922,45 @@ object Similarity {
     * exact float-cosine top-5 (s01 composed as a CTE, s05's pattern)
     * rides along as the accuracy witness: int8 is a lossy code, and
     * the recall column is the measured price.
+    *
+    * The kernel is the CODEGEN int8 family
+    * ([[graft.functions.Int8VecDot]] and friends) over BinaryType
+    * vectors — one byte per component on the wire (the actual 4×
+    * shrink), a tight generated loop per pair (the HOF
+    * `aggregate(sequence(...))` form this replaced evaluated its
+    * lambda interpreted per element — the r9 t08 defect class), and
+    * bit-identical quantization (HALF_UP through the decimal repr,
+    * see [[graft.functions.Int8Ops.roundHalfUpToByte]]), so the
+    * oracle SQL is unchanged. s09 composes the same store with the
+    * bucketed LSH candidates — the at-scale rerank this probe-set
+    * query exercises the arithmetic for.
     */
+  /** The int8-quantized corpus: (vec_id, qv binary, qn2 bigint). */
+  private def quantEmb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("qv", int8Quantize(col("embedding")))
+      .withColumn("qn2", int8NormSq(col("qv")))
+
+  /** Quantized cosine from int8 parts — the shared scoring CASE. */
+  private def qcosExpr =
+    when(col("qa2") > 0 && col("qb2") > 0,
+      int8Dot(col("qa"), col("qb")).cast("double") /
+        sqrt((col("qa2") * col("qb2")).cast("double")))
+      .otherwise(lit(-2.0))
+
   private def s08(s: SparkSession, dir: String): DataFrame = {
-    val qe = Tables(s, dir, "embeddings")
-      .withColumn("maxabs", expr(
-        """aggregate(embedding, cast(0.0 as double),
-             (acc, x) -> greatest(acc, abs(cast(x as double))))"""))
-      .withColumn("qv", expr(
-        """transform(embedding, x ->
-             CASE WHEN maxabs = 0.0 THEN cast(0 as bigint)
-                  ELSE cast(round(cast(x as double) * 127.0 / maxabs) as bigint) END)"""))
-      .withColumn("qn2", expr(
-        """aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)"""))
+    val qe = quantEmb(s, dir)
     val q = qe.filter(col("vec_id") < NQUERIES)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn2").as("qa2"))
     val c = qe.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("qn2").as("qb2"))
     val pairs = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("qdot", expr(
-        """aggregate(sequence(1, least(size(qa), size(qb))), cast(0 as bigint),
-             (acc, i) -> acc + element_at(qa, i) * element_at(qb, i))"""))
-      .withColumn("cos",
-        when(col("qa2") > 0 && col("qb2") > 0,
-          col("qdot").cast("double") / sqrt((col("qa2") * col("qb2")).cast("double")))
-        .otherwise(lit(-2.0)))
+      .withColumn("cos", qcosExpr)
     // qtop is consumed twice (recall denominator + final join); pin
     // the ≤|probes|·k-row result so the quantized all-pairs pass runs
-    // once, not once per consumer (t12's pinned-sketch pattern)
+    // once, not once per consumer (t12's pinned-sketch pattern).
+    // localCheckpoint truncates lineage onto executor-local blocks —
+    // an executor loss fails the query instead of recomputing; the
+    // right trade for a ≤50-row summary (see t12's note)
     val qtop = topkUnordered(pairs, TOPK)
       .withColumnRenamed("cos", "qcos")
       .localCheckpoint()
@@ -928,8 +979,12 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val s08Sql = s"""
-    WITH base AS (
+  /** DuckDB mirror of the int8 quantization chain, ending at
+    * `qn(vec_id, qv, qn2)` — shared by s08Sql and s09Sql. The CASE /
+    * round / integer-sum forms are the bit-parity twins of
+    * [[graft.functions.Int8Ops]].
+    */
+  private val quantCtesDuck = s"""base AS (
       SELECT vec_id, embedding,
         list_reduce([CAST(0 AS DOUBLE)] || list_transform(range(1, len(embedding) + 1),
           i -> abs(CAST(embedding[i] AS DOUBLE))), (x, y) -> greatest(x, y)) AS maxabs
@@ -943,15 +998,23 @@ object Similarity {
     qn AS (
       SELECT vec_id, qv,
         list_reduce([CAST(0 AS BIGINT)] || list_transform(qv, x -> x * x), (x, y) -> x + y) AS qn2
-      FROM qe),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        CASE WHEN q.qn2 > 0 AND c.qn2 > 0 THEN
+      FROM qe)"""
+
+  /** DuckDB quantized-cosine CASE over qn rows aliased q (query side)
+    * and c (neighbor side) — shared by s08Sql and s09Sql.
+    */
+  private val qcosDuck = s"""CASE WHEN q.qn2 > 0 AND c.qn2 > 0 THEN
           CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(
               range(1, least(len(q.qv), len(c.qv)) + 1), i -> q.qv[i] * c.qv[i]),
             (x, y) -> x + y) AS DOUBLE)
             / sqrt(CAST(q.qn2 * c.qn2 AS DOUBLE))
-        ELSE -2.0 END AS qcos
+        ELSE -2.0 END"""
+
+  private val s08Sql = s"""
+    WITH $quantCtesDuck,
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        $qcosDuck AS qcos
       FROM qn q JOIN qn c ON q.vec_id <> c.vec_id
       WHERE q.vec_id < $NQUERIES),
     ranked AS (
@@ -970,9 +1033,118 @@ object Similarity {
     FROM qtop t JOIN rec r ON r.query_id = t.query_id
     ORDER BY t.query_id, t.rank"""
 
+  // ---- s09: quantized rerank over bucketed LSH candidates -----------
+  /** The corpus' int8 store as a vec_id-bucketed catalog table:
+    * (vec_id, qv binary, qn2 bigint) — 72 B of vector payload where
+    * the float store carries ~280 B (UnsafeRow array<float> + double
+    * norm). The bucketed layout gives the rerank's hydration joins an
+    * exchange-free build side, exactly like [[bucketedVecs]].
+    */
+  private[graft] def bucketedQuantVecs(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.bucketedTable(s, s"annqvecs:$dir", "graft_annqvec",
+      "vec_id", s.conf.get("spark.sql.shuffle.partitions").toInt) {
+      quantEmb(s, dir).select(col("vec_id"), col("qv"), col("qn2"))
+    }
+
+  /** [[rerankTop3From]] with the INT8 store as the hydration side —
+    * the composition the quantized store exists for. Same canonical-
+    * pair contract (cands carry query_id < neighbor_id once), same
+    * SHUFFLE_HASH strategy pins (the planner must neither broadcast
+    * off the pair stream's broken size estimate nor sort the wide
+    * stream — both deaths measured at sf3), but the path's one
+    * inherent cost center — the wide pair+vector exchange, 64.44 GB
+    * per refresh at sf3 in the float form (SCALE_EVIDENCE_r11) — now
+    * carries 72 B of vector payload per row instead of ~280 B. The
+    * integer score is EXACTLY symmetric under operand swap (no FP
+    * accumulation), so scoring once per unordered pair and
+    * re-expanding is sound by arithmetic, not by fold-order contract.
+    */
+  private[graft] def rerankTop3QuantizedFrom(qvecs: DataFrame,
+      cands: DataFrame): DataFrame = {
+    def vecsAs(idCol: String, qCol: String, nCol: String) =
+      qvecs.select(col("vec_id").as(idCol), col("qv").as(qCol), col("qn2").as(nCol))
+    val scored = cands
+      .join(vecsAs("neighbor_id", "qb", "qb2").hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(vecsAs("query_id", "qa", "qa2").hint("shuffle_hash"), Seq("query_id"))
+      .withColumn("qcos", qcosExpr)
+      .select(col("query_id"), col("neighbor_id"), col("qcos"))
+    val directed = scored
+      .select(explode(array(
+        struct(col("query_id"), col("neighbor_id"), col("qcos")),
+        struct(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id"), col("qcos")))).as("d"))
+      .select(col("d.query_id").as("query_id"),
+        col("d.neighbor_id").as("neighbor_id"), col("d.qcos").as("qcos"))
+    directed
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topKScored(
+        col("qcos"), col("neighbor_id"), 3).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sn")))
+      .select(col("query_id"), col("sn.payload").as("neighbor_id"),
+        col("sn.score").as("qcos"), (col("pos") + lit(1)).as("rank"))
+  }
+
+  /** The 100 TB rerank plan, registered: sign-LSH candidates through
+    * the bucketed no-broadcast pipeline ([[signCandidatesBucketed]] →
+    * [[candidatePairsCanonical]] — the exact plan that serves past the
+    * broadcast envelope, run here at every SF so the oracle exercises
+    * it), exact integer re-rank over the int8 store. int8 + LSH are
+    * two stacked lossy codes; the per-query recall@3 against the
+    * exact float-cosine graph rides along as the combined accuracy
+    * witness (gated ≥ 0.8 at three SFs in SimilaritySpec — at 100 TB
+    * the witness runs on a sampled query set, s07's documented
+    * convention).
+    */
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(s, dir)
+    val (bits, tables) = annParamsFor(e, e.count())
+    val cands = signCandidatesBucketed(s, dir, bits, tables)
+    // consumed twice (recall denominator + final join); n×3-row
+    // summary, same pin trade as s08's qtop
+    val qtop = rerankTop3QuantizedFrom(bucketedQuantVecs(s, dir), cands)
+      .localCheckpoint()
+    val exact = knnGraphTable(s, dir)
+      .select(col("query_id").as("qe_id"), col("neighbor_id").as("ne_id"))
+    val rec = qtop
+      .join(broadcast(exact),
+        col("query_id") === col("qe_id") && col("neighbor_id") === col("ne_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("qe_id")).cast("double") / lit(3.0)).as("recall_at_3"))
+    qtop.join(broadcast(rec), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qcos"), col("rank"),
+        col("recall_at_3"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val s09Sql = s"""
+    WITH $annCandidateCtes,
+    $quantCtesDuck,
+    qpairs AS (
+      SELECT cd.query_id, cd.neighbor_id,
+        $qcosDuck AS qcos
+      FROM cand cd
+      JOIN qn q ON q.vec_id = cd.query_id
+      JOIN qn c ON c.vec_id = cd.neighbor_id),
+    qranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY qcos DESC, neighbor_id) AS rank
+      FROM qpairs),
+    qtop AS (SELECT query_id, neighbor_id, qcos, rank FROM qranked WHERE rank <= 3),
+    exact AS ($s04Sql),
+    rec AS (
+      SELECT t.query_id,
+        CAST(count(e.query_id) AS DOUBLE) / CAST(3 AS DOUBLE) AS recall_at_3
+      FROM qtop t LEFT JOIN exact e
+        ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id)
+    SELECT t.query_id, t.neighbor_id, t.qcos, t.rank, r.recall_at_3
+    FROM qtop t JOIN rec r ON r.query_id = t.query_id
+    ORDER BY t.query_id, t.rank"""
+
   val ops: Seq[Op] = Seq(
     Op("s01_knn_bruteforce", s01, Some(s01Sql)),
     Op("s08_quantized_knn", s08, Some(s08Sql)),
+    Op("s09_quantized_rerank", s09, Some(s09Sql)),
     Op("s02_ann_signlsh", s02, Some(s02Sql)),
     Op("s03_ivf_label", s03, Some(s03Sql)),
     Op("s04_knn_graph", s04, Some(s04Sql)),

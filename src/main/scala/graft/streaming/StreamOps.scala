@@ -293,6 +293,64 @@ object StreamOps {
             (element_at(col("mins"), k).getField("payload").cast("double") + lit(1.0)))
           .as("kmv_est")): _*)
 
+  /** Watermarked 7-day ROLLING distinct-count sketch per event type —
+    * the streaming face of the batch e11/e12 rolling distinct, and the
+    * operator a metrics pipeline actually schedules:
+    * [[distinctSketchStream]] covers the lifetime prefix; this one
+    * emits a finalized estimate per (event_type, window-anchor day)
+    * and EVICTS old windows by watermark, so it runs forever on an
+    * unbounded stream with state bounded by k × active windows.
+    *
+    * Shape: each event is exploded map-side to the ≤7 window-anchor
+    * days it serves — cheap on the wire, because the explode feeds
+    * straight into the bounded top-k partial aggregate, so the
+    * exchange and the state store carry one ≤k-entry sketch buffer
+    * per (type, window), never the exploded events (the batch e11's
+    * exact witness is what shuffled raw exploded rows; the sketch
+    * path never does). The anchor flag rides the same aggregate so
+    * windows whose own day had no events are suppressed, matching the
+    * batch operators' output rows exactly.
+    *
+    * Parity, the tested contract: a min-k of a set is arrival-order-
+    * and batching-independent, so a FINALIZED window's (n_kept,
+    * kmv_est_7d) is bit-equal to the batch e11/e12 estimate for that
+    * (type, day) under any micro-batch boundaries (StreamingSpec pins
+    * two shifted splits against an independent driver recount).
+    *
+    * `delay` is the append-mode finalize knob: the watermark rides the
+    * shifted window-anchor timestamp (event day + up to 6 days), so
+    * `delay = 7 days` means a window finalizes once any event more
+    * than a day past its anchor arrives, and events arriving more
+    * than a day out of order may be dropped from still-open windows —
+    * the watermark trade every streaming aggregate makes. `keyCol`
+    * must be a uniform 32-bit hash in [0, 2³²) (Hash32's h32, the
+    * q18/e11 contract); `events` carries (ts timestamp, event_type,
+    * keyCol).
+    */
+  def rollingDistinctStream(events: DataFrame, keyCol: String, k: Int,
+      delay: String = "7 days"): DataFrame = {
+    val exploded = events
+      .withColumn("day_idx", expr("unix_timestamp(ts) div 86400"))
+      .select(col("event_type"), col(keyCol).as("h32"), col("day_idx"),
+        explode(expr("sequence(day_idx, day_idx + 6)")).as("wday"))
+      .withColumn("wts", expr("timestamp_seconds(wday * 86400)"))
+      .withColumn("is_anchor", (col("wday") === col("day_idx")).cast("int"))
+      .withWatermark("wts", delay)
+    exploded
+      .groupBy(col("wts"), col("event_type"))
+      .agg(graft.functions.TopKAggregate.topKScoredDistinct(
+          negate(col("h32").cast("double")), col("h32"), k).as("mins"),
+        max(col("is_anchor")).as("anchored"))
+      .filter(col("anchored") === 1)
+      .select(col("event_type"),
+        date_format(col("wts"), "yyyy-MM-dd").as("day"),
+        least(size(col("mins")).cast("long"), lit(k.toLong)).as("n_kept"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            (element_at(col("mins"), k).getField("payload").cast("double") + lit(1.0)))
+          .as("kmv_est_7d"))
+  }
+
   /** One [[crawlDedup]] trigger — factored out so the replay path is
     * directly testable (StreamingSpec drives it with a repeated
     * batchId to simulate the crash-between-append-and-sink window).

@@ -77,12 +77,26 @@ object BloomSidecars {
     */
   def knownKeys(spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
       keyCol: String, fs: FileSystem, bloomPaths: Seq[Path],
-      tablePaths: Seq[Path]): DataFrame = {
+      tablePaths: Seq[Path]): DataFrame =
+    knownKeysBy(spark, ids, keyCol, fs, bloomPaths, tablePaths, longHits)
+
+  /** [[knownKeys]] for a STRING `keyCol` (e.g. [[graft.dedup.GramIndex]]'s
+    * 16-hex gram digests) — same contract, probed via [[stringHits]].
+    */
+  def knownStringKeys(spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
+      keyCol: String, fs: FileSystem, bloomPaths: Seq[Path],
+      tablePaths: Seq[Path]): DataFrame =
+    knownKeysBy(spark, ids, keyCol, fs, bloomPaths, tablePaths, stringHits)
+
+  private def knownKeysBy(spark: org.apache.spark.sql.SparkSession, ids: DataFrame,
+      keyCol: String, fs: FileSystem, bloomPaths: Seq[Path], tablePaths: Seq[Path],
+      hits: org.apache.spark.broadcast.Broadcast[Array[BloomFilter]] => Column => Column)
+      : DataFrame = {
     require(bloomPaths.size == tablePaths.size, "segment lists must align")
     val bc = spark.sparkContext.broadcast(
       bloomPaths.map(read(fs, _)).toArray)
     val suspects = ids.select(col(keyCol)).distinct()
-      .withColumn("segi", longHits(bc)(col(keyCol)))
+      .withColumn("segi", hits(bc)(col(keyCol)))
       .filter(size(col("segi")) > 0)
       .localCheckpoint()
     val segIdx = suspects.select(explode(col("segi")).as("i"))

@@ -56,6 +56,58 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // the codegen kernel replaced an oracle-green interpreted HOF chain;
+  // this pins bit-equality of every quantized component on the real
+  // corpora, so the replacement can never silently shift a rounding
+  Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { sf =>
+    test(s"int8 codegen kernel is bit-identical to the HOF forms it replaced at $sf") {
+      import graft.functions.Int8Functions.{int8Dot, int8NormSq, int8Quantize}
+      val both = Tables(spark, sf, "embeddings")
+        .withColumn("maxabs", expr(
+          """aggregate(embedding, cast(0.0 as double),
+               (acc, x) -> greatest(acc, abs(cast(x as double))))"""))
+        .withColumn("qv_hof", expr(
+          """transform(embedding, x ->
+               CASE WHEN maxabs = 0.0 THEN cast(0 as bigint)
+                    ELSE cast(round(cast(x as double) * 127.0 / maxabs) as bigint) END)"""))
+        .withColumn("qn2_hof", expr(
+          """aggregate(qv_hof, cast(0 as bigint), (acc, x) -> acc + x * x)"""))
+        .withColumn("qv", int8Quantize(col("embedding")))
+        .withColumn("qn2", int8NormSq(col("qv")))
+        .select(col("vec_id"), col("qv"), col("qv_hof"), col("qn2"), col("qn2_hof"))
+      both.collect().foreach { r =>
+        val codegen = r.getAs[Array[Byte]]("qv").map(_.toLong).toSeq
+        val hof = r.getSeq[Long](2)
+        assert(codegen == hof, s"vec ${r.getLong(0)}: quantized bytes diverge")
+        assert(r.getLong(3) == r.getLong(4), s"vec ${r.getLong(0)}: qn2 diverges")
+      }
+      // per-PAIR dot: codegen loop vs the HOF fold, on a pair sample
+      val q = both.select(col("vec_id").as("qid"), col("qv").as("qa"), col("qv_hof").as("ha"))
+        .filter(col("qid") < 50)
+      val c = both.select(col("vec_id").as("nid"), col("qv").as("qb"), col("qv_hof").as("hb"))
+        .filter(col("nid") < 50)
+      val diverged = q.crossJoin(c)
+        .withColumn("dot_cg", int8Dot(col("qa"), col("qb")))
+        .withColumn("dot_hof", expr(
+          """aggregate(sequence(1, least(size(ha), size(hb))), cast(0 as bigint),
+               (acc, i) -> acc + element_at(ha, i) * element_at(hb, i))"""))
+        .filter(col("dot_cg") =!= col("dot_hof")).count()
+      assert(diverged == 0, s"$diverged pair dots diverge from the HOF fold")
+    }
+  }
+
+  // s09 stacks TWO lossy codes (LSH candidates + int8 scoring); the
+  // witness column prices both at once and this is its gate
+  Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+    test(s"s09 quantized rerank over bucketed LSH candidates holds recall@3 >= 0.8 at $sf") {
+      val perQuery = SparkEntry.queries("s09_quantized_rerank")(spark, sf)
+        .select(col("query_id"), col("recall_at_3")).distinct()
+      val recall = perQuery.agg(avg(col("recall_at_3"))).head().getDouble(0)
+      info(f"avg recall@3 $recall%.3f over ${perQuery.count()} queries")
+      assert(recall >= RecallTarget, f"avg recall@3 $recall%.3f < $RecallTarget")
+    }
+  }
+
   test("bits is the scale knob: +log2(n growth) bits cuts candidates, holds recall") {
     val sf = "/root/testdata/sf0.1" // 2000 vectors = 4x sf0.01's 500
     val exact = SparkEntry.queries("s04_knn_graph")(spark, sf)
@@ -215,6 +267,55 @@ class SimilaritySpec extends AnyFunSuite {
           s"$dir: solved L=$tables not within one ladder step of anchor $aTables")
       }
     }
+  }
+
+  test("annParamsFor dispatch: map below the threshold, solver above it") {
+    import graft.functions.VectorFunctions.floatNorm
+    val sf = "/root/testdata/sf0.001" // 500 vectors
+    val e = Tables(spark, sf, "embeddings").withColumn("nrm", floatNorm(col("embedding")))
+    // below the threshold: the anchor map answers, no probe pass
+    assert(sim.Similarity.annParamsFor(e, 500L) == sim.Similarity.annParams(500L))
+    // threshold lowered under the corpus: the SAME resolution path the
+    // registered entries call must route to the measured-retention
+    // solver and return its family
+    sys.props("graft.ann.calibratedMaxRows") = "400"
+    try {
+      val routed = sim.Similarity.annParamsFor(e, 500L)
+      val solved = sim.Similarity.annParamsProbed(spark, sf)
+      assert(routed == solved,
+        s"annParamsFor returned $routed, solver says $solved")
+    } finally { sys.props.remove("graft.ann.calibratedMaxRows"): Unit }
+  }
+
+  test("a >2^17 corpus routes through the probed solver in the registered build path") {
+    // The map hard-caps at (16, 192); past 2^17 rows the registered
+    // entries (annGraphTable behind s06/s07, SignLshIndex.build) must
+    // run the retention-probe solver instead. Drive a 2^18+1-vector
+    // synthetic corpus through SignLshIndex.build — the registered
+    // index entry — and assert the PINNED family is the solver's, with
+    // bits past the map's cap. The corpus is CLUSTERED (5 near-
+    // duplicates per center, tiny deterministic noise) so true
+    // neighbors retain their signatures in almost every table and the
+    // solved L lands low on the ladder — which keeps the build's
+    // signing pass (n × L rows) testable on the 4-thread session while
+    // the expensive part under test (the exact-probe + retention
+    // measurement at 262k vectors) runs for real.
+    val n = (1L << 18) + 1
+    val vecs = spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 63), j ->
+             cast(sin((vec_id div 5) * 64 + j) + 0.001d * sin(vec_id * 64 + j) as float))"""))
+    val dir = java.nio.file.Files.createTempDirectory("graft_probed_idx").toString
+    val idx = new sim.SignLshIndex(spark, dir)
+    idx.build(vecs)
+    val (bits, tables) = idx.params
+    info(s"pinned family at n=$n: ($bits, $tables)")
+    // occupancy rule without the map's cap: floor(log2(2^18+1)) - 1 = 17
+    assert(bits == 17, s"expected occupancy bits 17 past the map's 16-bit cap, got $bits")
+    assert(sim.Similarity.AnnTableLadder.contains(tables),
+      s"tables $tables not a ladder rung")
+    assert((bits, tables) != sim.Similarity.annParams(n),
+      "the capped map family was pinned — the probed route did not fire")
   }
 
   test("sf1 scale evidence: bucketed ANN graph bit-equal to broadcast, zero broadcasts, at the calibrated family") {

@@ -644,6 +644,87 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked rolling distinct: finalized windows bit-equal an independent recount under shifted batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    // 10 days × 2 types anchored at a MODERN date (an epoch-0 stream
+    // would collide with Spark's initial watermark of 0 and lose its
+    // first day to the late filter — a test artifact, not a semantics
+    // question any real stream hits); per-day user pools overlap
+    // across days (user id -> fixed hash), sized so early windows
+    // exercise the exact branch (< k distinct) and late ones the
+    // estimate branch
+    val base = java.time.LocalDate.parse("2024-03-01").toEpochDay
+    def h32(u: Int): Long = (u.toLong * 2654435761L) % 4294967296L
+    val events: Seq[(java.sql.Timestamp, String, Long)] =
+      for {
+        day <- 0 until 10
+        typ <- Seq("click", "view")
+        u <- 0 until (3 + 2 * day)
+      } yield (new java.sql.Timestamp(((base + day) * 86400L + u * 60) * 1000L),
+        typ, h32((u * 7 + day * 3) % 25))
+    // flush rider: advances the watermark a week past day 9 so every
+    // real window finalizes; its own (never-finalized) windows are
+    // filtered out of the comparison by type
+    val flush = (new java.sql.Timestamp((base + 20L) * 86400L * 1000L), "flush", 0L)
+
+    // independent driver recount of the KMV arithmetic per anchor
+    val expected: Map[(String, String), (Long, Double)] =
+      (for {
+        day <- 0 until 10
+        typ <- Seq("click", "view")
+      } yield {
+        val hs = events.filter(e => e._2 == typ && {
+            val d = e._1.getTime / 86400000L - base
+            d >= day - 6 && d <= day
+          })
+          .map(_._3).distinct.sorted
+        val est =
+          if (hs.size < k) hs.size.toDouble
+          else (k - 1).toDouble * 4294967296.0 / (hs(k - 1).toDouble + 1.0)
+        (typ, java.time.LocalDate.ofEpochDay(base + day).toString) ->
+          ((math.min(hs.size, k).toLong, est))
+      }).toMap
+
+    def run(batches: Seq[Seq[(java.sql.Timestamp, String, Long)]],
+        sink: String): Map[(String, String), (Long, Double)] = {
+      val in = MemoryStream[(java.sql.Timestamp, String, Long)]
+      val q = StreamOps.rollingDistinctStream(
+          in.toDF().toDF("ts", "event_type", "h32"), "h32", k)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        in.addData(flush)
+        q.processAllAvailable()
+        spark.table(sink).collect()
+          .filter(r => r.getString(0) != "flush")
+          .map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getDouble(3)))).toMap
+      } finally q.stop()
+    }
+
+    // two shifted batchings, events shuffled WITHIN each batch (the
+    // watermark only requires cross-batch rough order)
+    val rnd = new scala.util.Random(11)
+    val byDay = events.groupBy(_._1.getTime / 86400000L).toSeq.sortBy(_._1)
+      .map(b => rnd.shuffle(b._2))
+    val uneven = {
+      val cuts = Seq(0, 3, 4, 8, 99)
+      cuts.sliding(2).map { case Seq(a, b) =>
+        rnd.shuffle(events.filter { e =>
+          val d = e._1.getTime / 86400000L - base; d >= a && d < b
+        })
+      }.filter(_.nonEmpty).toSeq
+    }
+    val got1 = run(byDay, "rd_out1")
+    val got2 = run(uneven, "rd_out2")
+    assert(got1 == expected,
+      s"by-day batching diverges: ${got1.toSeq.diff(expected.toSeq).take(3)}")
+    assert(got2 == expected, "shifted batching diverges")
+    // both regimes engaged
+    assert(expected.values.exists(_._1 < k) && expected.values.exists(_._1 == k.toLong))
+  }
+
   test("streaming heavy hitters: bounded state, lifetime superset guarantee per trigger") {
     implicit val sqlCtx = spark.sqlContext
     val k = 16
