@@ -139,6 +139,18 @@ object Profile {
         sim.Similarity.annGraphBucketed(spark, sfDir, bits, tables).count())
       ts("ann.bucketed.build(layout warm)")(
         sim.Similarity.annGraphBucketed(spark, sfDir, bits, tables).count())
+      // The quantized composition (s09's plan): identical candidate
+      // stream, int8 store as the hydration side — the wide
+      // pair+vector exchange carries 72 B of vector payload per row
+      // instead of ~280 B, which is the r12 claim to MEASURE against
+      // the float phase above (same layout-warm footing: quantized
+      // store laid out first, untimed).
+      sim.Similarity.bucketedQuantVecs(spark, sfDir).count()
+      ts("ann.bucketed.quantized(layout warm)")(
+        sim.Similarity.rerankTop3QuantizedFrom(
+          sim.Similarity.bucketedQuantVecs(spark, sfDir),
+          sim.Similarity.signCandidatesBucketed(spark, sfDir, bits, tables)
+        ).count())
       spark.stop()
       return
     }

@@ -716,8 +716,56 @@ object Dedup {
     GROUP BY g.doc_id ORDER BY g.doc_id"""
   }
 
+  // ---- d14: fuzzy key matching via deletion-neighborhood blocking ----
+  /** Edit-distance-1 fuzzy matching over an entity-key column
+    * (supplier names) — the record-linkage / fuzzy-join operator class
+    * (near-identical titles, typo'd entity names) the shingle-based
+    * dedups don't cover: MinHash needs enough shingles to estimate
+    * overlap, while a key differs by ONE character.
+    *
+    * Brute force is n² levenshtein evaluations (what the oracle runs).
+    * The scale path is FastSS deletion-neighborhood blocking: each
+    * DISTINCT key emits its (len+1) 1-deletion variants (the key
+    * itself + each single-character deletion), and two keys within
+    * edit distance 1 MUST share a variant — a substitution at i shares
+    * the deletion-at-i, an insert/delete shares the shorter string
+    * itself. Sharing is necessary but not sufficient (transposed
+    * adjacent chars share variants at distance 2), so the exact
+    * levenshtein verifies each candidate — the candidate-generate →
+    * exact-verify shape of d02/d04 and d07's pigeonhole nibbles.
+    * Cost: the variant equi-join touches Σ_variant |block|² pairs —
+    * blocks are near-singletons for hash-distributed keys — versus n²;
+    * everything is one explode + one equi-join + one distinct, no
+    * driver state, no quadratic stage at any corpus size.
+    */
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables(s, dir, "supplier").select(col("s_name")).distinct()
+    val variants = names.withColumn("v",
+      explode(concat(array(col("s_name")), expr(
+        """transform(sequence(1, length(s_name)),
+             i -> concat(substring(s_name, 1, i - 1),
+                         substring(s_name, i + 1, length(s_name) - i)))"""))))
+    variants.select(col("s_name").as("name_a"), col("v"))
+      .join(variants.select(col("s_name").as("name_b"), col("v")), Seq("v"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val d14Sql = """
+    WITH n AS (SELECT DISTINCT s_name FROM supplier)
+    SELECT a.s_name AS name_a, b.s_name AS name_b,
+      CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM n a JOIN n b ON a.s_name < b.s_name
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    ORDER BY name_a, name_b"""
+
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
+    Op("d14_fuzzy_names", d14, Some(d14Sql)),
     Op("d09_cross_source", d09, Some(d09Sql)),
     Op("d10_train_split", d10, Some(d10Sql)),
     Op("d11_lsh_quality", d11, Some(d11Sql)),

@@ -2,6 +2,7 @@ package graft.graph
 
 import graft.Op
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Frontier-join traversals: the Spark re-expression of the
@@ -164,9 +165,15 @@ object Traversals {
     * sources advance together, so the hop count (not the source
     * count) bounds the number of shuffles.
     */
-  private def g07(s: SparkSession, dir: String): DataFrame = {
-    val edges = TradeGraph.edgesTable(s, dir)
-      .select(col("src"), col("dst")).localCheckpoint()
+  /** Directed transitive-closure pairs (root, node): root reaches node
+    * via ≥1 edge. Frontier loop — all sources advance together, so the
+    * hop count (not the source count) bounds the number of shuffles.
+    * O(V·reach) output: the documented exact envelope shared by g07
+    * and g24 (g18's FM-sketch is the registered linear-state scale
+    * path for reach COUNTS; closure-pair consumers at 100 TB bound the
+    * root set instead).
+    */
+  private def closurePairs(edges: DataFrame): DataFrame = {
     var pairs = edges.select(col("src").as("root"), col("dst").as("node")).distinct()
       .localCheckpoint()
     var frontier = pairs
@@ -178,6 +185,13 @@ object Traversals {
       pairs = pairs.unionAll(next).localCheckpoint()
       frontier = next
     }
+    pairs
+  }
+
+  private def g07(s: SparkSession, dir: String): DataFrame = {
+    val edges = TradeGraph.edgesTable(s, dir)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val pairs = closurePairs(edges)
     val verts = TradeGraph.nodes(s, dir)
     verts.join(pairs, verts("node") === pairs("root"), "left")
       .groupBy(verts("node"))
@@ -194,6 +208,56 @@ object Traversals {
     SELECT n.node, count(r.root) AS n_reachable
     FROM nodes n LEFT JOIN r ON r.root = n.node
     GROUP BY n.node ORDER BY n.node"""
+
+  /** Strongly connected components of the DIRECTED trade graph — the
+    * directed-graph census g05/g11 (undirected CC) can't answer: two
+    * nations are in one SCC iff trade flows both ways, possibly
+    * transitively. Labels are deterministic by construction: scc_id(v)
+    * = min(v, min{u : u⇄v mutually reachable}), computed as the
+    * closure-pair set intersected with its own transpose — same
+    * [[closurePairs]] machinery and the same documented exact envelope
+    * as g07 (the mutual-pair set is one self-join of the closure on
+    * the flipped key pair, hash-uniform). At cluster scale the
+    * pair-set closure gives way to pivot-based forward-backward
+    * decomposition (rounds ~ log n, frontier joins like g03's) — the
+    * envelope note, not this registered query's job, which is the
+    * 25-node nation spine.
+    */
+  private def g24(s: SparkSession, dir: String): DataFrame = {
+    val edges = TradeGraph.edgesTable(s, dir)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val pairs = closurePairs(edges)
+    val mutual = pairs.join(
+      pairs.select(col("node").as("root"), col("root").as("node")),
+      Seq("root", "node"))
+      .select(col("root").as("v"), col("node").as("u"))
+    val verts = TradeGraph.nodes(s, dir)
+    val labeled = verts.join(mutual, verts("node") === mutual("v"), "left")
+      .groupBy(verts("node"))
+      .agg(min(mutual("u")).as("mn"))
+      .select(col("node"),
+        least(col("node"), coalesce(col("mn"), col("node"))).as("scc_id"))
+    labeled
+      .withColumn("scc_size",
+        count(lit(1)).over(Window.partitionBy(col("scc_id"))))
+      .orderBy(col("node"))
+  }
+
+  private val g24Sql = s"""
+    WITH RECURSIVE ${GraphSql.edgesCte}, ${GraphSql.nodesCte},
+    r(root, nd) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.root, e.dst FROM r JOIN edges e ON e.src = r.nd),
+    m AS (
+      SELECT a.root AS v, a.nd AS u
+      FROM r a JOIN r b ON b.root = a.nd AND b.nd = a.root),
+    s AS (
+      SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc_id
+      FROM nodes n LEFT JOIN m ON m.v = n.node
+      GROUP BY n.node)
+    SELECT node, scc_id, count(*) OVER (PARTITION BY scc_id) AS scc_size
+    FROM s ORDER BY node"""
 
   /** Closeness centrality via multi-source BFS: every vertex's frontier
     * advances in the same loop (as in g07, the diameter — not the
@@ -291,6 +355,7 @@ object Traversals {
     Op("g04_dfs_terminal", g04, Some(g04Sql)),
     Op("g23_dfs_terminal_from_hub", g23, Some(g23Sql)),
     Op("g07_reachability", g07, Some(g07Sql)),
+    Op("g24_scc", g24, Some(g24Sql)),
     Op("g08_shortest_path_weighted", g08, Some(g08Sql)),
     Op("g14_closeness", g14, Some(g14Sql)))
 }

