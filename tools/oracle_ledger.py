@@ -40,14 +40,21 @@ subprocess.run(
 oracle = json.load(open(sql_path))
 
 import duckdb
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sfdir}/{t}.parquet')")
+
+def fresh_con():
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{sfdir}/{t}.parquet')")
+    return c
+
+con = fresh_con()
 
 def run_once(sql):
-    """(seconds, rows) or raises; interrupted past TIMEOUT_S."""
+    """(seconds, rows) or raises; interrupted past TIMEOUT_S (the
+    connection is rebuilt after an interrupt so later queries run)."""
+    global con
     done = threading.Event()
     def watchdog():
         if not done.wait(TIMEOUT_S):
@@ -57,6 +64,10 @@ def run_once(sql):
     t0 = time.monotonic()
     try:
         n = len(con.sql(sql).fetchall())
+    except Exception:
+        done.set()
+        con = fresh_con()
+        raise
     finally:
         done.set()
     return time.monotonic() - t0, n
