@@ -716,6 +716,84 @@ object Dedup {
     GROUP BY g.doc_id ORDER BY g.doc_id"""
   }
 
+  // ---- d15: curation funnel census ------------------------------------
+  /** The whole curation pipeline as ONE census — the report a data
+    * curator reads before training: per source, how many documents
+    * enter and how many survive exact dedup, near-dup clustering, and
+    * the quality gate, applied cumulatively in pipeline order. The
+    * gates are the registered operators' OWN definitions (d01's
+    * min-id-per-content-hash keeper, d06's cluster keeper, t02's
+    * quality score at a 0.5 cut — the corpus median is ~0.54, so the
+    * gate is non-degenerate), which keeps the funnel consistent with
+    * the component queries by construction and lets the oracle
+    * recompose the identical CTEs. Cost: the memoized cluster table
+    * plus one pass over documents and three doc_id equi-joins — at
+    * 100 TB nothing here shuffles beyond what the component operators
+    * already pay, and the census exchange is bounded by the source
+    * count. The quality cut compares doubles both engines compute
+    * bit-identically (t02's §4 contract), so the boundary is exact.
+    */
+  private val QualityCut = 0.5
+
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val exactKeep = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("exact_keep"))
+    val nearDrop = clustersTable(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("near_drop"))
+    val quality = graft.text.TextOps.qualityScores(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    docs
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .withColumn("g1", coalesce(col("exact_keep"), lit(0L)))
+      .withColumn("g2",
+        when(col("g1") === 1L && col("near_drop").isNull, 1L).otherwise(0L))
+      .withColumn("g3",
+        when(col("g2") === 1L && col("quality_score") >= lit(QualityCut), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("g1")).as("n_after_exact"),
+        sum(col("g2")).as("n_after_neardup"),
+        sum(col("g3")).as("n_survivors"))
+      .withColumn("survival_rate",
+        col("n_survivors").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  private def d15Sql: String = s"""
+    WITH RECURSIVE $dupGraphCtes,
+    clusters AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM r GROUP BY a),
+    exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    quality AS (${graft.text.TextOps.qualityScoreSql}),
+    flags AS (
+      SELECT d.doc_id, d.source,
+        CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g1,
+        CASE WHEN e.doc_id IS NOT NULL
+               AND (c.doc_id IS NULL OR c.cluster_id = d.doc_id)
+             THEN 1 ELSE 0 END AS g2,
+        CASE WHEN e.doc_id IS NOT NULL
+               AND (c.doc_id IS NULL OR c.cluster_id = d.doc_id)
+               AND q.quality_score >= CAST(0.5 AS DOUBLE)
+             THEN 1 ELSE 0 END AS g3
+      FROM documents d
+      LEFT JOIN exact e ON e.doc_id = d.doc_id
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      JOIN quality q ON q.doc_id = d.doc_id)
+    SELECT source, count(*) AS n_docs,
+      CAST(SUM(g1) AS BIGINT) AS n_after_exact,
+      CAST(SUM(g2) AS BIGINT) AS n_after_neardup,
+      CAST(SUM(g3) AS BIGINT) AS n_survivors,
+      CAST(SUM(g3) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS survival_rate
+    FROM flags GROUP BY source ORDER BY source"""
+
   // ---- d14: fuzzy key matching via deletion-neighborhood blocking ----
   /** Edit-distance-1 fuzzy matching over an entity-key column
     * (supplier names) — the record-linkage / fuzzy-join operator class
@@ -766,6 +844,7 @@ object Dedup {
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
     Op("d14_fuzzy_names", d14, Some(d14Sql)),
+    Op("d15_curation_funnel", d15, Some(d15Sql)),
     Op("d09_cross_source", d09, Some(d09Sql)),
     Op("d10_train_split", d10, Some(d10Sql)),
     Op("d11_lsh_quality", d11, Some(d11Sql)),

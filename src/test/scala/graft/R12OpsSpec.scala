@@ -105,6 +105,50 @@ class R12OpsSpec extends AnyFunSuite {
     assert(accTot > 0 && accTot < nTot, s"degenerate acceptance $accTot/$nTot")
   }
 
+  test("d15 curation funnel matches a recount from its component gates") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // gate 1 recounted independently (exact keeper = min id per content)
+    val exactKeepers = docs.groupBy(d => md5hex(d._2))
+      .values.map(_.map(_._1).min).toSet
+    // gate 2 uses the engine's d06 output — itself oracle-checked and
+    // driver-recounted elsewhere; the funnel's JOB is composing it
+    val clusterKeeper = SparkEntry.queries("d06_dup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2) == 1L)).toMap
+    // gate 3 recounted independently (t13's quality arithmetic)
+    def qual(text: String): Double = {
+      val t = text.split(" ", -1).filter(_.nonEmpty)
+      if (t.isEmpty) 0.0 else {
+        val nStop = t.count(stop)
+        val nPunct = "[!?,.;:]".r.findAllIn(text).size
+        0.4 * (nStop.toDouble / t.length) +
+          0.4 * (1.0 - nPunct.toDouble / text.length) +
+          0.2 * math.min(t.length.toDouble / 100.0, 1.0)
+      }
+    }
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val g1 = ds.filter(d => exactKeepers(d._1))
+      val g2 = g1.filter(d => clusterKeeper.getOrElse(d._1, true))
+      val g3 = g2.filter(d => qual(d._2) >= 0.5)
+      src -> ((ds.length.toLong, g1.length.toLong, g2.length.toLong,
+        g3.length.toLong, g3.length.toDouble / ds.length))
+    }
+    val got = SparkEntry.queries("d15_curation_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"source $k") }
+    // the funnel must be monotone and actually drop documents overall
+    // (at sf0.001 the exact gate alone may drop nothing — the corpus'
+    // ~4% near-dups are copy+" dup", not byte-identical)
+    val (n, e1, e2, e3) = (got.values.map(_._1).sum, got.values.map(_._2).sum,
+      got.values.map(_._3).sum, got.values.map(_._4).sum)
+    assert(e1 <= n && e2 <= e1 && e3 <= e2 && e3 < n,
+      s"degenerate funnel $n/$e1/$e2/$e3")
+  }
+
   test("g24 SCC labels match a boolean-matrix closure recount") {
     val edges = graph.TradeGraph.edgesTable(spark, dir)
       .select("src", "dst").collect()
