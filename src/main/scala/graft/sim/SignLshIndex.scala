@@ -17,8 +17,14 @@ import graft.functions.VectorFunctions.floatNorm
   *
   * Maintains two logical tables:
   *
-  *   - `vec` (vec_id, embedding, nrm): the vector store, norms
-  *     precomputed at ingest (the exact re-rank's denominators);
+  *   - `vec` (vec_id, embedding, nrm, qv, qn2): the vector store —
+  *     norms precomputed at ingest (the exact re-rank's
+  *     denominators), plus the int8 quantized form (`qv` binary,
+  *     `qn2` integer squared norm) so the QUANTIZED re-rank
+  *     ([[annGraphQuantized]] — the s09 composition, 2.81× less
+  *     exchange measured at sf3) serves straight from storage.
+  *     Quantization is per-vector and runs once, at ingest, on the
+  *     delta only;
   *   - `sig` (vec_id, tsig): the sign-LSH signature index over the
   *     calibrated family, `tsig = table · 2^bits + signature` — the
   *     same combined key the bucketed candidate path
@@ -93,9 +99,13 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
     spark.read.parquet(paths: _*)
   }
 
-  private def withNorm(vecs: DataFrame): DataFrame =
+  private def withNorm(vecs: DataFrame): DataFrame = {
+    import graft.functions.Int8Functions.{int8NormSq, int8Quantize}
     vecs.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", floatNorm(col("embedding")))
+      .withColumn("qv", int8Quantize(col("embedding")))
+      .withColumn("qn2", int8NormSq(col("qv")))
+  }
 
   /** (vec_id, tsig) rows of `e` under family (bits, tables). */
   private def sigOf(e: DataFrame, bits: Int, tables: Int): DataFrame = {
@@ -233,7 +243,31 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
     * shape, asserted under a default session config by
     * SignLshIndexSpec.
     */
-  def annGraph(): DataFrame = {
+  def annGraph(): DataFrame =
+    Similarity.rerankTop3From(vectors(), storedCandidates())
+
+  /** The top-3 graph re-ranked by the STORED int8 form instead of the
+    * float vectors — [[annGraph]]'s scale variant and the index-served
+    * s09 composition: identical candidate stream (same stored tsig,
+    * same shared strategy-pinned pipeline), but the wide pair+vector
+    * hydration exchange carries 72 B of vector payload per row instead
+    * of ~280 B (measured at sf3: 22.90 GB vs 64.33 GB per refresh,
+    * 2.81× — docs/SCALE_EVIDENCE_r12.md). The integer scores are the
+    * registered s08/s09 arithmetic: exactly symmetric under operand
+    * swap, bit-reproducible on any partitioning. The lossy-code price
+    * (int8 on top of LSH) is s09's measured recall@3 0.86–0.88,
+    * spec-gated ≥ 0.8.
+    */
+  def annGraphQuantized(): DataFrame =
+    Similarity.rerankTop3QuantizedFrom(
+      vectors().select(col("vec_id"), col("qv"), col("qn2")),
+      storedCandidates())
+
+  /** CANONICAL candidate pairs from the stored signature index —
+    * probe signatures derive from the stored tsig by bit arithmetic
+    * (no embedding access), shared by both serve paths.
+    */
+  private def storedCandidates(): DataFrame = {
     val (bits, _) = params
     val low = (1L << bits) - 1
     val masks = Similarity.scaledProbeMasks(bits)
@@ -244,9 +278,8 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
       .select(col("query_id"),
         (col("tsig").bitwiseAND(lit(~low)) +
           col("tsig").bitwiseAND(lit(low)).bitwiseXOR(col("m"))).as("tsig"))
-    val cands = Similarity.candidatePairsCanonical(probes,
+    Similarity.candidatePairsCanonical(probes,
       sig.select(col("vec_id").as("neighbor_id"), col("tsig")))
-    Similarity.rerankTop3From(vectors(), cands)
   }
 
   /** Drop all but the newest `keepLast` complete index versions (the

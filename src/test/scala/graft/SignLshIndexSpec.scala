@@ -39,6 +39,8 @@ class SignLshIndexSpec extends AnyFunSuite {
       assert(rebuilt.params == pinned, "family must be flat across these sizes")
       assert(rowSet(idx.signatures()) == rowSet(rebuilt.signatures()))
       assert(rowSet(idx.annGraph()) == rowSet(rebuilt.annGraph()))
+      assert(rowSet(idx.annGraphQuantized()) == rowSet(rebuilt.annGraphQuantized()),
+        "quantized serve path must be append-order independent too")
     }
 
     def dirBytes(rel: String): Long = {
@@ -133,5 +135,42 @@ class SignLshIndexSpec extends AnyFunSuite {
       "served ANN graph broadcast a stream — the sf3 probe-estimate trap")
     assert(!plan.contains("SortMergeJoin"),
       "served ANN graph sort-merge-joined — the sf3 wide-stream spill trap")
+    // the quantized serve path shares the pipeline and must hold the
+    // same pins — it exists precisely for the past-envelope regime
+    val servedQ = idx.annGraphQuantized()
+    servedQ.collect()
+    val planQ = servedQ.queryExecution.executedPlan.toString
+    assert(!planQ.contains("BroadcastExchange") && !planQ.contains("SortMergeJoin"),
+      s"quantized serve path lost a strategy pin:\n$planQ")
+  }
+
+  test("quantized serve path: stored int8 scores are bit-exact vs a driver recount") {
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val idxDir = java.nio.file.Files.createTempDirectory("signidx_q").toString
+    val idx = new SignLshIndex(spark, idxDir)
+    idx.build(vecs)
+    val emb = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quant(x: Array[Float]): Array[Long] = {
+      val maxabs = x.map(v => math.abs(v.toDouble)).foldLeft(0.0)(math.max)
+      if (maxabs == 0.0) x.map(_ => 0L)
+      else x.map(v => java.math.BigDecimal.valueOf(v.toDouble * 127.0 / maxabs)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }
+    def qcos(a: Array[Float], b: Array[Float]): Double = {
+      val (qa, qb) = (quant(a), quant(b))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val (n2a, n2b) = (qa.map(x => x * x).sum, qb.map(x => x * x).sum)
+      if (n2a > 0 && n2b > 0) dot.toDouble / math.sqrt((n2a * n2b).toDouble)
+      else -2.0
+    }
+    val got = idx.annGraphQuantized().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // every served pair's score must equal the from-scratch int8
+    // arithmetic on the raw floats, bit for bit
+    got.foreach { case (q, n, s) =>
+      assert(s == qcos(emb(q), emb(n)), s"pair ($q,$n) score drifted")
+    }
   }
 }
