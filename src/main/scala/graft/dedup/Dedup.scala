@@ -731,7 +731,13 @@ object Dedup {
     * 100 TB nothing here shuffles beyond what the component operators
     * already pay, and the census exchange is bounded by the source
     * count. The quality cut compares doubles both engines compute
-    * bit-identically (t02's §4 contract), so the boundary is exact.
+    * bit-identically (t02's §4 contract), so the boundary is exact —
+    * and it is guarded on n_tok > 0 in BOTH engines: t02's raw
+    * stop_ratio is 0/0 = NaN for a zero-token doc, Spark's NaN
+    * ordering would pass `NaN >= 0.5`, and DuckDB's 0/0 is
+    * settings-dependent, so the explicit gate (t13's convention:
+    * zero-token ⇒ quality 0 ⇒ fail) is what pins the cross-engine
+    * boundary the moment an empty doc enters the corpus.
     */
   private val QualityCut = 0.5
 
@@ -746,7 +752,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1L).as("near_drop"))
     val quality = graft.text.TextOps.qualityScores(s, dir)
-      .select(col("doc_id"), col("quality_score"))
+      .select(col("doc_id"), col("n_tok"), col("quality_score"))
     docs
       .join(exactKeep, Seq("doc_id"), "left")
       .join(nearDrop, Seq("doc_id"), "left")
@@ -755,7 +761,8 @@ object Dedup {
       .withColumn("g2",
         when(col("g1") === 1L && col("near_drop").isNull, 1L).otherwise(0L))
       .withColumn("g3",
-        when(col("g2") === 1L && col("quality_score") >= lit(QualityCut), 1L)
+        when(col("g2") === 1L && col("n_tok") > 0 &&
+          col("quality_score") >= lit(QualityCut), 1L)
           .otherwise(0L))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -781,6 +788,7 @@ object Dedup {
              THEN 1 ELSE 0 END AS g2,
         CASE WHEN e.doc_id IS NOT NULL
                AND (c.doc_id IS NULL OR c.cluster_id = d.doc_id)
+               AND q.n_tok > 0
                AND q.quality_score >= CAST(0.5 AS DOUBLE)
              THEN 1 ELSE 0 END AS g3
       FROM documents d

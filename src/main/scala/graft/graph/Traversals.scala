@@ -160,11 +160,6 @@ object Traversals {
     WHERE node NOT IN (SELECT src FROM dag)
     ORDER BY node"""
 
-  /** Transitive closure: per source node, how many nodes it reaches
-    * via ≥1 edge. One frontier loop over (root, node) pairs — all
-    * sources advance together, so the hop count (not the source
-    * count) bounds the number of shuffles.
-    */
   /** Directed transitive-closure pairs (root, node): root reaches node
     * via ≥1 edge. Frontier loop — all sources advance together, so the
     * hop count (not the source count) bounds the number of shuffles.

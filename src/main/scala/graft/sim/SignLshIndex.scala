@@ -71,6 +71,34 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
   /** Newest COMPLETE index version (manifest + marker), if any. */
   def version: Option[Long] = snaps.version
 
+  /** Segment-layout format this code writes: 2 = vec segments carry
+    * the int8 quantized form (qv, qn2). Pre-quantization indexes (no
+    * `format` file in the manifest) read back as 1.
+    */
+  val CurrentFormat = 2
+
+  /** The served version's segment-layout format. A version with no
+    * `format` manifest file was written before the quantized columns
+    * existed — its vec segments have no qv/qn2, and MIXING it with
+    * format-2 segments would make `spark.read.parquet` either fail to
+    * resolve qv or silently NULL it (scoring those vectors with the
+    * -2.0 sentinel — a wrong graph, not an error). [[append]] and
+    * [[annGraphQuantized]] therefore refuse on format 1;
+    * [[compact]] is the upgrade path (backfill-quantize + restamp).
+    */
+  def formatVersion: Int = {
+    val p = new Path(snaps.versionPath(requireVersion()), "format")
+    if (fs.exists(p)) snaps.readTextFile(p).trim.toInt else 1
+  }
+
+  private def requireFormat(what: String): Unit = {
+    val f = formatVersion
+    if (f != CurrentFormat) throw new IllegalStateException(
+      s"index at $indexDir has segment format $f (pre-quantization layout, " +
+        s"no qv/qn2 in vec segments); $what needs format $CurrentFormat — " +
+        "run compact() once to backfill-quantize and upgrade in place")
+  }
+
   /** The pinned (bits, tables) family, fixed at [[build]]. */
   def params: (Int, Int) = {
     val v = requireVersion()
@@ -148,6 +176,8 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
       snaps.writeTextFile(new Path(snaps.versionPath(v), "segments"),
         (prevSegments :+ seg).mkString("\n"))
       snaps.writeTextFile(new Path(snaps.versionPath(v), "params"), paramsLine)
+      snaps.writeTextFile(new Path(snaps.versionPath(v), "format"),
+        CurrentFormat.toString)
     }
   }
 
@@ -178,6 +208,10 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
     */
   def append(newVecs: DataFrame): Unit = {
     val v = requireVersion()
+    // an append carries the old segments forward into the new manifest,
+    // so appending format-2 deltas onto format-1 segments is exactly the
+    // mixed-schema read the format guard exists to prevent
+    requireFormat("append")
     val (bits, tables) = params
     // one row per vec_id even WITHIN a batch: an at-least-once source
     // can repeat an id in one trigger, and two stored rows for one id
@@ -213,7 +247,21 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
     // just re-scan stable storage. A localCheckpoint here would copy
     // the FULL store into executor memory/disk first, doubling the
     // compaction's peak footprint for no correctness gain.
-    writeDelta(vectors(), signatures(), v + 1, Seq.empty, s"$bits $tables")
+    //
+    // Format upgrade rides along for free: a format-1 index (vec
+    // segments without qv/qn2) is backfill-quantized here — per-vector
+    // ingest work the old layout skipped, paid once — and the rewritten
+    // single segment publishes under CurrentFormat, unblocking append()
+    // and annGraphQuantized().
+    val vec =
+      if (formatVersion >= CurrentFormat) vectors()
+      else {
+        import graft.functions.Int8Functions.{int8NormSq, int8Quantize}
+        vectors()
+          .withColumn("qv", int8Quantize(col("embedding")))
+          .withColumn("qn2", int8NormSq(col("qv")))
+      }
+    writeDelta(vec, signatures(), v + 1, Seq.empty, s"$bits $tables")
     v + 1
   }
 
@@ -258,10 +306,12 @@ final class SignLshIndex(spark: SparkSession, indexDir: String) {
     * (int8 on top of LSH) is s09's measured recall@3 0.86–0.88,
     * spec-gated ≥ 0.8.
     */
-  def annGraphQuantized(): DataFrame =
+  def annGraphQuantized(): DataFrame = {
+    requireFormat("annGraphQuantized")
     Similarity.rerankTop3QuantizedFrom(
       vectors().select(col("vec_id"), col("qv"), col("qn2")),
       storedCandidates())
+  }
 
   /** CANONICAL candidate pairs from the stored signature index —
     * probe signatures derive from the stored tsig by bit arithmetic

@@ -144,6 +144,53 @@ class SignLshIndexSpec extends AnyFunSuite {
       s"quantized serve path lost a strategy pin:\n$planQ")
   }
 
+  test("format guard: a pre-quantization index refuses append + quantized serve; compact() upgrades in place") {
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val dayZero = vecs.filter(col("vec_id") % 5 < 3)
+    val dayOne = vecs.filter(col("vec_id") % 5 >= 3)
+    val idxDir = java.nio.file.Files.createTempDirectory("signidx_fmt").toString
+    new SignLshIndex(spark, idxDir).build(dayZero)
+
+    // Rewrite the on-disk index to the pre-quantization layout an old
+    // build left behind: vec segments WITHOUT qv/qn2, no format stamp.
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val vecPath = java.nio.file.Paths.get(s"$idxDir/seg/s1/vec")
+    val stripped = spark.read.parquet(vecPath.toString)
+      .select("vec_id", "embedding", "nrm")
+    val tmp = java.nio.file.Files.createTempDirectory("signidx_fmt_tmp")
+      .resolve("vec")
+    stripped.write.parquet(tmp.toString) // materialized BEFORE the delete
+    rmTree(vecPath)
+    java.nio.file.Files.move(tmp, vecPath)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idxDir/v1/format"))
+
+    val old = new SignLshIndex(spark, idxDir)
+    assert(old.formatVersion == 1)
+    // the quantized serve would score old-segment vectors with NULL
+    // qv (the -2.0 sentinel) — it must refuse, not serve a wrong graph
+    intercept[IllegalStateException](old.annGraphQuantized())
+    // an append would publish a mixed-schema manifest — refuse too
+    intercept[IllegalStateException](old.append(dayOne))
+    // the float paths read a UNIFORM old layout and still serve
+    assert(old.annGraph().count() > 0)
+
+    // compact() is the upgrade: backfill-quantize + restamp, then the
+    // index appends and serves exactly like one built by current code
+    assert(old.compact() == 2L)
+    assert(old.formatVersion == 2)
+    old.append(dayOne)
+    val rebuilt = new SignLshIndex(spark,
+      java.nio.file.Files.createTempDirectory("signidx_fmt_rb").toString)
+    rebuilt.build(dayZero.unionByName(dayOne))
+    def rowSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rowSet(old.annGraphQuantized()) == rowSet(rebuilt.annGraphQuantized()),
+      "upgraded index must serve the bit-exact quantized graph")
+  }
+
   test("quantized serve path: stored int8 scores are bit-exact vs a driver recount") {
     val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
     val idxDir = java.nio.file.Files.createTempDirectory("signidx_q").toString
