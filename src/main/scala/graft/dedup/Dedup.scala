@@ -802,56 +802,98 @@ object Dedup {
       CAST(SUM(g3) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS survival_rate
     FROM flags GROUP BY source ORDER BY source"""
 
-  // ---- d14: fuzzy key matching via deletion-neighborhood blocking ----
-  /** Edit-distance-1 fuzzy matching over an entity-key column
+  // ---- d14/d16: fuzzy key matching via deletion-neighborhood blocking
+  /** Edit-distance-bounded fuzzy matching over an entity-key column
     * (supplier names) — the record-linkage / fuzzy-join operator class
     * (near-identical titles, typo'd entity names) the shingle-based
     * dedups don't cover: MinHash needs enough shingles to estimate
-    * overlap, while a key differs by ONE character.
+    * overlap, while a key differs by one or two characters.
     *
     * Brute force is n² levenshtein evaluations (what the oracle runs).
-    * The scale path is FastSS deletion-neighborhood blocking: each
-    * DISTINCT key emits its (len+1) 1-deletion variants (the key
-    * itself + each single-character deletion), and two keys within
-    * edit distance 1 MUST share a variant — a substitution at i shares
-    * the deletion-at-i, an insert/delete shares the shorter string
-    * itself. Sharing is necessary but not sufficient (transposed
-    * adjacent chars share variants at distance 2), so the exact
-    * levenshtein verifies each candidate — the candidate-generate →
-    * exact-verify shape of d02/d04 and d07's pigeonhole nibbles.
+    * The scale path is FastSS deletion-neighborhood blocking (Bocek et
+    * al. 2007, reference: the public FastSS paper): each DISTINCT key
+    * emits its depth-≤k deletion neighborhood (every string obtainable
+    * by deleting ≤ k characters, the key itself included), and two
+    * keys within edit distance k MUST share a neighborhood element —
+    * for k=1: a substitution at i shares the deletion-at-i, an
+    * insert/delete shares the shorter string itself. Sharing is
+    * necessary but not sufficient (transposed adjacent chars share
+    * depth-1 variants at edit distance 2), so the exact levenshtein
+    * verifies each candidate — the candidate-generate → exact-verify
+    * shape of d02/d04 and d07's pigeonhole nibbles.
+    *
+    * The neighborhood is `array_distinct`-ed PER KEY before the
+    * explode: deleting different characters of an equal-char run
+    * yields the SAME variant string (these zero-padded names have
+    * ~8-char runs, so the raw depth-1 stream carries ~8 duplicate
+    * (key, variant) rows each), and deduping map-side shrinks the
+    * candidate join's input — and its Σ|block|² output — by that
+    * factor before anything shuffles.
+    *
     * Cost: the variant equi-join touches Σ_variant |block|² pairs —
     * blocks are near-singletons for hash-distributed keys — versus n²;
     * everything is one explode + one equi-join + one distinct, no
-    * driver state, no quadratic stage at any corpus size.
+    * driver state, no quadratic stage at any corpus size. Depth-2
+    * neighborhoods are O(len²/2) variants per key — the documented
+    * price of the wider radius, still linear in the corpus.
     */
-  private def d14(s: SparkSession, dir: String): DataFrame = {
-    val names = Tables(s, dir, "supplier").select(col("s_name")).distinct()
-    val variants = names.withColumn("v",
-      explode(concat(array(col("s_name")), expr(
-        """transform(sequence(1, length(s_name)),
-             i -> concat(substring(s_name, 1, i - 1),
-                         substring(s_name, i + 1, length(s_name) - i)))"""))))
-    variants.select(col("s_name").as("name_a"), col("v"))
-      .join(variants.select(col("s_name").as("name_b"), col("v")), Seq("v"))
+  private def del1Of(x: String): String =
+    s"""CASE WHEN length($x) > 0 THEN
+          transform(sequence(1, length($x)),
+            i -> concat(substring($x, 1, i - 1),
+                        substring($x, i + 1, length($x) - i)))
+        ELSE array() END"""
+
+  /** Edit-distance-≤maxDist key pairs (name_a < name_b, dist) of the
+    * DISTINCT values of `keyCol` — the reusable fuzzy-join core behind
+    * d14 (k=1) and d16 (k=2).
+    */
+  private[graft] def fuzzyKeyPairs(names: DataFrame, keyCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist 1 or 2, got $maxDist")
+    val d1 = del1Of(keyCol)
+    val nbhd =
+      if (maxDist == 1) s"array_distinct(concat(array($keyCol), $d1))"
+      else s"""array_distinct(concat(array($keyCol), $d1,
+                 flatten(transform($d1, v -> ${del1Of("v")}))))"""
+    val variants = names.select(col(keyCol), explode(expr(nbhd)).as("v"))
+    variants.toDF("name_a", "v")
+      .join(variants.toDF("name_b", "v"), Seq("v"))
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b"))
       .distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1)
-      .orderBy(col("name_a"), col("name_b"))
+      .filter(col("dist") <= maxDist)
   }
 
-  private val d14Sql = """
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    fuzzyKeyPairs(Tables(s, dir, "supplier").select(col("s_name")).distinct(),
+      "s_name", maxDist = 1)
+      .orderBy(col("name_a"), col("name_b"))
+
+  /** d16: the radius-2 form — same blocking family, depth-2 deletion
+    * neighborhoods ([[fuzzyKeyPairs]] at maxDist = 2).
+    */
+  private def d16(s: SparkSession, dir: String): DataFrame =
+    fuzzyKeyPairs(Tables(s, dir, "supplier").select(col("s_name")).distinct(),
+      "s_name", maxDist = 2)
+      .orderBy(col("name_a"), col("name_b"))
+
+  private def fuzzySql(maxDist: Int) = s"""
     WITH n AS (SELECT DISTINCT s_name FROM supplier)
     SELECT a.s_name AS name_a, b.s_name AS name_b,
       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
     FROM n a JOIN n b ON a.s_name < b.s_name
-    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    WHERE levenshtein(a.s_name, b.s_name) <= $maxDist
     ORDER BY name_a, name_b"""
+
+  private val d14Sql = fuzzySql(1)
+  private val d16Sql = fuzzySql(2)
 
   val ops: Seq[Op] = Seq(
     Op("d01_dedup_exact", d01, Some(d01Sql)),
     Op("d14_fuzzy_names", d14, Some(d14Sql)),
+    Op("d16_fuzzy_names_ed2", d16, Some(d16Sql)),
     Op("d15_curation_funnel", d15, Some(d15Sql)),
     Op("d09_cross_source", d09, Some(d09Sql)),
     Op("d10_train_split", d10, Some(d10Sql)),

@@ -585,38 +585,69 @@ object Events {
     */
   private val IntervalS = 1800L
 
-  private def e13(s: SparkSession, dir: String): DataFrame = {
-    val ev = withEpoch(s, dir)
+  /** The general interval-count operator: per purchase, the count of
+    * the same user's clicks in the preceding `windowS` seconds,
+    * blocked on time buckets of `bucketS` seconds. A click's bucket is
+    * es div B; a purchase's half-open window [es−W, es) spans buckets
+    * (es div B) − ⌈W/B⌉ … es div B, so each purchase probes
+    * ⌈W/B⌉ + 1 buckets (map-side explode of the narrow probe row —
+    * the e13 case W = B probes exactly 2). A click still matches a
+    * given purchase through only ONE probe (a click has one bucket),
+    * so no dedup precedes the count, and the plan stays pure equi-join
+    * at every (W, B) — the no-nested-loop pin R13OpsSpec asserts
+    * across widths. Decoupling B from W is the tuning knob a real
+    * deployment needs: B ≪ W tightens candidate precision for long
+    * windows at the price of more probes; B = W minimizes probes.
+    */
+  private[graft] def intervalCounts(ev: DataFrame, windowS: Long,
+      bucketS: Long, outCol: String): DataFrame = {
+    require(windowS > 0 && bucketS > 0)
+    val nProbe = (windowS + bucketS - 1) / bucketS + 1
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("es").as("ces"),
-        expr(s"es div $IntervalS").as("cb"))
+        expr(s"es div $bucketS").as("cb"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("es"),
-        explode(array(expr(s"es div $IntervalS") - 1,
-          expr(s"es div $IntervalS"))).as("cb"))
+        explode(expr(
+          s"sequence(es div $bucketS - ${nProbe - 1}, es div $bucketS)")).as("cb"))
     purchases
       .join(clicks, Seq("user_id", "cb"), "left")
       .groupBy(col("event_id"), col("user_id"), col("es"))
-      .agg(count(when(col("ces") >= col("es") - IntervalS &&
-        col("ces") < col("es"), lit(1))).as("n_clicks_30m"))
+      .agg(count(when(col("ces") >= col("es") - windowS &&
+        col("ces") < col("es"), lit(1))).as(outCol))
       .orderBy(col("event_id"))
   }
 
-  private val e13Sql = s"""
+  private def e13(s: SparkSession, dir: String): DataFrame =
+    intervalCounts(withEpoch(s, dir), IntervalS, IntervalS, "n_clicks_30m")
+
+  /** e14: the same operator at a DIFFERENT (window, bucket) pair — a
+    * 2-hour window blocked on 30-min buckets (5 probes per purchase) —
+    * so the parameterized form, not just e13's W = B special case, is
+    * oracle-checked.
+    */
+  private def e14(s: SparkSession, dir: String): DataFrame =
+    intervalCounts(withEpoch(s, dir), 7200L, IntervalS, "n_clicks_2h")
+
+  private def intervalSql(windowS: Long, outCol: String) = s"""
     WITH ev AS (
       SELECT event_id, user_id, event_type, (epoch_ns(ts) // 1000000000) AS es
       FROM events),
     p AS (SELECT event_id, user_id, es FROM ev WHERE event_type = 'purchase'),
     c AS (SELECT user_id, es AS ces FROM ev WHERE event_type = 'click')
-    SELECT p.event_id, p.user_id, p.es, count(c.ces) AS n_clicks_30m
+    SELECT p.event_id, p.user_id, p.es, count(c.ces) AS $outCol
     FROM p LEFT JOIN c ON c.user_id = p.user_id
-      AND c.ces >= p.es - $IntervalS AND c.ces < p.es
+      AND c.ces >= p.es - $windowS AND c.ces < p.es
     GROUP BY p.event_id, p.user_id, p.es
     ORDER BY p.event_id"""
+
+  private val e13Sql = intervalSql(IntervalS, "n_clicks_30m")
+  private val e14Sql = intervalSql(7200L, "n_clicks_2h")
 
   val ops: Seq[Op] = Seq(
     Op("e01_sessionize", e01, Some(e01Sql)),
     Op("e13_interval_counts", e13, Some(e13Sql)),
+    Op("e14_interval_counts_2h", e14, Some(e14Sql)),
     Op("e11_rolling_distinct_kmv", e11, Some(e11Sql)),
     Op("e12_rolling_distinct_scale", e12, Some(e12Sql)),
     Op("e09_pivot", e09, Some(e09Sql)),
