@@ -60,6 +60,40 @@ final class GramIndex(spark: SparkSession, indexDir: String) {
     snaps.readTextFile(new Path(snaps.versionPath(v), "segments"))
       .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** The caller-supplied tag version `v` was published with, if any —
+    * the streaming decontaminator's batch journal (one tiny file per
+    * version), the same replay-detection contract as
+    * [[MinHashIndex.tagOf]].
+    */
+  def tagOf(v: Long): Option[String] = {
+    val p = new Path(snaps.versionPath(v), "tag")
+    if (fs.exists(p)) Some(snaps.readTextFile(p).trim) else None
+  }
+
+  /** Newest complete version carrying `tag` — scans all retained
+    * versions newest-first (tiny manifest reads, bounded by vacuum
+    * retention) so an interleaved [[compact]] can't hide a crashed
+    * batch's journal entry.
+    */
+  def versionTagged(tag: String): Option[Long] =
+    snaps.completeVersions.sorted.reverse.find(tagOf(_).contains(tag))
+
+  /** The gram set as it stood BEFORE version `v`'s own delta — the
+    * union of `v`'s manifest minus its delta segment (equivalently:
+    * the previous version's segments, but read through `v`'s manifest
+    * so it stays answerable after older manifests are vacuumed).
+    * This is the versioned pre-batch train set a replayed
+    * decontamination trigger re-audits against; only meaningful for
+    * append-published versions (a compacted version's single merged
+    * segment IS its delta).
+    */
+  def gramsBefore(v: Long): DataFrame = {
+    val paths = segmentsOf(v).filterNot(_ == s"s$v")
+      .map(s => new Path(segRoot, s"$s/grams").toString)
+    if (paths.isEmpty) grams().limit(0)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** The subset of `g64s` (a g64 column) ALREADY in the store — the
     * bloom-pruned membership probe: per-segment sidecars rule segments
     * out with no false negatives, so a quiet crawl batch against a
@@ -81,7 +115,7 @@ final class GramIndex(spark: SparkSession, indexDir: String) {
     * parquet write + bloom build over the written parquet).
     */
   private def writeDelta(grams: DataFrame, v: Long,
-      prevSegments: Seq[String]): Unit = {
+      prevSegments: Seq[String], tag: Option[String] = None): Unit = {
     val seg = s"s$v"
     val gramsPath = new Path(segRoot, s"$seg/grams").toString
     grams.select(col("g64")).write.mode("overwrite").parquet(gramsPath)
@@ -93,6 +127,8 @@ final class GramIndex(spark: SparkSession, indexDir: String) {
     snaps.publish(v) { v =>
       snaps.writeTextFile(new Path(snaps.versionPath(v), "segments"),
         (prevSegments :+ seg).mkString("\n"))
+      tag.foreach(t =>
+        snaps.writeTextFile(new Path(snaps.versionPath(v), "tag"), t))
     }
   }
 
@@ -108,11 +144,11 @@ final class GramIndex(spark: SparkSession, indexDir: String) {
     * membership, exact-confirmed), write one delta segment. Replaying
     * an overlapping batch appends the empty set — idempotent.
     */
-  def append(newDocs: DataFrame): Unit = {
+  def append(newDocs: DataFrame, tag: Option[String] = None): Unit = {
     val v = requireVersion()
     val batch = Dedup.docGrams8(newDocs).select(col("g64")).distinct()
     val fresh = batch.join(knownGrams(batch), Seq("g64"), "left_anti")
-    writeDelta(fresh, v + 1, segmentsOf(v))
+    writeDelta(fresh, v + 1, segmentsOf(v), tag)
   }
 
   /** Merge the current version's segments into ONE and publish it as a

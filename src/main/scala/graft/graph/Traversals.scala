@@ -214,9 +214,10 @@ object Traversals {
     * as g07 (the mutual-pair set is one self-join of the closure on
     * the flipped key pair, hash-uniform). At cluster scale the
     * pair-set closure gives way to pivot-based forward-backward
-    * decomposition (rounds ~ log n, frontier joins like g03's) — the
-    * envelope note, not this registered query's job, which is the
-    * 25-node nation spine.
+    * decomposition — BUILT as [[Scc.fwbw]] and registered as g25
+    * against this query's own oracle (SccSpec pins the two bit-equal
+    * on adversarial graphs); this registered query stays the
+    * exact-envelope census on the 25-node nation spine.
     */
   private def g24(s: SparkSession, dir: String): DataFrame = {
     val edges = TradeGraph.edgesTable(s, dir)
@@ -253,6 +254,24 @@ object Traversals {
       GROUP BY n.node)
     SELECT node, scc_id, count(*) OVER (PARTITION BY scc_id) AS scc_size
     FROM s ORDER BY node"""
+
+  /** g25: the SAME SCC census served by the SCALE path — [[Scc.fwbw]]'s
+    * pivot forward-backward decomposition (frontier joins only, no
+    * closure-pair materialization) on the same nation spine, checked
+    * against the same oracle as g24. Registering it makes the scale
+    * plan itself oracle-exercised, the d05→d12 / e11→e12 pattern:
+    * g24 stays as the exact-envelope census, this row is the plan a
+    * 100 TB graph actually runs.
+    */
+  private def g25(s: SparkSession, dir: String): DataFrame = {
+    val edges = TradeGraph.edgesTable(s, dir).select(col("src"), col("dst"))
+    Scc.fwbw(TradeGraph.nodes(s, dir), edges)
+      .select(col("node").cast("int").as("node"),
+        col("scc_id").cast("int").as("scc_id"))
+      .withColumn("scc_size",
+        count(lit(1)).over(Window.partitionBy(col("scc_id"))))
+      .orderBy(col("node"))
+  }
 
   /** Closeness centrality via multi-source BFS: every vertex's frontier
     * advances in the same loop (as in g07, the diameter — not the
@@ -351,6 +370,7 @@ object Traversals {
     Op("g23_dfs_terminal_from_hub", g23, Some(g23Sql)),
     Op("g07_reachability", g07, Some(g07Sql)),
     Op("g24_scc", g24, Some(g24Sql)),
+    Op("g25_scc_fwbw", g25, Some(g24Sql)),
     Op("g08_shortest_path_weighted", g08, Some(g08Sql)),
     Op("g14_closeness", g14, Some(g14Sql)))
 }

@@ -149,8 +149,112 @@ object Multimodal {
     FROM documents, UNNEST([0, 1, 2]) AS t(i)
     ORDER BY doc_id, frame_idx"""
 
+  /** m04: perceptual near-dup detection over the binary payload — the
+    * dedup operator the m-tier was missing: exact dedup (d01) catches
+    * byte-identical media only, while re-encoded / resized copies need
+    * a DECODED-DOMAIN fingerprint. The operator is difference-hash
+    * (dHash): decode + downscale the payload to an 8×9 luminance grid,
+    * set bit (i,j) iff grid(i,j) < grid(i,j+1) — a 64-bit fingerprint
+    * stable under re-encoding, then find fingerprints within Hamming
+    * distance ≤ 3 by pigeonhole blocking: two 64-bit codes within
+    * distance 3 agree on at least one of their four 16-bit quarters
+    * (4 blocks > 3 flipped bits), so the equi-join on (quarter index,
+    * quarter value) finds EVERY such pair while touching only
+    * same-quarter buckets — d07's nibble scheme scaled to 64 bits.
+    * The n² cross join is the oracle, never the plan.
+    *
+    * The DECODE is the container's stub (no codecs here): the 72-cell
+    * grid stands in for the resized 8×9 luminance plane. Crucially the
+    * stub must preserve dHash's LOCALITY, or the operator is
+    * vacuously all-zeros: cell i is the first md5 nibble of the i-th
+    * of 72 equal-width payload REGIONS (width ⌈len/72⌉ — the payload
+    * is stretched over the full grid exactly as a resize stretches a
+    * small image), so a local edit — a suffix tag, a substituted span
+    * — perturbs only the 1–2 cells whose region it touches, flipping
+    * ≤3 of the 64 bits, while unrelated payloads differ in ~half.
+    * (A whole-payload hash per cell would give near-dups independent
+    * fingerprints; a mid-payload INSERTION shifts every later region
+    * and does diverge — real dHash breaks under translation the same
+    * way.) Everything is integer/hex arithmetic computable in DuckDB,
+    * so fingerprint, blocking join, and Hamming verify are
+    * oracle-exact end to end; swapping the stub grid for a real
+    * decoder's pixels changes no Spark-side plumbing (same 72-value
+    * grid contract).
+    *
+    * Scale shape: fingerprinting is one per-row codegen'd projection
+    * (the d03 simhash family, 64 comparators instead of 16 votes);
+    * the blocking join shuffles narrow (quarter, fp, id) rows on
+    * md5-uniform quarter values — Σ|block|² with near-singleton
+    * blocks — and only verified pairs aggregate. No driver state,
+    * no quadratic stage at any corpus size.
+    */
+  /** The 72-cell stub grid cell expression (Spark SQL syntax): first
+    * md5 nibble of payload region i, regions of width ⌈len/72⌉.
+    */
+  private def cellExpr(i: Int): String =
+    s"(instr('0123456789abcdef', substr(md5(cast(substring(text, $i * w + 1, w) AS BINARY)), 1, 1)) - 1)"
+
+  private def withFingerprint(docs: DataFrame): DataFrame = {
+    val fpBits = (0 until 64).map { b =>
+      val (i, j) = (b / 8, b % 8) // 8 rows x 9 cols; compare col j, j+1
+      s"""CASE WHEN element_at(grid, ${9 * i + j + 1}) < element_at(grid, ${9 * i + j + 2})
+          THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+    }.mkString(" + ")
+    docs
+      .withColumn("w", expr("greatest((length(text) + 71) div 72, 1)"))
+      .withColumn("grid", array((0 until 72).map(i => expr(cellExpr(i))): _*))
+      .withColumn("fp", expr(fpBits))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    val fp = withFingerprint(Tables(s, dir, "documents"))
+    val keyed = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        expr(s"shiftright(fp, ${16 * i}) & 65535")): _*)).as(Seq("qidx", "qval")))
+    val a = keyed.toDF("doc_a", "fpa", "qidx", "qval")
+    val b = keyed.toDF("doc_b", "fpb", "qidx_b", "qval_b")
+    val pairs = a.join(b, col("qidx") === col("qidx_b") && col("qval") === col("qval_b") &&
+        col("doc_a") < col("doc_b"))
+      .filter(expr("bit_count(fpa ^ fpb) <= 3"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sym = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+    fp.join(sym.groupBy(col("doc_id")).agg(count(lit(1)).as("n_near")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m04Sql: String = {
+    def cellDuck(i: Int): String =
+      s"(instr('0123456789abcdef', substr(md5(substr(text, $i * w + 1, w)), 1, 1)) - 1)"
+    val fpBits = (0 until 64).map { b =>
+      val (i, j) = (b / 8, b % 8)
+      s"CASE WHEN g[${9 * i + j + 1}] < g[${9 * i + j + 2}] THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    val gridList = (0 until 72).map(cellDuck).mkString(", ")
+    s"""
+    WITH widths AS (
+      SELECT doc_id, text, greatest((len(text) + 71) // 72, 1) AS w
+      FROM documents),
+    grids AS (SELECT doc_id, [$gridList] AS g FROM widths),
+    fps AS MATERIALIZED (
+      SELECT doc_id, CAST($fpBits AS BIGINT) AS fp FROM grids),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fps a JOIN fps b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3),
+    sym AS (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+    SELECT f.doc_id, f.fp, count(s.doc_id) AS n_near
+    FROM fps f LEFT JOIN sym s ON s.doc_id = f.doc_id
+    GROUP BY f.doc_id, f.fp ORDER BY f.doc_id"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("m01_binary_meta", m01, Some(m01Sql)),
     Op("m02_media_stats", m02, Some(m02Sql)),
-    Op("m03_frame_sample", m03, Some(m03Sql)))
+    Op("m03_frame_sample", m03, Some(m03Sql)),
+    Op("m04_media_neardup", m04, Some(m04Sql)))
 }

@@ -181,6 +181,106 @@ object StreamOps {
         if (vacuumKeep > 0) index.vacuum(vacuumKeep): Unit
       }
 
+  /** [[indexMaintenance]] with a live CONSUMER: after every non-empty
+    * trigger the refreshed index serves its QUANTIZED top-3 ANN graph
+    * ([[graft.sim.SignLshIndex.annGraphQuantized]]) to `serve` — the
+    * composition a production embedding pipeline actually runs
+    * (crawl → delta append → refreshed neighbor graph), wired to the
+    * int8 serve path because that is the one whose wide pair+vector
+    * exchange is 2.81× cheaper at scale (measured at sf3,
+    * docs/SCALE_EVIDENCE_r12.md) — the stream is precisely where that
+    * per-refresh saving compounds. Serve ordering: the graph is
+    * served AFTER the trigger's append and BEFORE any maintenance
+    * compaction, so what the consumer sees is exactly the
+    * post-ingest index state; a replayed batch appends an empty
+    * delta (first-writer-wins) and re-serves the identical graph —
+    * at-least-once to an idempotent consumer, like [[crawlDedup]].
+    * StreamingSpec pins each trigger's served graph bit-equal to a
+    * from-scratch rebuild over the stream's lifetime prefix.
+    */
+  def indexMaintenanceServed(vecs: DataFrame, index: graft.sim.SignLshIndex,
+      compactEvery: Int = 0, vacuumKeep: Int = 0)(
+      serve: DataFrame => Unit): DataStreamWriter[Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          index.append(batch.toDF())
+          serve(index.annGraphQuantized())
+        }
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          index.compact(): Unit
+        if (vacuumKeep > 0) index.vacuum(vacuumKeep): Unit
+      }
+
+  /** Streaming decontamination against the HISTORICAL gram store —
+    * the third incremental-index streaming driver ([[crawlDedup]]
+    * maintains the MinHash index, [[indexMaintenanceServed]] the ANN
+    * index; this maintains [[graft.dedup.GramIndex]]): each
+    * micro-batch of crawled documents (doc_id, text) is audited
+    * against the PRE-batch train gram set — per doc, how many of its
+    * distinct 8-gram digests the corpus has already seen (d13's
+    * contract; docs with < 8 tokens have no grams and emit no row,
+    * exactly as in d13) — the audit rows flow to `sink`, and the
+    * batch's own new grams are appended as one delta segment so the
+    * NEXT batch is audited against history that includes this one.
+    * Per-trigger reads are O(batch + bloom sidecars): the append's
+    * membership probe is bloom-pruned ([[graft.dedup.GramIndex
+    * .knownGrams]]), and the audit join reads the stored gram
+    * segments by path, never re-shingling old documents.
+    *
+    * Restart-safe, AT-LEAST-ONCE to an idempotent sink, the
+    * [[crawlDedup]] journal contract: the batch's content-identity
+    * tag is published atomically with its append, and a replayed
+    * batch whose tag is already journaled re-audits the SAME rows
+    * against [[graft.dedup.GramIndex.gramsBefore]] of the tagged
+    * version — every decision input is versioned state — and
+    * re-emits the identical audit instead of re-appending (or worse,
+    * auditing its own grams as "contamination"). An idle trigger
+    * appends nothing and emits nothing.
+    */
+  def decontamStream(docs: DataFrame, index: graft.dedup.GramIndex,
+      compactEvery: Int = 0, vacuumKeep: Int = 0)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    require(vacuumKeep == 0 || vacuumKeep >= 2,
+      s"vacuumKeep must be 0 (off) or >= 2 (replay-window slack), got $vacuumKeep")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) decontamBatch(index, batch.toDF(), batchId)(sink)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          index.compact(): Unit
+        if (vacuumKeep > 0) index.vacuum(vacuumKeep): Unit
+      }
+  }
+
+  /** One [[decontamStream]] trigger — factored out so the replay path
+    * is directly testable (StreamingSpec drives it with a repeated
+    * batchId to simulate the crash between append and sink).
+    */
+  private[graft] def decontamBatch(index: graft.dedup.GramIndex,
+      batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
+    val b = batch.dropDuplicates("doc_id").localCheckpoint()
+    // content-identity tag: batchId alone collides across
+    // checkpoint resets (see crawlDedupBatch)
+    val idRow = b.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+    val tag = s"decontam_batch_${batchId}_${idRow.getLong(0)}_${idRow.getLong(1)}"
+    val v = index.versionTagged(tag).getOrElse {
+      index.append(b.select(col("doc_id"), col("text")), Some(tag))
+      index.version.get
+    }
+    // audit against the PRE-batch gram set — versioned, so a replay
+    // (append journaled, sink never ran) recomputes identical rows
+    val train = index.gramsBefore(v).withColumn("hit", lit(1L))
+    sink(graft.dedup.Dedup.docGrams8(b)
+      .join(train, Seq("g64"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        col("n_contaminated").cast("double") / col("n_grams").cast("double")))
+  }
+
   /** Streaming crawl dedup against the HISTORICAL corpus: each
     * micro-batch of crawled documents (doc_id, text) is appended to a
     * [[graft.dedup.MinHashIndex]] (one delta segment; the old corpus

@@ -28,6 +28,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m04 perceptual near-dup counts match a brute-force driver recount") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // independent fingerprint: 72 region cells -> 64 dHash bits
+    def fp(text: String): Long = {
+      val w = math.max((text.length + 71) / 72, 1)
+      val grid = (0 until 72).map { i =>
+        val from = math.min(i * w, text.length)
+        val until = math.min(i * w + w, text.length)
+        val region = if (from >= text.length) "" else text.substring(from, until)
+        Integer.parseInt(md5hex(region).take(1), 16)
+      }
+      (0 until 64).map { b =>
+        val (i, j) = (b / 8, b % 8)
+        if (grid(9 * i + j) < grid(9 * i + j + 1)) 1L << b else 0L
+      }.foldLeft(0L)(_ | _)
+    }
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fps = docs.map { case (id, t) => id -> fp(t) }
+    val expected = fps.map { case (id, f) =>
+      id -> (f, fps.count { case (oid, of) =>
+        oid != id && java.lang.Long.bitCount(f ^ of) <= 3
+      }.toLong)
+    }.toMap
+    val got = SparkEntry.queries("m04_media_neardup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, v) => assert(got(id) == v, s"doc $id") }
+    // the corpus' suffix near-dups must actually surface
+    assert(got.values.map(_._2).sum > 0, "degenerate: no near pair found")
+  }
+
   test("sampleFrames fans out k deterministic fingerprints per payload") {
     val media = Multimodal.mediaTable(spark, dir).limit(5)
     val frames = Multimodal.sampleFrames(media, k = 3).collect()

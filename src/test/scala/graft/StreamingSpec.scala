@@ -759,4 +759,137 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming index maintenance serves the QUANTIZED graph per trigger, bit-equal to a prefix rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.SignLshIndex
+    val vecs = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val dayZero = vecs.filter(col("vec_id") % 5 < 3)
+    val batchA = vecs.filter(col("vec_id") % 5 === 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val batchB = vecs.filter(col("vec_id") % 5 === 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    val idx = new SignLshIndex(spark,
+      java.nio.file.Files.createTempDirectory("signidx_qserve").toString)
+    idx.build(dayZero)
+
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val served = scala.collection.mutable.ArrayBuffer.empty[Set[Seq[Any]]]
+    val in = MemoryStream[(Long, Array[Float])]
+    // compactEvery=1: the serve runs BEFORE the trigger's maintenance
+    // compaction, and the next trigger serves off the compacted
+    // segments — both orders must yield the same graph
+    val q = StreamOps.indexMaintenanceServed(
+      in.toDF().toDF("vec_id", "embedding"), idx, compactEvery = 1)(df =>
+      served += rowSet(df)).start()
+    try {
+      in.addData(batchA.toSeq)
+      q.processAllAvailable()
+      in.addData((batchB ++ batchA.take(10)).toSeq) // replayed overlap
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(served.size == 2, s"one serve per non-empty trigger, got ${served.size}")
+    def rebuildQ(corpus: org.apache.spark.sql.DataFrame) = {
+      val rb = new SignLshIndex(spark,
+        java.nio.file.Files.createTempDirectory("signidx_qserve_rb").toString)
+      rb.build(corpus)
+      rowSet(rb.annGraphQuantized())
+    }
+    import spark.implicits._
+    val prefixA = dayZero.unionByName(batchA.toSeq.toDF("vec_id", "embedding"))
+    assert(served(0) == rebuildQ(prefixA),
+      "trigger 1 served a graph != prefix rebuild's quantized graph")
+    assert(served(1) == rebuildQ(vecs),
+      "trigger 2 served a graph != full rebuild's quantized graph")
+    assert(served(1) == rowSet(idx.annGraphQuantized()),
+      "post-stream index serves a different graph than its own last trigger")
+  }
+
+  test("streaming decontamination: per-batch audit equals an independent recount; replay re-emits") {
+    import graft.dedup.GramIndex
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def grams(text: String): Set[String] = {
+      val t = text.split(" ", -1).filter(_.nonEmpty)
+      if (t.length < 8) Set.empty
+      else (0 to t.length - 8).map(i => md5hex(t.slice(i, i + 8).mkString(" ")).take(16)).toSet
+    }
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val base = docs.filter(_._1 % 4 == 0)
+    val batch1 = docs.filter(_._1 % 4 == 1).toSeq
+    // batch 2 re-crawls part of batch 1: those docs must now audit as
+    // FULLY contaminated (their grams entered the store with batch 1)
+    val batch2 = docs.filter(_._1 % 4 == 2).toSeq ++ batch1.take(5)
+
+    val idx = new GramIndex(spark,
+      java.nio.file.Files.createTempDirectory("gramidx_stream").toString)
+    import spark.implicits._
+    idx.build(base.toSeq.toDF("doc_id", "text"))
+
+    var train = base.flatMap(d => grams(d._2)).toSet
+    def runBatch(rows: Seq[(Long, String)], batchId: Long): Map[Long, (Long, Long, Double)] = {
+      var emitted: Map[Long, (Long, Long, Double)] = null
+      StreamOps.decontamBatch(idx, rows.toDF("doc_id", "text"), batchId)(df =>
+        emitted = df.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap)
+      emitted
+    }
+    def recount(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Double)] =
+      rows.distinct.flatMap { case (id, text) =>
+        val g = grams(text)
+        if (g.isEmpty) None
+        else {
+          val hits = g.count(train).toLong
+          Some(id -> ((g.size.toLong, hits, hits.toDouble / g.size)))
+        }
+      }.toMap
+
+    var lastGot: Map[Long, (Long, Long, Double)] = Map.empty
+    for ((rows, bid) <- Seq((batch1, 0L), (batch2, 1L))) {
+      val vBefore = idx.version.get
+      val expected = recount(rows)
+      lastGot = runBatch(rows, bid)
+      assert(lastGot == expected, s"batch $bid audit != recount")
+      assert(idx.version.contains(vBefore + 1), "one delta version per batch")
+      train ++= rows.flatMap(d => grams(d._2))
+    }
+    // the re-crawled docs in batch 2 audited FULLY contaminated
+    val recrawled = batch1.take(5).filter(d => grams(d._2).nonEmpty)
+    assert(recrawled.nonEmpty, "test needs re-crawled docs with grams")
+    recrawled.foreach { case (id, _) =>
+      val (n, hits, frac) = lastGot(id)
+      assert(hits == n && frac == 1.0, s"re-crawled doc $id not fully contaminated")
+    }
+
+    // replay of batch 2 (same rows, same batchId): the journal routes
+    // it to a recompute — no new version, identical emission
+    val vAfter = idx.version.get
+    val replayExpected = {
+      // recount against the PRE-batch-2 train set, not the current one
+      val preTrain = (base ++ batch1).flatMap(d => grams(d._2)).toSet
+      batch2.distinct.flatMap { case (id, text) =>
+        val g = grams(text)
+        if (g.isEmpty) None
+        else Some(id -> ((g.size.toLong, g.count(preTrain).toLong,
+          g.count(preTrain).toDouble / g.size)))
+      }.toMap
+    }
+    val replayGot = runBatch(batch2, 1L)
+    assert(idx.version.contains(vAfter), "replay must not publish a new version")
+    assert(replayGot == replayExpected, "replay emission drifted from the original audit")
+
+    // the streamed index equals a from-scratch build over everything
+    val rebuilt = new GramIndex(spark,
+      java.nio.file.Files.createTempDirectory("gramidx_stream_rb").toString)
+    rebuilt.build((base ++ batch1 ++ batch2).distinct.toSeq.toDF("doc_id", "text"))
+    assert(idx.grams().collect().map(_.getString(0)).toSet ==
+      rebuilt.grams().collect().map(_.getString(0)).toSet)
+  }
 }
