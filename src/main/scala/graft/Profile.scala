@@ -191,6 +191,41 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "scc") {
+      // FW-BW SCC at scale on the bipartite-derived DIRECTED graph:
+      // customer c and supplier s trade through an order; the edge is
+      // directed by orderkey parity (even: c->s, odd: s->c), so a
+      // (c, s) pair trading through both parities forms a 2-cycle and
+      // hub suppliers weld those into large SCCs — the regime where
+      // g24's closure-pair envelope is unpayable (|V|·reach pairs over
+      // ~10^5 nodes) and Scc.fwbw's per-round O(V) frontier sets are
+      // the only viable shape. Node ids: customer = 2k, supplier =
+      // 2k+1 (g11's disambiguation). Usage: graft.Profile <sfDir> scc
+      import org.apache.spark.sql.functions._
+      val facts = graph.TradeGraph.orderFacts(spark, sfDir)
+      val c = col("custkey") * 2
+      val sp = col("suppkey") * 2 + 1
+      val edges = facts.select(
+        when(col("orderkey") % 2 === 0, c).otherwise(sp).as("src"),
+        when(col("orderkey") % 2 === 0, sp).otherwise(c).as("dst"))
+        .distinct().localCheckpoint()
+      val nodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+      t("edges")(edges.count())
+      t("nodes")(nodes.count())
+      var labels: org.apache.spark.sql.DataFrame = null
+      t("fwbw")(
+        { labels = graph.Scc.fwbw(nodes, edges).localCheckpoint(); labels.count() })
+      val census = labels.groupBy(col("scc_id"))
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      t("census.n_sccs")(census.count())
+      t("census.largest")(census.agg(max(col("n"))).head().getLong(0))
+      t("census.nodes_in_nontrivial")(
+        census.filter(col("n") > 1).agg(sum(col("n"))).head().getLong(0))
+      spark.stop()
+      return
+    }
+
     if (args.length > 1) {
       // time the named queries in isolation (fresh JVM, warm session)
       t("warmup")(Tables(spark, sfDir, "lineitem").count())

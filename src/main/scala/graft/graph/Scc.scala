@@ -113,32 +113,51 @@ object Scc {
           .join(act, Seq("part", "node"), "left_semi")
           .join(visited, Seq("part", "node", "d"), "left_anti")
           .localCheckpoint()
-        visited = visited.unionAll(next).localCheckpoint()
+        // lazy union of checkpointed hops — the anti-join above reads
+        // it as a cheap union scan; one checkpoint at return, not one
+        // job per hop
+        visited = visited.unionAll(next)
         frontier = next
       }
-      visited
+      visited.localCheckpoint()
     }
 
     while (!active.isEmpty) {
-      // ---- trim to fixpoint: peel source/sink nodes as singleton SCCs
+      // ---- trim to fixpoint: peel source/sink nodes as singleton SCCs.
+      // Each pass materializes only NODE-sized frames: the live-edge
+      // join stays lazy inside one plan whose output is the per-node
+      // (has_in, has_out) flag table — the exploded endpoint stream is
+      // narrow and map-side-combines down to node count before the
+      // shuffle, so a pass never checkpoints (or exchanges) anything
+      // edge-sized. (The first cut checkpointed the live edge table
+      // per pass; at sf3 that alone made trim the dominant cost.)
       var trimming = true
       while (trimming) {
-        val live = e.join(active.select(col("node").as("src"), col("part")), Seq("src"))
+        val flags = e
+          .join(active.select(col("node").as("src"), col("part")), Seq("src"))
           .join(active.select(col("node").as("dst"), col("part")), Seq("dst", "part"))
-          .select(col("part"), col("src"), col("dst"))
-          .localCheckpoint()
-        val kept = active
-          .join(live.select(col("part"), col("dst").as("node")), Seq("part", "node"), "left_semi")
-          .join(live.select(col("part"), col("src").as("node")), Seq("part", "node"), "left_semi")
+          .select(col("part"), explode(array(
+            struct(col("src").as("node"), lit(1).as("o"), lit(0).as("i")),
+            struct(col("dst").as("node"), lit(0).as("o"), lit(1).as("i")))).as("x"))
+          .select(col("part"), col("x.node").as("node"), col("x.o").as("o"), col("x.i").as("i"))
+          .groupBy(col("part"), col("node"))
+          .agg(max(col("o")).as("has_out"), max(col("i")).as("has_in"))
+        val kept = active.join(
+            flags.filter(col("has_out") === 1 && col("has_in") === 1)
+              .select(col("part"), col("node")),
+            Seq("part", "node"), "left_semi")
           .localCheckpoint()
         val trimmed = active.join(kept, Seq("part", "node"), "left_anti")
         trimming = !trimmed.isEmpty
         if (trimming) {
+          // lazy accumulate — trimmed is a cheap diff of two
+          // checkpointed frames; one checkpoint after the fixpoint
+          // bounds the lineage without paying a job per pass
           labeled = labeled.unionAll(trimmed.select(col("node"), col("node").as("scc_id")))
-            .localCheckpoint()
           active = kept
         }
       }
+      labeled = labeled.localCheckpoint()
       if (!active.isEmpty) {
         // ---- one pivot FW-BW round over the surviving cyclic cores
         val pivots = active.groupBy(col("part"))
