@@ -207,8 +207,18 @@ object Multimodal {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** The materialized (doc_id, fp) fingerprint table per (session,
+    * corpus) — the m04 plan consumes it three times (both blocking
+    * sides + the final census), and 72 md5s/row × 3 is exactly the
+    * recompute d07's memoized simhash table already avoids; same
+    * MatStore lifecycle.
+    */
+  def fingerprintTable(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"dhash:$dir", "graft_dhash")(
+      withFingerprint(Tables(s, dir, "documents")))
+
   private def m04(s: SparkSession, dir: String): DataFrame = {
-    val fp = withFingerprint(Tables(s, dir, "documents"))
+    val fp = fingerprintTable(s, dir)
     val keyed = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         expr(s"shiftright(fp, ${16 * i}) & 65535")): _*)).as(Seq("qidx", "qval")))
