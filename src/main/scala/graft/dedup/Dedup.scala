@@ -329,9 +329,14 @@ object Dedup {
     * — the same amortized-index lifecycle as d02's signature store and
     * s06's ANN graph (a dedup artifact is read many times per corpus).
     */
-  private def d12(s: SparkSession, dir: String): DataFrame =
+  /** The materialized near-dup pair table (vec_a < vec_b, label, cos)
+    * — shared by d12's registered census and d17's clustering.
+    */
+  private[dedup] def neardupTable(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.table(s, s"d12neardup:$dir", "graft_d12")(d12Build(s, dir))
-      .orderBy(col("vec_a"), col("vec_b"))
+
+  private def d12(s: SparkSession, dir: String): DataFrame =
+    neardupTable(s, dir).orderBy(col("vec_a"), col("vec_b"))
 
   private def d12Build(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
@@ -415,6 +420,79 @@ object Dedup {
     JOIN el b ON b.vec_id = cp.vec_b AND b.label = a.label
     WHERE ${Cosine.dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.30
     ORDER BY vec_a, vec_b"""
+
+  // ---- d17: semantic dedup clusters over the ANN pair table ----------
+  /** Embedding-space dedup CLUSTERS (the SemDeDup composition; public
+    * reference: the SemDeDup paper's cluster-then-keep-one shape):
+    * d12's calibrated ANN near-dup pairs, closed into connected
+    * components with one canonical keeper per cluster — the embedding
+    * analog of d06's shingle-based cluster census, and the step that
+    * turns a pair list into an actionable drop set. Every vector is
+    * emitted (isolated vectors are their own singleton cluster), so
+    * the output is directly joinable as a per-row verdict column.
+    *
+    * Scale shape: rides the memoized [[neardupTable]] (candidate
+    * volume ~linear in n — the d12 design), then hash-min label
+    * propagation whose round count is bounded by the largest cluster
+    * DIAMETER (near-dup clusters are small and dense — the same
+    * regime d06 runs in), each round one shuffle on node-sized label
+    * frames. The census columns are window counts over the final
+    * node-sized labels. Labels are min-vec_id per component —
+    * deterministic, and exactly what the oracle's recursive
+    * min-closure computes.
+    */
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    val pairs = neardupTable(s, dir).select(col("vec_a"), col("vec_b"))
+      .localCheckpoint()
+    // propagate over PAIR MEMBERS only (the clustersTable pattern):
+    // the label frames are sized by the dup set — a sliver of the
+    // corpus — and the untouched majority joins in as singletons
+    // afterward, one node-sized left join
+    val members = pairs.select(col("vec_a").as("node"))
+      .unionAll(pairs.select(col("vec_b").as("node"))).distinct()
+    val sym = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val labeled = graft.graph.Components.labelPropagate(members, sym)
+    Tables(s, dir, "embeddings").select(col("vec_id"))
+      .join(labeled, col("vec_id") === labeled("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("is_keeper",
+        when(col("vec_id") === col("cluster_id"), 1L).otherwise(0L))
+      .orderBy(col("vec_id"))
+  }
+
+  private val d17Sql = s"""
+    WITH RECURSIVE ${graft.sim.Similarity.annCandidateCtes},
+    cpairs AS (
+      SELECT DISTINCT least(query_id, neighbor_id) AS vec_a,
+        greatest(query_id, neighbor_id) AS vec_b
+      FROM cand),
+    el AS (
+      SELECT label, vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm
+      FROM embeddings),
+    nd AS MATERIALIZED (
+      SELECT cp.vec_a, cp.vec_b
+      FROM cpairs cp
+      JOIN el a ON a.vec_id = cp.vec_a
+      JOIN el b ON b.vec_id = cp.vec_b AND b.label = a.label
+      WHERE ${Cosine.dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.30),
+    sym AS MATERIALIZED (
+      SELECT vec_a AS src, vec_b AS dst FROM nd
+      UNION ALL SELECT vec_b, vec_a FROM nd),
+    nds AS (SELECT DISTINCT src AS node FROM sym),
+    r(a, b) AS (
+      SELECT node, node FROM nds
+      UNION
+      SELECT r.a, e.dst FROM r JOIN sym e ON e.src = r.b),
+    cl AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM r GROUP BY a)
+    SELECT e.vec_id, coalesce(cl.cluster_id, e.vec_id) AS cluster_id,
+      count(*) OVER (PARTITION BY coalesce(cl.cluster_id, e.vec_id)) AS cluster_size,
+      CAST(CASE WHEN e.vec_id = coalesce(cl.cluster_id, e.vec_id) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+    FROM embeddings e LEFT JOIN cl ON cl.vec_id = e.vec_id
+    ORDER BY e.vec_id"""
 
   // ---- d06: near-dup clustering -------------------------------------
   // LSH candidates with ≥5/9 matching signatures form a dup graph;
@@ -906,5 +984,6 @@ object Dedup {
     Op("d04_ngram_jaccard", d04, Some(d04Sql)),
     Op("d05_embedding_neardup", d05, Some(d05Sql)),
     Op("d12_neardup_ann", d12, Some(d12Sql)),
+    Op("d17_semantic_clusters", d17, Some(d17Sql)),
     Op("d13_contamination", d13, Some(d13Sql)))
 }

@@ -88,6 +88,41 @@ class R13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d17 semantic clusters equal a union-find recount over the d12 pair table") {
+    // independent leg: driver-side union-find over the oracle-checked
+    // d12 pairs, min-id canonical labels
+    val pairs = SparkEntry.queries("d12_neardup_ann")(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus yields near-dup pairs")
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id")
+      .collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(vecs.map(v => v -> v): _*)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = vecs.map(v => v -> find(v)).toMap
+    val sizes = label.values.groupBy(identity).map { case (c, vs) => c -> vs.size.toLong }
+    val got = SparkEntry.queries("d17_semantic_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.map(_._1).toSeq == vecs.sorted.toSeq, "every vector labeled, ordered")
+    got.foreach { case (v, (c, n, keep)) =>
+      assert(c == label(v), s"vec $v cluster")
+      assert(n == sizes(label(v)), s"vec $v size")
+      assert(keep == (if (v == c) 1L else 0L), s"vec $v keeper")
+    }
+    // non-degenerate: at least one multi-vector cluster, and keepers
+    // number exactly the cluster count
+    assert(sizes.values.max > 1)
+    assert(got.count(_._2._3 == 1L).toLong == sizes.size.toLong)
+  }
+
   test("e14 matches a driver recount at its registered width") {
     val rows = ops.Events.withEpoch(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("es"))
