@@ -221,7 +221,8 @@ object Profile {
       t("census.n_sccs")(census.count())
       t("census.largest")(census.agg(max(col("n"))).head().getLong(0))
       t("census.nodes_in_nontrivial")(
-        census.filter(col("n") > 1).agg(sum(col("n"))).head().getLong(0))
+        census.filter(col("n") > 1)
+          .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0))
       spark.stop()
       return
     }

@@ -436,8 +436,10 @@ object Dedup {
     * propagation whose round count is bounded by the largest cluster
     * DIAMETER (near-dup clusters are small and dense — the same
     * regime d06 runs in), each round one shuffle on node-sized label
-    * frames. The census columns are window counts over the final
-    * node-sized labels. Labels are min-vec_id per component —
+    * frames. The census column is a map-side-combining
+    * groupBy(cluster_id).count() joined back (one row per cluster on
+    * the exchange — never a window over the power-law-skewed
+    * cluster_id key). Labels are min-vec_id per component —
     * deterministic, and exactly what the oracle's recursive
     * min-closure computes.
     */
@@ -453,14 +455,23 @@ object Dedup {
     val sym = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     val labeled = graft.graph.Components.labelPropagate(members, sym)
-    Tables(s, dir, "embeddings").select(col("vec_id"))
+    val withCluster = Tables(s, dir, "embeddings").select(col("vec_id"))
       .join(labeled, col("vec_id") === labeled("node"), "left")
       .select(col("vec_id"),
         coalesce(col("comp"), col("vec_id")).as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .withColumn("is_keeper",
-        when(col("vec_id") === col("cluster_id"), 1L).otherwise(0L))
+    // census via map-side-combining groupBy (one row per cluster on
+    // the exchange), NOT count-over-window: cluster sizes are
+    // power-law, and a window partitioned by cluster_id would shuffle
+    // the whole corpus onto the skewed key and sort the giant
+    // boilerplate cluster in a single task
+    val sizes = withCluster.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .withColumnRenamed("cluster_id", "sz_cluster_id")
+    withCluster
+      .join(sizes, col("cluster_id") === col("sz_cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        when(col("vec_id") === col("cluster_id"), 1L).otherwise(0L)
+          .as("is_keeper"))
       .orderBy(col("vec_id"))
   }
 

@@ -197,6 +197,15 @@ object StreamOps {
     * at-least-once to an idempotent consumer, like [[crawlDedup]].
     * StreamingSpec pins each trigger's served graph bit-equal to a
     * from-scratch rebuild over the stream's lifetime prefix.
+    *
+    * Consumer contract: the served frame is LAZY. When maintenance is
+    * off (`compactEvery == 0 && vacuumKeep == 0`) a consumer may
+    * defer evaluation — segments are immutable and only appended.
+    * With maintenance on, this trigger may compact/vacuum the very
+    * segments the lazy plan reads AFTER the callback returns, so the
+    * frame handed to `serve` is localCheckpoint'ed (materialized
+    * inside the trigger) — the consumer always observes exactly the
+    * post-ingest index state regardless of when it evaluates.
     */
   def indexMaintenanceServed(vecs: DataFrame, index: graft.sim.SignLshIndex,
       compactEvery: Int = 0, vacuumKeep: Int = 0)(
@@ -206,7 +215,9 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
           index.append(batch.toDF())
-          serve(index.annGraphQuantized())
+          val graph = index.annGraphQuantized()
+          serve(if (compactEvery > 0 || vacuumKeep > 0)
+            graph.localCheckpoint() else graph)
         }
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           index.compact(): Unit
@@ -261,9 +272,13 @@ object StreamOps {
   private[graft] def decontamBatch(index: graft.dedup.GramIndex,
       batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
     val b = batch.dropDuplicates("doc_id").localCheckpoint()
-    // content-identity tag: batchId alone collides across
-    // checkpoint resets (see crawlDedupBatch)
-    val idRow = b.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+    // content-identity tag: batchId alone collides across checkpoint
+    // resets (see crawlDedupBatch), and the hash must cover the TEXT,
+    // not just doc_id — a reset batch that re-crawls the same ids
+    // with updated text would otherwise match the old tag, be
+    // swallowed as a replay, and its new grams never enter the store
+    val idRow = b.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id"), col("text")))).head()
     val tag = s"decontam_batch_${batchId}_${idRow.getLong(0)}_${idRow.getLong(1)}"
     val v = index.versionTagged(tag).getOrElse {
       index.append(b.select(col("doc_id"), col("text")), Some(tag))
@@ -458,15 +473,19 @@ object StreamOps {
   private[graft] def crawlDedupBatch(index: graft.dedup.MinHashIndex,
       batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
     val b = batch.dropDuplicates("doc_id").localCheckpoint()
-    // The journal tag carries the batch's CONTENT identity (id count +
-    // order-insensitive id xor-hash) alongside the batchId: batchId
-    // alone collides when a stream restarts with a fresh checkpoint
-    // against the same index — batchIds restart at 0, the old run's
-    // "batch 0" tag matches, and the brand-new batch would be silently
-    // swallowed as a replay. A true engine replay re-delivers the same
-    // rows, so its content identity matches; a checkpoint-reset batch
-    // does not.
-    val idRow = b.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+    // The journal tag carries the batch's CONTENT identity (row count
+    // + order-insensitive xor-hash of doc_id AND text) alongside the
+    // batchId: batchId alone collides when a stream restarts with a
+    // fresh checkpoint against the same index — batchIds restart at
+    // 0, the old run's "batch 0" tag matches, and the brand-new batch
+    // would be silently swallowed as a replay. Hashing the text too
+    // means a reset batch that re-crawls known ids with UPDATED text
+    // is also not mistaken for a replay (it then takes the fresh
+    // path, where id-level dedup drops it — the index is doc_id-
+    // keyed — rather than re-emitting the stale survivor set). A
+    // true engine replay re-delivers the same rows, so it matches.
+    val idRow = b.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id"), col("text")))).head()
     val tag = s"crawl_batch_${batchId}_${idRow.getLong(0)}_${idRow.getLong(1)}"
     // Replay detection: batches commit in order, so a replayed batch's
     // append — if it happened at all — is at or near the newest

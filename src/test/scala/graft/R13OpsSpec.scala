@@ -123,6 +123,15 @@ class R13OpsSpec extends AnyFunSuite {
     assert(got.count(_._2._3 == 1L).toLong == sizes.size.toLong)
   }
 
+  test("d17 census plan is groupBy+join, never a window over the skewed cluster_id") {
+    // cluster sizes are power-law: a count-over-window partitioned by
+    // cluster_id would shuffle the whole corpus onto one skewed key
+    // and sort the giant cluster in a single task at 100 TB
+    val plan = SparkEntry.queries("d17_semantic_clusters")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"WindowExec in d17 plan:\n$plan")
+  }
+
   test("e14 matches a driver recount at its registered width") {
     val rows = ops.Events.withEpoch(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("es"))
