@@ -77,6 +77,44 @@ class SccSpec extends AnyFunSuite {
     // self-loops and isolated nodes label themselves
     val loops = Seq((2L, 2L), (3L, 4L))
     assert(run(0L to 4L, loops) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+
+    // nested chain contraction: x's chain endpoint (2) is itself
+    // contracted in a LATER peel pass (as is 1, into a lollipop onto
+    // the {0,1} 2-cycle), so chain resolution must iterate. Verified
+    // against the matrix closure like the shapes above.
+    val nested = Seq((0L, 1L), (1L, 0L), (1L, 8L), (0L, 2L), (2L, 3L),
+      (2L, 5L), (3L, 4L), (6L, 4L), (4L, 7L))
+    assert(run(0L to 8L, nested) == closureLabels(0L to 8L, nested))
+  }
+
+  test("chain contraction caps path/cycle/caterpillar worst cases at O(log n) rounds") {
+    // a bare 10k path is trim's O(n)-pass and pivot-FW-BW's O(n)-round
+    // worst case; chain contraction must collapse it in ~2 peel passes
+    // + O(log n) pointer-doubling rounds, with NO pivot BFS at all
+    val n = 10000L
+    val path = (0L until n - 1).map(i => (i, i + 1))
+    assert(run(0L until n, path) == (0L until n).map(v => v -> v).toMap)
+    assert(Scc.lastPeelPasses <= 4, s"path peel passes ${Scc.lastPeelPasses}")
+    assert(Scc.lastDoublingRounds <= 20, s"path doubling rounds ${Scc.lastDoublingRounds}")
+    assert(Scc.lastPivotRounds == 0, s"path pivot rounds ${Scc.lastPivotRounds}")
+
+    // a 10k directed cycle is one SCC whose pivot BFS would walk 10k
+    // hops; pure-cycle detection labels it during the doubling instead
+    val cyc = (0L until n).map(i => (i, (i + 1) % n))
+    assert(run(0L until n, cyc) == (0L until n).map(v => v -> 0L).toMap)
+    assert(Scc.lastPeelPasses <= 4, s"cycle peel passes ${Scc.lastPeelPasses}")
+    assert(Scc.lastDoublingRounds <= 20, s"cycle doubling rounds ${Scc.lastDoublingRounds}")
+    assert(Scc.lastPivotRounds == 0, s"cycle pivot rounds ${Scc.lastPivotRounds}")
+
+    // caterpillar: pendant leaves keep the spine non-chain until trim
+    // peels them — contraction must fire MID-LOOP on the exposed spine
+    val spine = 1000L
+    val cat = (0L until spine - 1).map(i => (i, i + 1)) ++
+      (0L until spine).map(i => (i, spine + i))
+    assert(run(0L until 2 * spine, cat) ==
+      (0L until 2 * spine).map(v => v -> v).toMap)
+    assert(Scc.lastPeelPasses <= 5, s"caterpillar peel passes ${Scc.lastPeelPasses}")
+    assert(Scc.lastPivotRounds == 0, s"caterpillar pivot rounds ${Scc.lastPivotRounds}")
   }
 
   test("g25 (registered fwbw) equals g24 (registered closure census) on the nation spine") {
