@@ -14,6 +14,28 @@ object TextOps {
   private val toksExpr = "filter(split(text, ' '), t -> t != '')"
   private val toksDuck = "list_filter(string_split(text, ' '), t -> t != '')"
 
+  // Winnowing building blocks shared by t08 (per-doc fingerprint
+  // digest) and t14 (corpus-wide duplicated spans): 3-token shingles,
+  // exact rolling hash (base 131 mod 1e9+7, BIGINT math), window-of-4
+  // minima. Each is bound as its OWN column downstream (the t08
+  // lesson: HOFs are interpreted, an inlined tree re-evaluates per
+  // element).
+  private val winnowK3Expr = """CASE WHEN size(toks) >= 3 THEN
+      transform(sequence(1, size(toks) - 2),
+        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    ELSE array() END"""
+  private val winnowHsExpr = """transform(k3, g ->
+      aggregate(sequence(1, length(g)), cast(0 as bigint),
+        (acc, i) -> (acc * 131 + ascii(substring(g, i, 1))) % 1000000007))"""
+  private val winnowK3Duck = s"""CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+    ELSE [] END"""
+  private val winnowHsDuck = s"""list_transform($winnowK3Duck, g ->
+      list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(g) + 1),
+        i -> CAST(ascii(substr(g, i, 1)) AS BIGINT)),
+        (acc, c) -> (acc * 131 + c) % 1000000007))"""
+
   // BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
   private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
@@ -281,13 +303,8 @@ object TextOps {
     Tables(s, dir, "documents")
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .withColumn("toks", expr(toksExpr))
-      .withColumn("k3", expr("""CASE WHEN size(toks) >= 3 THEN
-          transform(sequence(1, size(toks) - 2),
-            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-        ELSE array() END"""))
-      .withColumn("hs", expr("""transform(k3, g ->
-          aggregate(sequence(1, length(g)), cast(0 as bigint),
-            (acc, i) -> (acc * 131 + ascii(substring(g, i, 1))) % 1000000007))"""))
+      .withColumn("k3", expr(winnowK3Expr))
+      .withColumn("hs", expr(winnowHsExpr))
       .withColumn("mins", expr("""CASE WHEN size(hs) >= 4 THEN
           transform(sequence(1, size(hs) - 3), j -> array_min(slice(hs, j, 4)))
         ELSE hs END"""))
@@ -299,14 +316,7 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   private val t08Sql: String = {
-    val k3 = s"""CASE WHEN len(toks) >= 3 THEN
-        list_transform(range(1, len(toks) - 1),
-          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-      ELSE [] END"""
-    val hs = s"""list_transform($k3, g ->
-        list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(g) + 1),
-          i -> CAST(ascii(substr(g, i, 1)) AS BIGINT)),
-          (acc, c) -> (acc * 131 + c) % 1000000007))"""
+    val hs = winnowHsDuck
     val mins = s"""CASE WHEN len($hs) >= 4 THEN
         list_transform(range(1, len($hs) - 2), j -> list_min($hs[j:j+3]))
       ELSE $hs END"""
@@ -662,5 +672,67 @@ object TextOps {
     Op("t10_repetition", t10, Some(t10Sql)),
     Op("t11_token_chunks", t11, Some(t11Sql)),
     Op("t12_heavy_hitters", t12, Some(t12Sql)),
-    Op("t13_weighted_sample", t13, Some(t13Sql)))
+    Op("t13_weighted_sample", t13, Some(t13Sql)),
+    Op("t14_dup_spans", t14, Some(t14Sql)))
+
+  // ---- t14: corpus-wide duplicated-span removal -----------------------
+  /** The Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" operator shape: the d-family drops whole
+    * DOCUMENTS, but the standard pipeline also finds SPANS repeated
+    * across documents (license boilerplate, navigation chrome, quoted
+    * passages) and drops those. Composition of t08's winnowing
+    * machinery with a corpus-wide census: per doc, each winnowing
+    * window (4 consecutive 3-gram rolling hashes) yields a
+    * fingerprint + its first token position; a fingerprint seen in
+    * ≥ 2 documents marks every holder's span as duplicated. Output:
+    * one row per (doc, repeated fingerprint) — (doc_id, start_tok,
+    * end_tok, n_dup_docs), the span being tokens start_tok..end_tok
+    * (1-indexed inclusive: window j covers grams j..j+3, each 3
+    * tokens wide → tokens j..j+5). Docs with < 4 grams (< 6 tokens)
+    * have no windows and emit nothing.
+    *
+    * Scale shape: shingling/hashing is per-row codegen (every
+    * intermediate bound as its own column — the t08 lesson); the only
+    * exchanges are keyed by (doc_id, fp) and fp — bounded by the
+    * FINGERPRINT count (≈ one per token), never token pairs; the
+    * census join back is one row per fingerprint, so a boilerplate
+    * span shared by millions of docs costs one hash-join probe per
+    * holder, not a skewed sort.
+    */
+  private def t14(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables(s, dir, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("k3", expr(winnowK3Expr))
+      .withColumn("hs", expr(winnowHsExpr))
+      .filter(expr("size(hs) >= 4"))
+      .withColumn("w", expr("""transform(sequence(1, size(hs) - 3),
+          j -> named_struct('fp', array_min(slice(hs, j, 4)), 'pos', j))"""))
+      .select(col("doc_id"), explode(col("w")).as("w"))
+      .select(col("doc_id"), col("w.fp").as("fp"), col("w.pos").cast("long").as("pos"))
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(min(col("pos")).as("start_tok"))
+    val census = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("n_dup_docs"))
+    perDoc.join(census.filter(col("n_dup_docs") >= 2), Seq("fp"))
+      .select(col("doc_id"), col("start_tok"),
+        (col("start_tok") + 5).as("end_tok"), col("n_dup_docs"))
+      .orderBy(col("doc_id"), col("start_tok"))
+  }
+
+  private lazy val t14Sql: String = s"""
+    WITH hsrc AS MATERIALIZED (
+      SELECT doc_id, $winnowHsDuck AS hs
+      FROM (SELECT doc_id, $toksDuck AS toks FROM documents)),
+    wins AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(hs) - 2),
+        j -> {'fp': list_min(hs[j:j+3]), 'pos': j})) AS w
+      FROM hsrc WHERE len(hs) >= 4),
+    perdoc AS (
+      SELECT doc_id, w.fp AS fp, CAST(MIN(w.pos) AS BIGINT) AS start_tok
+      FROM wins GROUP BY 1, 2),
+    census AS (SELECT fp, count(*) AS n_dup_docs FROM perdoc GROUP BY 1)
+    SELECT p.doc_id, p.start_tok, p.start_tok + 5 AS end_tok, c.n_dup_docs
+    FROM perdoc p JOIN census c USING (fp)
+    WHERE c.n_dup_docs >= 2
+    ORDER BY doc_id, start_tok"""
 }

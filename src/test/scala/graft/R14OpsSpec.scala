@@ -44,6 +44,33 @@ class R14OpsSpec extends AnyFunSuite {
     assert(!got.contains(5L), "node 5 is unreachable from 0")
   }
 
+  test("t14 duplicated spans equal an independent driver-side winnowing recount") {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // independent leg: winnowing re-implemented imperatively
+    def fingerprints(text: String): Map[Long, Long] = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val grams = if (toks.length >= 3)
+        (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+        else Seq()
+      val hs = grams.map(_.foldLeft(0L)((acc, c) => (acc * 131 + c.toInt) % 1000000007L))
+      if (hs.length < 4) Map()
+      else (0 to hs.length - 4).map(j => (hs.slice(j, j + 4).min, j + 1L))
+        .groupBy(_._1).map { case (fp, ps) => fp -> ps.map(_._2).min }
+    }
+    val perDoc = docs.map { case (id, t) => id -> fingerprints(t) }
+    val census = perDoc.flatMap(_._2.keys).groupBy(identity).map { case (fp, xs) => fp -> xs.length.toLong }
+    val expected = (for {
+      (id, fps) <- perDoc
+      (fp, pos) <- fps
+      n = census(fp) if n >= 2
+    } yield (id, pos, pos + 5, n)).toSet
+    val got = SparkEntry.queries("t14_dup_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"sizes got=${got.size} expected=${expected.size}")
+    assert(expected.nonEmpty, "corpus yields repeated spans — degenerate fixture otherwise")
+  }
+
   test("g26 runs to fixpoint within the oracle's unroll budget at spec SFs") {
     val out = SparkEntry.queries("g26_sssp")(spark, dir)
     val rows = out.collect()
