@@ -194,16 +194,134 @@ object Multimodal {
   private def cellExpr(i: Int): String =
     s"(instr('0123456789abcdef', substr(md5(cast(substring(text, $i * w + 1, w) AS BINARY)), 1, 1)) - 1)"
 
-  private def withFingerprint(docs: DataFrame): DataFrame = {
-    val fpBits = (0 until 64).map { b =>
-      val (i, j) = (b / 8, b % 8) // 8 rows x 9 cols; compare col j, j+1
-      s"""CASE WHEN element_at(grid, ${9 * i + j + 1}) < element_at(grid, ${9 * i + j + 2})
-          THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
-    }.mkString(" + ")
+  /** The 64 dHash comparator bits over a 72-cell `grid` column
+    * (8 rows x 9 cols; bit b set iff cell (b/8, b%8) < its right
+    * neighbor) — shared by the SQL-stub path and the decoder path.
+    */
+  private val fpBitsExpr: String = (0 until 64).map { b =>
+    val (i, j) = (b / 8, b % 8)
+    s"""CASE WHEN element_at(grid, ${9 * i + j + 1}) < element_at(grid, ${9 * i + j + 2})
+        THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+  }.mkString(" + ")
+
+  private def withFingerprint(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", expr("greatest((length(text) + 71) div 72, 1)"))
       .withColumn("grid", array((0 until 72).map(i => expr(cellExpr(i))): _*))
-      .withColumn("fp", expr(fpBits))
+      .withColumn("fp", expr(fpBitsExpr))
+      .select(col("doc_id"), col("fp"))
+
+  /** Decoder boundary for the dHash pipeline: one opaque payload in,
+    * the 72-cell (8 rows x 9 cols, row-major) luminance grid out. The
+    * fingerprint, blocking join, and census above consume only this
+    * contract, so swapping the stub for a real codec is a one-object
+    * change with no plumbing edits (MmDecoderSpec pins that claim:
+    * [[StubGridDecoder]] through [[fingerprintWith]] is bit-equal to
+    * the registered SQL-stub path, and [[PgmGridDecoder]] produces
+    * true box-averaged luminance for the one raster format that needs
+    * no codec libraries).
+    */
+  trait GridDecoder extends Serializable {
+    /** 72 cells, row-major 8x9; deterministic in the payload bytes. */
+    def grid(payload: Array[Byte]): Array[Int]
+  }
+
+  /** The SQL stub's exact JVM twin: cell i = first md5 nibble of the
+    * i-th of 72 equal-width CHARACTER regions of the payload decoded
+    * as UTF-8 (width ceil(chars/72), min 1) — mirrors [[cellExpr]]'s
+    * substring/md5 semantics so the spec can pin bit-equality.
+    */
+  object StubGridDecoder extends GridDecoder {
+    def grid(payload: Array[Byte]): Array[Int] = {
+      val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      val w = math.max((text.length + 71) / 72, 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 72).map { i =>
+        val from = math.min(i * w, text.length)
+        val until = math.min(from + w, text.length)
+        md.reset()
+        md.update(text.substring(from, until)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (md.digest()(0) >> 4) & 0xf
+      }.toArray
+    }
+  }
+
+  /** Real decoder for binary PGM (P5) — the raster format that needs
+    * no codec libraries: parse the header (magic, width, height,
+    * maxval <= 255, whitespace + #-comment separators), then
+    * box-average the WxH gray plane down to 8x9: cell (r,c) = floor
+    * mean of pixels y in [rH/8,(r+1)H/8), x in [cW/9,(c+1)W/9) —
+    * deterministic integer math, so the same image re-encoded at
+    * another resolution lands on the same grid and dHash flags it as
+    * a near-dup. Non-PGM payloads fall back to the stub grid (a real
+    * pipeline routes by sniffed format).
+    */
+  object PgmGridDecoder extends GridDecoder {
+    def grid(payload: Array[Byte]): Array[Int] =
+      parse(payload).map { case (w, h, px) =>
+        val out = new Array[Int](72)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val y0 = r * h / 8; val y1 = math.min(math.max((r + 1) * h / 8, y0 + 1), h)
+            val x0 = c * w / 9; val x1 = math.min(math.max((c + 1) * w / 9, x0 + 1), w)
+            var sum = 0L; var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += px(y * w + x) & 0xff; n += 1; x += 1 }
+              y += 1
+            }
+            out(r * 9 + c) = if (n == 0) 0 else (sum / n).toInt
+            c += 1
+          }
+          r += 1
+        }
+        out
+      }.getOrElse(StubGridDecoder.grid(payload))
+
+    private[graft] def parse(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '5') return None
+      var p = 2
+      def ws(): Unit = {
+        var go = true
+        while (go && p < payload.length) {
+          val b = payload(p)
+          if (b == '#') { while (p < payload.length && payload(p) != '\n') p += 1 }
+          else if (b == ' ' || b == '\n' || b == '\r' || b == '\t') p += 1
+          else go = false
+        }
+      }
+      def int(): Int = {
+        var v = -1
+        while (p < payload.length && payload(p) >= '0' && payload(p) <= '9') {
+          v = (if (v < 0) 0 else v) * 10 + (payload(p) - '0'); p += 1
+        }
+        v
+      }
+      ws(); val w = int(); ws(); val h = int(); ws(); val mx = int()
+      p += 1 // exactly one whitespace byte between maxval and raster
+      if (w <= 0 || h <= 0 || mx <= 0 || mx > 255 ||
+          w.toLong * h > Int.MaxValue || payload.length - p < w * h) None
+      else Some((w, h, java.util.Arrays.copyOfRange(payload, p, p + w * h)))
+    }
+  }
+
+  /** [[withFingerprint]]'s decoder-parameterized form: identical fp
+    * contract and comparators, but the grid comes from a
+    * [[GridDecoder]] running partition-parallel (payloads never visit
+    * the driver; decode parallelism = partition count — the
+    * [[mediaTable]] batch shape).
+    */
+  def fingerprintWith(media: Dataset[(Long, Array[Byte])],
+      dec: GridDecoder): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.map { case (id, payload) => (id, dec.grid(payload)) })
+      .toDF("doc_id", "grid")
+      .withColumn("fp", expr(fpBitsExpr))
       .select(col("doc_id"), col("fp"))
   }
 
