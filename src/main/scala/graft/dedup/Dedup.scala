@@ -426,7 +426,9 @@ object Dedup {
     * reference: the SemDeDup paper's cluster-then-keep-one shape):
     * d12's calibrated ANN near-dup pairs, closed into connected
     * components with one canonical keeper per cluster — the embedding
-    * analog of d06's shingle-based cluster census, and the step that
+    * analog of d06's shingle-based cluster census (the SemDeDup
+    * paper's coarse-quantizer training pass exists as
+    * [[graft.sim.Kmeans]], s10's trained IVF cells), and the step that
     * turns a pair list into an actionable drop set. Every vector is
     * emitted (isolated vectors are their own singleton cluster), so
     * the output is directly joinable as a per-row verdict column.

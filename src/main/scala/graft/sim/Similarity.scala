@@ -126,8 +126,9 @@ object Similarity {
   // ---- s03: IVF-style partitioned search ----------------------------
   private def s03(s: SparkSession, dir: String): DataFrame = {
     val e = embWithNorm(s, dir)
-    // Coarse quantizer: per-label mean vector (the labels stand in for
-    // k-means cells; at scale these come from a training pass). The
+    // Coarse quantizer: per-label mean vector (the labels stand in
+    // for k-means cells; s10 is the TRAINED form of this operator —
+    // [[Kmeans.fit]] learns the cells instead of trusting a label). The
     // mean is decimal-exact-sum / count so both engines get the same
     // centroid bits regardless of partial-agg order.
     val unpacked = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -1141,8 +1142,138 @@ object Similarity {
     FROM qtop t JOIN rec r ON r.query_id = t.query_id
     ORDER BY t.query_id, t.rank"""
 
+  // ---- s10: trained-centroid IVF search (k-means) ---------------------
+  private val KMEANS_K = 10
+  private val KMEANS_ITERS = 3
+  private val KMEANS_NPROBE = 3
+
+  /** Trained centroids and cell assignments, materialized once per
+    * (session, corpus) — training is deterministic ([[Kmeans]]), so
+    * the memo is sound and every consumer (s10's probe + inverted
+    * lists, specs) shares one training pass, the same lifecycle as
+    * the ANN index tables.
+    */
+  def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"kmcent:$dir", "graft_kmcent")(
+      Kmeans.fit(embWithNorm(s, dir), KMEANS_K, KMEANS_ITERS))
+
+  def kmeansCells(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"kmcell:$dir", "graft_kmcell")(
+      Kmeans.assign(embWithNorm(s, dir), kmeansCentroids(s, dir), KMEANS_K))
+
+  /** s10: IVF search over TRAINED centroids — s03's shape (probe the
+    * nearest coarse cell, exact-search its inverted list) with the
+    * label stand-in replaced by [[Kmeans.fit]]'s learned quantizer,
+    * which is what SemDeDup-style dedup and production IVF indexes
+    * actually run. Probing is multi-cell (nprobe = 3 of k = 10: re-rank
+    * the centroids per query and search the top inverted lists — the
+    * standard IVF recall lever). Recall context: these embeddings are
+    * near-uniform in cosine space (a query's exact top-5 shares its
+    * LABEL 4% of the time — the labels are not cosine clusters), so
+    * any IVF's recall is bounded by structure that isn't there;
+    * measured 0.60 vs s01 while scanning 30% of the corpus — a 2x
+    * lift over the scanned fraction, which is what a correct
+    * quantizer delivers on unclustered data (on a corpus with real
+    * cluster structure the same operator's recall rises with no code
+    * change). The
+    * inverted-list search is the s03 plan: broadcast the 10 queries,
+    * equi-join the probe cells' members, codegen'd exact cosine,
+    * bounded top-k aggregate. The n² lives only in the oracle;
+    * S10KmeansSpec holds the recall witness vs s01 and a driver-side
+    * Lloyd recount.
+    */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(s, dir)
+    val cells = kmeansCells(s, dir)
+    val cents = kmeansCentroids(s, dir)
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    val probes = broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(Cosine.dotSpark("eq", "centroid")) /
+        (col("nq") * expr(Cosine.normSpark("centroid"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crank") <= KMEANS_NPROBE)
+      .select(col("query_id"), col("cell"))
+    val members = cells.select(col("vec_id").as("neighbor_id"), col("cell"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ec"), col("nrm").as("nc"))
+    val pairs = broadcast(q).join(broadcast(probes), Seq("query_id"))
+      .join(members, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
+    topkPerQuery(pairs)
+  }
+
+  /** Unrolled-Lloyd oracle (the g09 unrolled-PageRank pattern): seeds
+    * by md5 order, then [[KMEANS_ITERS]] assign+update rounds as
+    * chained CTEs — assignment via the same cosine expression tree
+    * (bit-equal by the [[Cosine]] left-fold contract, ties to the
+    * smallest cell) and centroid means via [[graft.par.dsumSql]]
+    * (decimal-exact, so partial-agg order can't diverge the engines).
+    */
+  private lazy val s10Sql: String = {
+    def assignRows(cPrev: String) = s"""
+        SELECT q.vec_id, c.cell,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            ${Cosine.dotDuck("q.embedding", "c.centroid")}
+              / (q.nrm * ${Cosine.normDuck("c.centroid")}) DESC, c.cell) AS rn
+        FROM e q CROSS JOIN $cPrev c"""
+    val rounds = (1 to KMEANS_ITERS).map { i =>
+      s"""a$i AS MATERIALIZED (
+      SELECT vec_id, cell FROM (${assignRows(s"c${i - 1}")}) WHERE rn = 1),
+    u$i AS MATERIALIZED (
+      SELECT cell, list(cv ORDER BY pos) AS centroid FROM (
+        SELECT a.cell, t.i AS pos,
+          ${graft.par.dsumSql("CAST(e.embedding[t.i] AS DOUBLE)", 9)} / count(*) AS cv
+        FROM a$i a JOIN e ON e.vec_id = a.vec_id,
+          UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+        GROUP BY a.cell, t.i)
+      GROUP BY cell),
+    c$i AS MATERIALIZED (
+      SELECT p.cell, COALESCE(u.centroid, p.centroid) AS centroid
+      FROM c${i - 1} p LEFT JOIN u$i u USING (cell))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+          AS BIGINT) AS cell,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM (SELECT vec_id, embedding FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KMEANS_K)),
+    $rounds,
+    cells AS MATERIALIZED (
+      SELECT vec_id, cell FROM (${assignRows(s"c$KMEANS_ITERS")}) WHERE rn = 1),
+    qp AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            ${Cosine.dotDuck("q.embedding", "c.centroid")}
+              / (q.nrm * ${Cosine.normDuck("c.centroid")}) DESC, c.cell) AS rn
+        FROM e q CROSS JOIN c$KMEANS_ITERS c WHERE q.vec_id < $NQUERIES)
+      WHERE rn <= $KMEANS_NPROBE),
+    pairs AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        ${Cosine.dotDuck("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+      FROM e q
+      JOIN qp ON qp.vec_id = q.vec_id
+      JOIN cells m ON m.cell = qp.cell AND m.vec_id <> q.vec_id
+      JOIN e n ON n.vec_id = m.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos, rank FROM ranked
+    WHERE rank <= $TOPK ORDER BY query_id, rank"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("s01_knn_bruteforce", s01, Some(s01Sql)),
+    Op("s10_ivf_kmeans", s10, Some(s10Sql)),
     Op("s08_quantized_knn", s08, Some(s08Sql)),
     Op("s09_quantized_rerank", s09, Some(s09Sql)),
     Op("s02_ann_signlsh", s02, Some(s02Sql)),
