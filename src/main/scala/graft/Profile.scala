@@ -191,6 +191,44 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "fuzzy") {
+      // d16 candidate-volume insurance probe (r13 VERDICT #7): the
+      // suggested (length bucket, variant) blocking key vs the shipped
+      // variant-only key. Prints the structural fact first — the name
+      // corpus is fixed-width, so length adds no selectivity — then
+      // measures both plans' candidate volume and wall anyway, so the
+      // keep-or-drop call is a number, not an argument.
+      // Usage: graft.Profile <sfDir> fuzzy
+      import org.apache.spark.sql.functions._
+      val names = Tables(spark, sfDir, "supplier")
+        .select(col("s_name")).distinct().localCheckpoint()
+      t("names.distinct")(names.count())
+      println("  name length histogram: " +
+        names.groupBy(length(col("s_name"))).count().collect().toSeq
+          .map(r => s"len=${r.get(0)}:${r.getLong(1)}").sorted.mkString(" "))
+      t("d16.shipped (join on v)")(
+        dedup.Dedup.fuzzyKeyPairs(names, "s_name", 2).count())
+      // bucketed twin: same neighborhood, join key (length(s_name), v)
+      val d1 = """transform(sequence(1, length(s_name)),
+        i -> concat(substring(s_name, 1, i - 1),
+                    substring(s_name, i + 1, length(s_name) - i)))"""
+      val nbhd = s"""array_distinct(concat(array(s_name), $d1,
+        flatten(transform($d1, v -> transform(sequence(1, length(v)),
+          i -> concat(substring(v, 1, i - 1),
+                      substring(v, i + 1, length(v) - i)))))))"""
+      val va = names.select(col("s_name"), length(col("s_name")).as("lb"),
+        explode(expr(nbhd)).as("v"))
+      t("d16.length-bucketed (join on lb, v)")(
+        va.toDF("name_a", "lb", "v")
+          .join(va.toDF("name_b", "lb", "v"), Seq("lb", "v"))
+          .filter(col("name_a") < col("name_b"))
+          .select(col("name_a"), col("name_b")).distinct()
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 2).count())
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "scc") {
       // FW-BW SCC at scale on the bipartite-derived DIRECTED graph:
       // customer c and supplier s trade through an order; the edge is

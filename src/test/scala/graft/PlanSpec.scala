@@ -53,6 +53,7 @@ class PlanSpec extends AnyFunSuite {
     "q17_set_ops",        // crossJoin of three 1-row scalar aggregates
     "e05_funnel",         // scalar per-stage count assembly
     "s03_ivf_label",      // distance probe vs the tiny centroid table
+    "s10_ivf_kmeans",     // same probe shape vs the k=10 trained centroids
     "t06_tfidf",          // scalar corpus doc-count join
     "t07_vocab_coverage", // scalar total-token join
     "t12_heavy_hitters",  // scalar total-count join vs ≤k candidates
