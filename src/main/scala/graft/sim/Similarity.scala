@@ -1271,9 +1271,129 @@ object Similarity {
     WHERE rank <= $TOPK ORDER BY query_id, rank"""
   }
 
+  // ---- s11: product-quantized ADC search ------------------------------
+  /** Trained PQ codebooks and corpus codes, memoized per (session,
+    * corpus) like the k-means tables — training is deterministic
+    * ([[Pq]]), so the memo is sound and specs share one pass.
+    */
+  def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"pqcent:$dir", "graft_pqcent")(
+      Pq.fit(Tables(s, dir, "embeddings")))
+
+  def pqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"pqcode:$dir", "graft_pqcode")(
+      Pq.encode(Tables(s, dir, "embeddings"), pqCodebooks(s, dir)))
+
+  /** s11: PQ-compressed top-k search via ADC — the store-compression
+    * rung past s08's int8 (4×): the searchable index is [[Pq]]'s 4
+    * codes per vector (64× smaller than float32), and scoring reads
+    * ONLY that code store plus a per-query 64-entry lookup table
+    * (pdot = ⟨q_m, centroid⟩ per (m, code), built from two broadcast
+    * tiny frames). The approximate inner product Σ_m lut[m][code_m(x)]
+    * rides a decimal cast ([[graft.par.dsum]]) so the 4-way sum is
+    * order-independent — bit-identical in DuckDB, whose oracle also
+    * unrolls the 2 Lloyd training iterations exactly ([[Pq]]'s
+    * determinism contract). Ranking is the bounded top-k aggregate on
+    * (adc DESC, neighbor_id). S11PqSpec holds the driver-side Lloyd
+    * recount and the recall-lift witness vs exact s01 (same
+    * near-uniform-corpus context as s10 — the gate is lift over
+    * random, not absolute recall).
+    *
+    * Scale shape: the code store is the ONLY corpus-sized input
+    * (n·M narrow rows); the LUT join is a broadcast hash join against
+    * it, and the per-(query, vector) partial sums map-side-combine
+    * n·M → n·n_q before the exchange. No float hydration, no wide
+    * exchange — the plan PQ exists for.
+    */
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    val cents = pqCodebooks(s, dir)
+    val codes = pqCodes(s, dir)
+    val qs = Pq.sliced(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < NQUERIES))
+      .toDF("query_id", "m", "qsv")
+    val lut = broadcast(qs).join(broadcast(cents), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        expr(Cosine.dotSpark("qsv", "centroid")).as("pdot"))
+    val scores = codes.toDF("neighbor_id", "m", "code")
+      .join(broadcast(lut), Seq("m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(graft.par.dsum(col("pdot"), 9).as("cos"))
+    topkUnordered(scores, TOPK)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("adc"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Unrolled-PQ oracle: seeds by md5 order shared across subspaces,
+    * [[Pq.ITERS]] assign+update rounds as chained CTEs (assignment
+    * score = dot − ‖c‖²/2 with the same left-fold expression trees,
+    * centroid means via [[graft.par.dsumSql]]), then encode + LUT +
+    * decimal-exact ADC sum — bit-identical end to end.
+    */
+  private lazy val s11Sql: String = {
+    import Pq.{M, SUB, K, ITERS}
+    def assignRows(cPrev: String) = s"""
+        SELECT v.vec_id, v.m, c.code,
+          row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+            (${Cosine.dotDuck("v.sv", "c.centroid")}
+              - 0.5 * ${Pq.n2Duck("c.centroid")}) DESC, c.code) AS rn
+        FROM sv v JOIN $cPrev c ON c.m = v.m"""
+    val rounds = (1 to ITERS).map { i =>
+      s"""a$i AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (${assignRows(s"c${i - 1}")}) WHERE rn = 1),
+    u$i AS MATERIALIZED (
+      SELECT m, code, list(cv ORDER BY pos) AS centroid FROM (
+        SELECT a.m, a.code, t.i AS pos,
+          ${graft.par.dsumSql("CAST(v.sv[t.i] AS DOUBLE)", 9)} / count(*) AS cv
+        FROM a$i a JOIN sv v ON v.vec_id = a.vec_id AND v.m = a.m,
+          UNNEST(range(1, len(v.sv) + 1)) AS t(i)
+        GROUP BY a.m, a.code, t.i)
+      GROUP BY m, code),
+    c$i AS MATERIALIZED (
+      SELECT p.m, p.code, COALESCE(u.centroid, p.centroid) AS centroid
+      FROM c${i - 1} p LEFT JOIN u$i u USING (m, code))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+    sv AS MATERIALIZED (
+      SELECT e.vec_id, t.m AS m,
+        list_transform(range(t.m * $SUB + 1, t.m * $SUB + ${SUB + 1}),
+          i -> e.embedding[i]) AS sv
+      FROM e, UNNEST(range(0, $M)) AS t(m)),
+    c0 AS MATERIALIZED (
+      SELECT v.m, s.code, list_transform(v.sv, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM (SELECT vec_id,
+              CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                AS BIGINT) AS code
+            FROM (SELECT vec_id FROM e
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K) q) s
+      JOIN sv v ON v.vec_id = s.vec_id),
+    $rounds,
+    codes AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (${assignRows(s"c$ITERS")}) WHERE rn = 1),
+    lut AS MATERIALIZED (
+      SELECT v.vec_id AS query_id, c.m, c.code,
+        ${Cosine.dotDuck("v.sv", "c.centroid")} AS pdot
+      FROM sv v JOIN c$ITERS c ON c.m = v.m WHERE v.vec_id < $NQUERIES),
+    scores AS MATERIALIZED (
+      SELECT l.query_id, en.vec_id AS neighbor_id,
+        ${graft.par.dsumSql("l.pdot", 9)} AS adc
+      FROM codes en JOIN lut l ON l.m = en.m AND l.code = en.code
+      WHERE en.vec_id <> l.query_id
+      GROUP BY l.query_id, en.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY adc DESC, neighbor_id) AS rank
+      FROM scores)
+    SELECT query_id, neighbor_id, adc, rank FROM ranked
+    WHERE rank <= $TOPK ORDER BY query_id, rank"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("s01_knn_bruteforce", s01, Some(s01Sql)),
     Op("s10_ivf_kmeans", s10, Some(s10Sql)),
+    Op("s11_pq_adc", s11, Some(s11Sql)),
     Op("s08_quantized_knn", s08, Some(s08Sql)),
     Op("s09_quantized_rerank", s09, Some(s09Sql)),
     Op("s02_ann_signlsh", s02, Some(s02Sql)),
