@@ -407,7 +407,117 @@ object Components {
     UNION ALL SELECT side, degree, n_nodes FROM sd
     ORDER BY side, degree"""
 
+  // ---- g27: weighted label-propagation communities ---------------------
+  /** Number of synchronous LPA rounds — fixed (not a convergence
+    * probe) so the oracle can unroll them exactly, the g09/s10
+    * pattern. Synchronous LPA can 2-cycle on bipartite-ish structure,
+    * which a fixpoint probe would never exit; a fixed even/odd round
+    * budget sidesteps that too.
+    */
+  private[graft] val LpaRounds = 4
+
+  /** Weighted synchronous label propagation (Raghavan et al. 2007,
+    * "Near linear time algorithm to detect community structures" —
+    * public literature), deterministic variant: init label(v) = v;
+    * per round every node adopts the label carrying the max total
+    * incident edge WEIGHT among its neighbors, ties to the smallest
+    * label. Communities are what components (g05) can't see — the
+    * trade graph is one giant connected component, but LPA splits it
+    * by trade VOLUME affinity.
+    *
+    * Determinism: weights are BIGINT order counts, so the per-(node,
+    * label) tally is an exact integer sum (no double partial-agg
+    * hazard), and the argmax is `min(struct(-sw, lbl))` — largest
+    * weight, then smallest label, one map-side-combining aggregate
+    * (never a window/sort). Synchronous update: round r reads only
+    * round r-1's labels.
+    *
+    * Scale shape per round: one hash join of the label table against
+    * the edge list (both keyed by node id) + two map-side-combining
+    * aggregates — PageRank's exchange pattern exactly; rounds are
+    * fixed, state is node-sized. The census join is the d17 rule:
+    * groupBy + join back, no count-over-window on the skewed
+    * community key.
+    */
+  private[graft] def lpaCommunities(nodes: DataFrame, symW: DataFrame,
+      rounds: Int): DataFrame = {
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val tally = symW
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(sum(col("w")).as("sw"))
+      val winner = tally.groupBy(col("node"))
+        .agg(min(struct((lit(0L) - col("sw")).as("negw"), col("lbl")))
+          .as("b"))
+        .select(col("node"), col("b.lbl").as("new_lbl"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** g27: LPA communities of the weighted PREFERRED-PARTNER bipartite
+    * graph (g26's subgraph: each customer's/supplier's top-2 partners
+    * by trade volume, g11's 2k / 2k+1 node numbering) — the full
+    * trade graphs are too dense for communities to exist (the
+    * 25-nation graph is COMPLETE: LPA provably collapses it to one
+    * label), while the sparse partner subgraph has real volume-
+    * affinity structure and scales with SF. [[LpaRounds]] synchronous
+    * rounds; output one row per node with its community and the
+    * community's size.
+    */
+  private def g27(s: SparkSession, dir: String): DataFrame = {
+    val sel = Traversals.preferredPartners(Traversals.custSuppW(s, dir))
+    val bi = sel.select((col("cust") * 2).as("src"),
+      (col("supp") * 2 + 1).as("dst"), col("w"))
+    val symW = bi.unionAll(
+        bi.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint()
+    val nodes = symW.select(col("src").as("node")).distinct()
+    val labels = lpaCommunities(nodes, symW, LpaRounds)
+    val census = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(census, Seq("lbl"))
+      .select(col("node"), col("lbl").as("community"), col("community_size"))
+      .orderBy(col("node"))
+  }
+
+  private val g27Sql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""t$i AS (
+      SELECT s.src AS node, p.lbl, CAST(SUM(s.w) AS BIGINT) AS sw
+      FROM symw s JOIN l${i - 1} p ON p.node = s.dst
+      GROUP BY 1, 2),
+    w$i AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (PARTITION BY node
+          ORDER BY sw DESC, lbl) AS rn FROM t$i)
+      WHERE rn = 1),
+    l$i AS MATERIALIZED (
+      SELECT p.node, COALESCE(w.lbl, p.lbl) AS lbl
+      FROM l${i - 1} p LEFT JOIN w$i w USING (node))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ${GraphSql.prefCtes},
+    bi AS MATERIALIZED (
+      SELECT cust * 2 AS src, supp * 2 + 1 AS dst, CAST(w AS BIGINT) AS w
+      FROM sel),
+    symw AS MATERIALIZED (
+      SELECT src, dst, w FROM bi
+      UNION ALL SELECT dst AS src, src AS dst, w FROM bi),
+    lnodes AS (SELECT DISTINCT src AS node FROM symw),
+    l0 AS (SELECT node, node AS lbl FROM lnodes),
+    $rounds,
+    c AS (SELECT lbl, count(*) AS community_size FROM l$LpaRounds GROUP BY lbl)
+    SELECT l.node, l.lbl AS community, c.community_size
+    FROM l$LpaRounds l JOIN c USING (lbl)
+    ORDER BY node"""
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("g27_lpa_communities", g27, Some(g27Sql)),
     Op("g05_connected_components", g05, Some(g05Sql)),
     Op("g11_bipartite_cc", g11, Some(g11Sql)),
     Op("g12_kcore_bipartite", g12, Some(g12Sql)),

@@ -126,4 +126,26 @@ object GraphSql {
 
   val dagCte: String =
     "dag AS MATERIALIZED (SELECT src, dst, weight FROM edges WHERE src < dst)"
+
+  /** Preferred-partner CTEs (w + sel) — the SQL mirror of
+    * `Traversals.custSuppW` / `Traversals.preferredPartners`, shared
+    * by the g26 and g27 oracles.
+    */
+  val prefCtes: String = """
+    w AS MATERIALIZED (
+      SELECT CAST(o_custkey AS BIGINT) AS cust, CAST(l_suppkey AS BIGINT) AS supp,
+        count(*) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    sel AS MATERIALIZED (
+      SELECT DISTINCT cust, supp, w FROM (
+        SELECT cust, supp, w FROM (
+          SELECT cust, supp, w,
+            row_number() OVER (PARTITION BY cust ORDER BY w DESC, supp) AS rn FROM w)
+        WHERE rn <= 2
+        UNION ALL
+        SELECT cust, supp, w FROM (
+          SELECT cust, supp, w,
+            row_number() OVER (PARTITION BY supp ORDER BY w DESC, cust) AS rn FROM w)
+        WHERE rn <= 2))"""
 }

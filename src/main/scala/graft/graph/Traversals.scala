@@ -426,18 +426,34 @@ object Traversals {
     * deterministic like g22's hub, so the oracle rederives it; the
     * driver-side head() is one scalar.
     */
-  private def g26(s: SparkSession, dir: String): DataFrame = {
-    val w = TradeGraph.orderFacts(s, dir)
+  /** (cust, supp, w) trade-volume pairs — the shared input of the
+    * preferred-partner subgraph (g26, g27).
+    */
+  private[graph] def custSuppW(s: SparkSession, dir: String): DataFrame =
+    TradeGraph.orderFacts(s, dir)
       .groupBy(col("custkey").cast("long").as("cust"), col("suppkey").cast("long").as("supp"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint()
+
+  /** Preferred-partner selection over [[custSuppW]]: each customer's
+    * top-2 suppliers and each supplier's top-2 customers by trade
+    * volume (ties to the smaller id) — a sparse, DEEP, SF-scaling
+    * bipartite subgraph, vs the diameter-~4 full bipartite graph.
+    * The per-partner top-2 windows partition on hash-uniform ids.
+    */
+  private[graph] def preferredPartners(w: DataFrame): DataFrame = {
     val topSupp = w.withColumn("rn", row_number().over(
         Window.partitionBy(col("cust")).orderBy(col("w").desc, col("supp"))))
       .filter(col("rn") <= 2).select(col("cust"), col("supp"), col("w"))
     val topCust = w.withColumn("rn", row_number().over(
         Window.partitionBy(col("supp")).orderBy(col("w").desc, col("cust"))))
       .filter(col("rn") <= 2).select(col("cust"), col("supp"), col("w"))
-    val sel = topSupp.unionAll(topCust).distinct()
+    topSupp.unionAll(topCust).distinct()
+  }
+
+  private def g26(s: SparkSession, dir: String): DataFrame = {
+    val w = custSuppW(s, dir)
+    val sel = preferredPartners(w)
     val bi = sel.select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"),
       (floor(lit(1000000.0) / col("w")) + 1).cast("long").as("cost"))
     val sym = bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
@@ -467,22 +483,7 @@ object Traversals {
       GROUP BY node)"""
     }.mkString(",\n    ")
     s"""
-    WITH w AS MATERIALIZED (
-      SELECT CAST(o_custkey AS BIGINT) AS cust, CAST(l_suppkey AS BIGINT) AS supp,
-        count(*) AS w
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY 1, 2),
-    sel AS MATERIALIZED (
-      SELECT DISTINCT cust, supp, w FROM (
-        SELECT cust, supp, w FROM (
-          SELECT cust, supp, w,
-            row_number() OVER (PARTITION BY cust ORDER BY w DESC, supp) AS rn FROM w)
-        WHERE rn <= 2
-        UNION ALL
-        SELECT cust, supp, w FROM (
-          SELECT cust, supp, w,
-            row_number() OVER (PARTITION BY supp ORDER BY w DESC, cust) AS rn FROM w)
-        WHERE rn <= 2)),
+    WITH ${GraphSql.prefCtes},
     bi AS MATERIALIZED (
       SELECT cust * 2 AS src, supp * 2 + 1 AS dst,
         CAST(FLOOR(1000000.0 / w) + 1 AS BIGINT) AS cost
