@@ -699,12 +699,34 @@ object TextOps {
     * span shared by millions of docs costs one hash-join probe per
     * holder, not a skewed sort.
     */
+  /** The per-doc rolling-hash table behind t14, MATERIALIZED
+    * (MatStore, the m04-fingerprint lifecycle) before anything filters
+    * or explodes it. This is load-bearing, not a cache nicety:
+    * Catalyst pushes filters through projects by INLINING the
+    * projected expression into the predicate with no cost model, and
+    * `explode` adds an inferred `size(w) > 0` filter of its own
+    * (InferFiltersFromGenerate) — without the barrier those
+    * predicates sink below the repartition as the whole
+    * text→toks→k3→hs chain inlined SEVERAL times over raw text, and
+    * the scan-side (single input split locally, and always the
+    * narrowest stage on a cluster) evaluates the interpreted-HOF hash
+    * pipeline ~10× per row. Measured at sf0.01: 39.9 s → 1.4 s for
+    * the identical result; at sf1 the unbarriered form did not finish
+    * in 40 minutes. The materialized frame is doc-count-sized (one
+    * ~45-long array per doc), and the hash chain runs exactly once
+    * per doc, post-repartition, on every core.
+    */
+  private def winnowHashes(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"winhs:$dir", "graft_winhs")(
+      Tables(s, dir, "documents")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("k3", expr(winnowK3Expr))
+        .withColumn("hs", expr(winnowHsExpr))
+        .select(col("doc_id"), col("hs")))
+
   private def t14(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables(s, dir, "documents")
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("k3", expr(winnowK3Expr))
-      .withColumn("hs", expr(winnowHsExpr))
+    val perDoc = winnowHashes(s, dir)
       .filter(expr("size(hs) >= 4"))
       .withColumn("w", expr("""transform(sequence(1, size(hs) - 3),
           j -> named_struct('fp', array_min(slice(hs, j, 4)), 'pos', j))"""))
