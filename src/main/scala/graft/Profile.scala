@@ -254,6 +254,9 @@ object Profile {
       var labels: org.apache.spark.sql.DataFrame = null
       t("fwbw")(
         { labels = graph.Scc.fwbw(nodes, edges).localCheckpoint(); labels.count() })
+      println(s"          peel passes ${graph.Scc.lastPeelPasses}, " +
+        s"pivot rounds ${graph.Scc.lastPivotRounds}, " +
+        s"doubling rounds ${graph.Scc.lastDoublingRounds}")
       val census = labels.groupBy(col("scc_id"))
         .agg(count(lit(1)).as("n")).localCheckpoint()
       t("census.n_sccs")(census.count())

@@ -194,7 +194,8 @@ object Scc {
       visited.localCheckpoint()
     }
 
-    while (!active.isEmpty) {
+    var activeCount = active.count()
+    while (activeCount > 0) {
       // ---- peel loop: trim + chain contraction off one degree
       // snapshot per pass. Each pass materializes only NODE-sized
       // frames: the live-edge join stays lazy inside one plan whose
@@ -206,6 +207,7 @@ object Scc {
       while (peeling) {
         peeling = false
         lastPeelPasses += 1
+        val preTrim = activeCount
         val flags = allE
           .join(active.select(col("node").as("src"), col("part")), Seq("src"))
           .join(active.select(col("node").as("dst"), col("part")), Seq("dst", "part"))
@@ -226,16 +228,28 @@ object Scc {
             Seq("part", "node"), "left_semi")
           .localCheckpoint()
         val trimmed = active.join(kept, Seq("part", "node"), "left_anti")
-        if (!trimmed.isEmpty) {
+        val keptCount = kept.count()
+        val trimmedCount = preTrim - keptCount
+        if (trimmedCount > 0) {
           // lazy accumulate — trimmed is a cheap diff of two
           // checkpointed frames; checkpointed after the peel loop
           labeled = labeled.unionAll(trimmed.select(col("node"), col("node").as("scc_id")))
           active = kept
+          activeCount = keptCount
           peeling = true
         }
         // -- chain contraction over the SAME snapshot: internal ⟺
         // in-degree 1 ∧ out-degree 1 ∧ no self-loop (ind/outd > 0
-        // means these rows survived the trim above)
+        // means these rows survived the trim above). GATED on trim
+        // stalling (< 5% of the live set peeled this pass): while trim
+        // is making real progress the probe's two extra jobs per pass
+        // are pure overhead on a chain-free graph (measured +70% on
+        // the sf1 giant-SCC graph when probed every pass), and on the
+        // adversarial shapes the gate fires immediately — a bare
+        // path/cycle trims ~2 of n nodes per pass, far under 5%, so
+        // the contraction still collapses it on the FIRST pass and the
+        // O(log n) worst-case cap is unchanged (SccSpec pins it).
+        if (trimmedCount * 20L < preTrim) {
         val intr = flags.filter(col("ind") === 1 && col("outd") === 1 &&
             col("succ") =!= col("node"))
           .select(col("node"), col("succ"), col("pred"))
@@ -299,10 +313,12 @@ object Scc {
             .distinct().toDF("src", "dst").localCheckpoint()
           active = active.join(isIntr, Seq("node"), "left_anti")
             .toDF("node", "part").localCheckpoint()
+          activeCount = active.count()
+        }
         }
       }
       labeled = labeled.toDF("node", "scc_id").localCheckpoint()
-      if (!active.isEmpty) {
+      if (activeCount > 0) {
         // ---- one pivot FW-BW round over the surviving cyclic cores
         lastPivotRounds += 1
         val pivots = active.groupBy(col("part"))
@@ -327,6 +343,7 @@ object Scc {
                 .when(col("in_bw") === 1, 2)
                 .otherwise(3)).as("part"))
           .localCheckpoint()
+        activeCount = active.count()
       }
     }
 
