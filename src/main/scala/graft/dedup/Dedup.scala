@@ -469,8 +469,12 @@ object Dedup {
     val sizes = withCluster.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .withColumnRenamed("cluster_id", "sz_cluster_id")
+    // hash join, not sort-merge: SMJ would SORT the node table by the
+    // same power-law key the window fix avoided; with the hint the
+    // census builds a per-partition hash table and the node side
+    // streams through unsorted
     withCluster
-      .join(sizes, col("cluster_id") === col("sz_cluster_id"))
+      .join(sizes.hint("SHUFFLE_HASH"), col("cluster_id") === col("sz_cluster_id"))
       .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
         when(col("vec_id") === col("cluster_id"), 1L).otherwise(0L)
           .as("is_keeper"))

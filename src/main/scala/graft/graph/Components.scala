@@ -479,7 +479,10 @@ object Components {
     val nodes = symW.select(col("src").as("node")).distinct()
     val labels = lpaCommunities(nodes, symW, LpaRounds)
     val census = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
-    labels.join(census, Seq("lbl"))
+    // hash join, not sort-merge: community sizes are power-law and SMJ
+    // would sort the node table by the skewed community key (the d17
+    // census rule)
+    labels.join(census.hint("SHUFFLE_HASH"), Seq("lbl"))
       .select(col("node"), col("lbl").as("community"), col("community_size"))
       .orderBy(col("node"))
   }
