@@ -266,6 +266,68 @@ object Dedup {
     JOIN sh y ON y.doc_id = c.doc_b
     ORDER BY c.doc_a, c.doc_b"""
 
+  // ---- d18: shingle CONTAINMENT on LSH candidates --------------------
+  /** Broder containment c(a→b) = |A∩B| / |A| over the d04 shingle
+    * sets — the ASYMMETRIC overlap Jaccard structurally misses: a
+    * short doc wholly quoted inside a long one has tiny
+    * |A∩B|/|A∪B| (d04 scores it low) but containment ≈ 1 from the
+    * short side. That subset-duplication case (quoted articles,
+    * chapter extractions, README-embedded licenses) is what a
+    * document-level dedup pass drops AFTER t14 has handled span-level
+    * repeats. Emits BOTH directions of every LSH candidate pair —
+    * containment is direction-dependent, and which side is "the
+    * contained one" is the verdict a curation rule consumes.
+    *
+    * Same scale shape as d04: candidates come from the banded
+    * MinHash index (Σ|bucket|², never all-pairs), shingle sets join
+    * in by doc_id (hash-uniform), and the intersection is the
+    * codegen'd two-pointer merge over sorted arrays. The n² lives
+    * only in the oracle's candidate CTE, which recomposes the same
+    * bands.
+    */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val cand = candidatesTable(s, dir)
+    val both = cand.select(col("doc_a"), col("doc_b"))
+      .unionAll(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val sh = docs
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t != '')"))
+      .select(col("doc_id"), expr(sh3Spark).as("sh3"))
+    both
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh3").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh3").as("shb")), Seq("doc_b"))
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount.sortedIntersectCount(col("sha"), col("shb")))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sha")).cast("long").as("n_a"), col("n_inter"),
+        (col("n_inter").cast("double") / size(col("sha")).cast("double"))
+          .as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val d18Sql = s"""
+    WITH $mhCteDuck, $bandsCteDuck, $candCteDuck,
+    bothdirs AS (
+      SELECT doc_a, doc_b FROM cand
+      UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        ELSE [text] END AS sh3
+      FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents))
+    SELECT c.doc_a, c.doc_b,
+      CAST(len(x.sh3) AS BIGINT) AS n_a,
+      CAST(len(list_intersect(x.sh3, y.sh3)) AS BIGINT) AS n_inter,
+      CAST(len(list_intersect(x.sh3, y.sh3)) AS DOUBLE)
+        / CAST(len(x.sh3) AS DOUBLE) AS containment
+    FROM bothdirs c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    ORDER BY c.doc_a, c.doc_b"""
+
   // ---- d05: embedding cosine near-dup within label buckets ----------
   // The label join is the op's semantics (within-source near-dup), not
   // a blocking heuristic — but it is ALSO the only exact blocking this
@@ -999,6 +1061,7 @@ object Dedup {
     Op("d02_minhash_lsh", d02, Some(d02Sql)),
     Op("d03_simhash", d03, Some(d03Sql)),
     Op("d04_ngram_jaccard", d04, Some(d04Sql)),
+    Op("d18_containment", d18, Some(d18Sql)),
     Op("d05_embedding_neardup", d05, Some(d05Sql)),
     Op("d12_neardup_ann", d12, Some(d12Sql)),
     Op("d17_semantic_clusters", d17, Some(d17Sql)),

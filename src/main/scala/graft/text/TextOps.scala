@@ -655,6 +655,57 @@ object TextOps {
       CAST(SUM(qm) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS expected_rate
     FROM a GROUP BY source, lang ORDER BY source, lang"""
 
+  // ---- t15: rare-token-density curation score ------------------------
+  /** Per-doc rare-token density — rarity(d) = (1/|d|) Σ_t N/c(t),
+    * the mean inverse corpus frequency of the doc's tokens (N =
+    * corpus token total, c(t) = the token's corpus count). The
+    * content-side curation scorer next to t02's form-side one:
+    * gibberish / OCR noise / mis-segmented text is dense in
+    * near-hapax tokens (each contributes ≈ N), boilerplate is all
+    * head tokens (each contributes ≈ N/c_head ≈ small) — the cheap
+    * LM-proxy a pipeline thresholds when scoring every crawl doc
+    * with a real LM is unaffordable.
+    *
+    * LOG-FREE by design (the t06 idf rule): the textbook form
+    * Σ −log P(t) needs a transcendental log, which is not correctly
+    * rounded and cannot be §4-pinned across engines; N/c(t) is one
+    * IEEE division of two BIGINTs (correctly rounded, bit-identical
+    * in both engines) and ranks docs by the same rare-token signal.
+    * The per-doc mean rides a decimal sum (§4).
+    *
+    * Scale shape: explode → one vocab-keyed map-side-combining count,
+    * one hash join back (head tokens are frequent but the join
+    * STREAMS the probe side — no sort on the skewed term), one
+    * doc-keyed aggregate; the 1-row total crossJoins as a scalar
+    * broadcast (the t07 pattern).
+    */
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    tok.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        (graft.par.dsum(col("n_total").cast("double") / col("c").cast("double"), 6)
+          / count(lit(1))).as("rarity"))
+      .select(col("doc_id"), col("n_tok"), col("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t15Sql = s"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, t.term
+      FROM documents, UNNEST($toksDuck) AS t(term)),
+    counts AS MATERIALIZED (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts)
+    SELECT doc_id, count(*) AS n_tok,
+      ${graft.par.dsumSql("CAST(n_total AS DOUBLE) / CAST(c AS DOUBLE)", 6)}
+        / count(*) AS rarity
+    FROM tok JOIN counts USING (term) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id"""
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -673,7 +724,8 @@ object TextOps {
     Op("t11_token_chunks", t11, Some(t11Sql)),
     Op("t12_heavy_hitters", t12, Some(t12Sql)),
     Op("t13_weighted_sample", t13, Some(t13Sql)),
-    Op("t14_dup_spans", t14, Some(t14Sql)))
+    Op("t14_dup_spans", t14, Some(t14Sql)),
+    Op("t15_rarity_score", t15, Some(t15Sql)))
 
   // ---- t14: corpus-wide duplicated-span removal -----------------------
   /** The Lee et al. 2022 "Deduplicating Training Data Makes Language

@@ -56,6 +56,7 @@ class PlanSpec extends AnyFunSuite {
     "s10_ivf_kmeans",     // same probe shape vs the k=10 trained centroids
     "t06_tfidf",          // scalar corpus doc-count join
     "t07_vocab_coverage", // scalar total-token join
+    "t15_rarity_score",   // same scalar total-token join as t07
     "t12_heavy_hitters",  // scalar total-count join vs ≤k candidates
     "g10_adjacency_roundtrip" // dense 25x25 matrix codec, fixed size
   )
