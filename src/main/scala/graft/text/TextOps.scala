@@ -674,17 +674,20 @@ object TextOps {
     * The per-doc mean rides a decimal sum (§4).
     *
     * Scale shape: explode → one vocab-keyed map-side-combining count,
-    * one hash join back (head tokens are frequent but the join
-    * STREAMS the probe side — no sort on the skewed term), one
-    * doc-keyed aggregate; the 1-row total crossJoins as a scalar
-    * broadcast (the t07 pattern).
+    * one hash join back — SHUFFLE_HASH-hinted with the vocabulary-
+    * sized counts table as build side (the d17/g27 census rule: once
+    * counts outgrows the broadcast threshold the unhinted plan is a
+    * sort-merge join that SORTS the corpus token stream on the
+    * power-law term key; head-term partitions become stragglers) —
+    * then one doc-keyed aggregate; the 1-row total crossJoins as a
+    * scalar broadcast (the t07 pattern).
     */
   private def t15(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
     val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("n_total"))
-    tok.join(counts, Seq("term"))
+    tok.join(counts.hint("SHUFFLE_HASH"), Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
@@ -725,7 +728,8 @@ object TextOps {
     Op("t12_heavy_hitters", t12, Some(t12Sql)),
     Op("t13_weighted_sample", t13, Some(t13Sql)),
     Op("t14_dup_spans", t14, Some(t14Sql)),
-    Op("t15_rarity_score", t15, Some(t15Sql)))
+    Op("t15_rarity_score", t15, Some(t15Sql)),
+    Op("t16_span_excision", t16, Some(t16Sql)))
 
   // ---- t14: corpus-wide duplicated-span removal -----------------------
   /** The Lee et al. 2022 "Deduplicating Training Data Makes Language
@@ -769,13 +773,19 @@ object TextOps {
     * per doc, post-repartition, on every core.
     */
   private def winnowHashes(s: SparkSession, dir: String): DataFrame =
-    graft.util.MatStore.table(s, s"winhs:$dir", "graft_winhs")(
+    graft.util.MatStore.table(s, s"winhs2:$dir", "graft_winhs2")(
       Tables(s, dir, "documents")
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .withColumn("toks", expr(toksExpr))
         .withColumn("k3", expr(winnowK3Expr))
         .withColumn("hs", expr(winnowHsExpr))
-        .select(col("doc_id"), col("hs")))
+        // toks rides along for t16's excision projection: reading it
+        // from the materialized leaf means the cleaned-token HOFs bind
+        // to a stored column (multiple references are free), never to
+        // the inlined split chain — the same pushdown-inlining hazard
+        // this barrier exists for; t14 doesn't select it, so parquet
+        // column pruning keeps its scan unchanged
+        .select(col("doc_id"), col("toks"), col("hs")))
 
   private def t14(s: SparkSession, dir: String): DataFrame = {
     val perDoc = winnowHashes(s, dir)
@@ -787,11 +797,119 @@ object TextOps {
       .groupBy(col("doc_id"), col("fp"))
       .agg(min(col("pos")).as("start_tok"))
     val census = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("n_dup_docs"))
-    perDoc.join(census.filter(col("n_dup_docs") >= 2), Seq("fp"))
+    // hash join, not sort-merge: a boilerplate fingerprint held by
+    // millions of docs makes fp power-law, and SMJ would sort the
+    // (doc, fp) stream on it (the d17/g27 census rule)
+    perDoc.join(census.filter(col("n_dup_docs") >= 2).hint("SHUFFLE_HASH"), Seq("fp"))
       .select(col("doc_id"), col("start_tok"),
         (col("start_tok") + 5).as("end_tok"), col("n_dup_docs"))
       .orderBy(col("doc_id"), col("start_tok"))
   }
+
+  // ---- t16: duplicated-span EXCISION ---------------------------------
+  /** The other half of Lee et al. 2022: t14 DETECTS duplicated spans;
+    * t16 REMOVES them and ships the cleaned token stream plus a
+    * removal census — what a training pipeline actually writes back
+    * out. Semantics: a winnowing window (t14's fingerprint contract)
+    * held by >= 2 documents marks tokens j..j+5 in EVERY holder at
+    * EVERY occurrence (t14 keeps only the first occurrence — the one
+    * semantic change); overlapping/adjacent marked windows merge into
+    * maximal spans per doc; every covered token is excised. Output one
+    * row per document (including docs too short to have windows):
+    * (doc_id, tokens_before, tokens_removed, tokens_after, n_spans,
+    * cleaned_text) with cleaned_text the space-joined surviving
+    * tokens.
+    *
+    * Determinism: positions are integers; the only collected arrays
+    * are doc-local and explicitly sorted before use.
+    *
+    * Scale shape: the heavy lifting reuses [[winnowHashes]]'s
+    * memoized barrier (one shingling pass per corpus, shared with
+    * t14); exchanges are keyed by (doc_id, fp), fp (census — one row
+    * per fingerprint, SHUFFLE_HASH-hinted against the power-law key),
+    * and doc_id — all bounded by window counts, never token pairs.
+    * The span merge is SORT-FREE at the exchange level: marked
+    * positions collect into a per-doc array (winnowing-window-sized,
+    * the same envelope as the hs array itself) and merge inside a
+    * per-row projection. The excision projection is O(n_tok x
+    * n_marked) per doc — fine at document sizes; a book-length doc
+    * with massive duplication would swap the exists() probe for a
+    * two-pointer walk over the same sorted array, still doc-local.
+    */
+  private def t16(s: SparkSession, dir: String): DataFrame = {
+    val src = winnowHashes(s, dir)
+    val perDocFp = src
+      .filter(expr("size(hs) >= 4"))
+      .withColumn("w", expr("""transform(sequence(1, size(hs) - 3),
+          j -> named_struct('fp', array_min(slice(hs, j, 4)), 'pos', j))"""))
+      .select(col("doc_id"), explode(col("w")).as("w"))
+      .select(col("doc_id"), col("w.fp").as("fp"), col("w.pos").cast("long").as("pos"))
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    val census = perDocFp.groupBy(col("fp")).agg(count(lit(1)).as("n_dup_docs"))
+    // window positions are unique per (doc, pos) — each position has
+    // exactly one fp — so the flatten needs no distinct
+    val marked = perDocFp
+      .join(census.filter(col("n_dup_docs") >= 2).hint("SHUFFLE_HASH"), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(flatten(collect_list(col("ps")))).as("ps"))
+    src.select(col("doc_id"), col("toks"))
+      .join(marked, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("array()")))
+      .withColumn("kept", expr("""CASE WHEN size(toks) = 0 THEN array()
+        ELSE filter(transform(sequence(1, size(toks)),
+          i -> IF(exists(ps, p -> i >= p AND i <= p + 5), NULL, element_at(toks, i))),
+          x -> x IS NOT NULL) END"""))
+      .withColumn("n_spans", expr("""CASE WHEN size(ps) = 0 THEN CAST(0 AS BIGINT)
+        ELSE aggregate(sequence(1, size(ps)), cast(0 as bigint), (acc, i) ->
+          acc + IF(i = 1 OR element_at(ps, i) - element_at(ps, i - 1) > 6, 1, 0)) END"""))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("tokens_before"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("tokens_removed"),
+        size(col("kept")).cast("long").as("tokens_after"),
+        col("n_spans"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val t16Sql: String = s"""
+    WITH hsrc AS MATERIALIZED (
+      SELECT doc_id, toks, $winnowHsDuck AS hs
+      FROM (SELECT doc_id, $toksDuck AS toks FROM documents)),
+    wins AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(hs) - 2),
+        j -> {'fp': list_min(hs[j:j+3]), 'pos': j})) AS w
+      FROM hsrc WHERE len(hs) >= 4),
+    perdocfp AS (
+      SELECT doc_id, w.fp AS fp,
+        list_sort(list(DISTINCT CAST(w.pos AS BIGINT))) AS ps
+      FROM wins GROUP BY 1, 2),
+    census AS (SELECT fp, count(*) AS n_dup_docs FROM perdocfp GROUP BY 1),
+    marked AS (
+      SELECT doc_id, list_sort(flatten(list(ps))) AS ps
+      FROM perdocfp JOIN census USING (fp)
+      WHERE n_dup_docs >= 2 GROUP BY doc_id),
+    j AS (
+      SELECT h.doc_id, h.toks, COALESCE(m.ps, []) AS ps
+      FROM hsrc h LEFT JOIN marked m USING (doc_id)),
+    k AS (
+      SELECT doc_id, toks, ps,
+        CASE WHEN len(toks) = 0 THEN []
+        ELSE list_filter(list_transform(range(1, len(toks) + 1),
+          i -> CASE WHEN len(list_filter(ps, p -> i >= p AND i <= p + 5)) > 0
+               THEN NULL ELSE toks[i] END),
+          x -> x IS NOT NULL) END AS kept
+      FROM j)
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS tokens_before,
+      CAST(len(toks) - len(kept) AS BIGINT) AS tokens_removed,
+      CAST(len(kept) AS BIGINT) AS tokens_after,
+      CASE WHEN len(ps) = 0 THEN CAST(0 AS BIGINT)
+      ELSE CAST(len(list_filter(range(1, len(ps) + 1),
+        i -> CASE WHEN i = 1 THEN TRUE ELSE ps[i] - ps[i - 1] > 6 END)) AS BIGINT)
+      END AS n_spans,
+      COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM k ORDER BY doc_id"""
 
   private lazy val t14Sql: String = s"""
     WITH hsrc AS MATERIALIZED (
