@@ -472,6 +472,145 @@ object Traversals {
     */
   private val g26UnrollRounds = 16
 
+  /** [[ssspConverged]] with PREDECESSOR tracking — the route, not just
+    * the distance (the reference's op-3/4 user asks "how do I get
+    * there"; g26 answers only "how far"). Identical frontier-relaxation
+    * loop and exchanges; the min-struct per destination carries
+    * (cost, pred), so ties break to the smallest predecessor id WITHIN
+    * the first round the final cost is achieved, and a node's pred
+    * never changes afterwards (improvements are strict). That rule is
+    * deterministic AND oracle-unrollable: every optimal predecessor of
+    * a node first achieves its own final cost exactly one round before
+    * the node does (any earlier and the node would have improved
+    * earlier; any later and its candidate never survives the strict-<
+    * filter), so a full-relaxation unroll sees the same candidate set
+    * in the deciding round. The source's pred is itself — the walk
+    * terminator.
+    */
+  private[graft] def ssspPredsConverged(edges: DataFrame, source: Long): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("cost").cast("long").as("cost"))
+      .localCheckpoint()
+    var dist = Seq((source, 0L, source)).toDF("node", "cost", "pred").localCheckpoint()
+    var frontier = dist
+    var rounds = 0
+    while (!frontier.isEmpty) {
+      rounds += 1
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), (frontier("cost") + e("cost")).as("cost"),
+          frontier("node").as("pred"))
+        .groupBy(col("node")).agg(min(struct(col("cost"), col("pred"))).as("b"))
+        .select(col("node"), col("b.cost").as("cost"), col("b.pred").as("pred"))
+      val improved = cand
+        .join(dist.select(col("node"), col("cost").as("old")), Seq("node"), "left")
+        .filter(col("old").isNull || col("cost") < col("old"))
+        .select(col("node"), col("cost"), col("pred"))
+        .toDF("node", "cost", "pred").localCheckpoint()
+      dist = dist.join(improved, Seq("node"), "left_anti").unionAll(improved)
+        .toDF("node", "cost", "pred").localCheckpoint()
+      frontier = improved
+    }
+    lastSsspRounds = rounds
+    dist
+  }
+
+  /** Unfold full routes from a (node, cost, pred) distance table by
+    * iterative predecessor joins — the pred map is a tree rooted at
+    * the source, so the walk terminates in exactly the path depth
+    * (bounded by the relaxation round count). Per round: one hash
+    * join of the still-walking rows against the node-keyed pred
+    * table; finished rows exit the loop immediately, so total work is
+    * Σ path lengths — the size of the output itself. Nothing
+    * driver-sized; lineage is checkpoint-truncated per round.
+    */
+  private[graft] def unfoldPaths(dist: DataFrame, source: Long): DataFrame = {
+    val preds = dist.select(col("node").as("pn"), col("pred").as("pp"))
+      .localCheckpoint()
+    val start = dist
+      .select(col("node"), col("cost"), col("node").as("cur"),
+        array(col("node")).as("path"))
+      .localCheckpoint()
+    var done = List(start.filter(col("cur") === lit(source)))
+    var active = start.filter(col("cur") =!= lit(source))
+    while (!active.isEmpty) {
+      val stepped = active.join(preds, active("cur") === col("pn"))
+        .select(col("node"), col("cost"), col("pp").as("cur"),
+          concat(array(col("pp")), col("path")).as("path"))
+        .toDF("node", "cost", "cur", "path").localCheckpoint()
+      done ::= stepped.filter(col("cur") === lit(source))
+      active = stepped.filter(col("cur") =!= lit(source))
+    }
+    done.reduce(_ unionAll _)
+      .select(col("node"), col("cost"),
+        (size(col("path")) - 1).cast("long").as("hops"),
+        concat_ws("->", expr("transform(path, x -> cast(x as string))"))
+          .as("path"))
+  }
+
+  /** g28: shortest ROUTES from the g26 hub on the preferred-partner
+    * bipartite graph — g26's distance table extended with predecessor
+    * tracking and unfolded into the full hub→node path per node
+    * (rendered "a->b->c"). Same graph, same source, same fixpoint
+    * loop; the path unfold adds one hash join per path-depth level.
+    */
+  private def g28(s: SparkSession, dir: String): DataFrame = {
+    val w = custSuppW(s, dir)
+    val sel = preferredPartners(w)
+    val bi = sel.select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"),
+      (floor(lit(1000000.0) / col("w")) + 1).cast("long").as("cost"))
+    val sym = bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+    val hub = w.groupBy(col("supp")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("supp")).head().getLong(0) * 2 + 1
+    unfoldPaths(ssspPredsConverged(sym, hub), hub).orderBy(col("node"))
+  }
+
+  /** g26's unrolled-relaxation oracle extended with pred tracking
+    * (struct-min mirrors the Spark min(struct(cost, pred)); the
+    * keep-old-on-tie rule rides the o.cost <= n.cost CASE), then a
+    * recursive-CTE walk up the pred tree rebuilds each node's path.
+    */
+  private val g28Sql: String = {
+    val relax = (1 to g26UnrollRounds).map { i =>
+      s"""n$i AS (
+      SELECT node, min({'c': cost, 'p': pred}) AS b FROM (
+        SELECT e.dst AS node, p.cost + e.cost AS cost, p.node AS pred
+        FROM d${i - 1} p JOIN bedges e ON e.src = p.node)
+      GROUP BY node),
+    d$i AS MATERIALIZED (
+      SELECT COALESCE(o.node, n.node) AS node,
+        CASE WHEN o.cost IS NOT NULL AND (n.b IS NULL OR o.cost <= n.b.c)
+          THEN o.cost ELSE n.b.c END AS cost,
+        CASE WHEN o.cost IS NOT NULL AND (n.b IS NULL OR o.cost <= n.b.c)
+          THEN o.pred ELSE n.b.p END AS pred
+      FROM d${i - 1} o FULL OUTER JOIN n$i n ON n.node = o.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH RECURSIVE ${GraphSql.prefCtes},
+    bi AS MATERIALIZED (
+      SELECT cust * 2 AS src, supp * 2 + 1 AS dst,
+        CAST(FLOOR(1000000.0 / w) + 1 AS BIGINT) AS cost
+      FROM sel),
+    bedges AS MATERIALIZED (
+      SELECT src, dst, cost FROM bi
+      UNION ALL SELECT dst AS src, src AS dst, cost FROM bi),
+    hub AS (
+      SELECT supp * 2 + 1 AS h FROM w GROUP BY supp ORDER BY count(*) DESC, supp LIMIT 1),
+    d0 AS (SELECT h AS node, CAST(0 AS BIGINT) AS cost, h AS pred FROM hub),
+    $relax,
+    walk(node, cost, cur, path) AS (
+      SELECT node, cost, node, [node] FROM d$g26UnrollRounds
+      UNION ALL
+      SELECT w2.node, w2.cost, p.pred, list_prepend(p.pred, w2.path)
+      FROM walk w2 JOIN d$g26UnrollRounds p ON p.node = w2.cur
+      WHERE w2.cur <> (SELECT h FROM hub))
+    SELECT node, cost, CAST(len(path) - 1 AS BIGINT) AS hops,
+      array_to_string(list_transform(path, x -> CAST(x AS VARCHAR)), '->') AS path
+    FROM walk WHERE cur = (SELECT h FROM hub)
+    ORDER BY node"""
+  }
+
   private val g26Sql: String = {
     val relax = (1 to g26UnrollRounds).map { i =>
       s"""d$i AS MATERIALIZED (
@@ -508,5 +647,6 @@ object Traversals {
     Op("g25_scc_fwbw", g25, Some(g24Sql)),
     Op("g08_shortest_path_weighted", g08, Some(g08Sql)),
     Op("g26_sssp", g26, Some(g26Sql)),
+    Op("g28_sssp_paths", g28, Some(g28Sql)),
     Op("g14_closeness", g14, Some(g14Sql)))
 }

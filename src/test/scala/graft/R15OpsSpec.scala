@@ -54,6 +54,67 @@ class R15OpsSpec extends AnyFunSuite {
     }, "untouched docs must keep their full token stream")
   }
 
+  test("sssp preds + unfoldPaths equal an imperative frontier Bellman-Ford " +
+      "(keep-old-on-tie pred rule pinned)") {
+    import spark.implicits._
+    // two tie shapes: (a) node 3 reachable at equal cost through preds
+    // 1 and 2 in the SAME round -> min pred wins; (b) node 7 reaches
+    // cost 5 via pred 8 in round 2, and via the SMALLER pred 6 only in
+    // round 3 -> the earlier pred is KEPT (global min-lex would flip
+    // to 6 — this asserts the documented first-achieving-round rule)
+    val edges = Seq(
+      (0L, 1L, 1L), (0L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (0L, 8L, 4L), (8L, 7L, 1L),
+      (0L, 5L, 1L), (5L, 6L, 1L), (6L, 7L, 3L))
+    val got = graph.Traversals.unfoldPaths(
+        graph.Traversals.ssspPredsConverged(edges.toDF("src", "dst", "cost"), 0L), 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // imperative twin: frontier relaxation, min-(cost, pred) per round,
+    // strict-< update
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    val pred = scala.collection.mutable.Map(0L -> 0L)
+    var frontier = Set(0L)
+    while (frontier.nonEmpty) {
+      val cand = edges.filter(e => frontier(e._1))
+        .map(e => (e._2, dist(e._1) + e._3, e._1))
+        .groupBy(_._1).map { case (n, cs) => (n, cs.map(c => (c._2, c._3)).min) }
+      val improved = cand.filter { case (n, (c, _)) => c < dist.getOrElse(n, Long.MaxValue) }
+      improved.foreach { case (n, (c, p)) => dist(n) = c; pred(n) = p }
+      frontier = improved.keySet
+    }
+    def path(n: Long): Seq[Long] =
+      if (n == 0L) Seq(0L) else path(pred(n)) :+ n
+    val expected = dist.map { case (n, c) =>
+      n -> ((c, (path(n).length - 1).toLong, path(n).mkString("->")))
+    }.toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(pred(3L) == 1L, "same-round tie must break to the smaller pred")
+    assert(pred(7L) == 8L,
+      "later equal-cost candidate must NOT displace the first-round pred")
+    assert(got(7L)._3 == "0->8->7")
+  }
+
+  test("g28 routes are cost-consistent with g26 and structurally valid") {
+    val g26 = SparkEntry.queries("g26_sssp")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("g28_sssp_paths")(spark, dir).collect()
+    assert(rows.length == g26.size, "g28 must cover exactly the reachable set")
+    val hub = rows.find(_.getLong(1) == 0L).get.getLong(0)
+    rows.foreach { r =>
+      val (node, cost, hops, path) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3).split("->").map(_.toLong))
+      assert(cost == g26(node), s"cost mismatch at $node")
+      assert(path.length == hops + 1 && path.head == hub && path.last == node)
+      // bipartite: edges connect customers (even) and suppliers (odd)
+      path.sliding(2).filter(_.length == 2).foreach { w =>
+        assert((w(0) + w(1)) % 2 == 1,
+          s"non-bipartite step ${w(0)}->${w(1)} in path of $node")
+      }
+    }
+    assert(rows.map(_.getLong(2)).max >= 5, "paths too shallow to exercise the unfold")
+  }
+
   test("t16 interval arithmetic is self-consistent with t14's detection") {
     // every doc t14 flags loses tokens in t16; docs t14 never flags
     // lose none
