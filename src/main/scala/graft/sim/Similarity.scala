@@ -1390,8 +1390,227 @@ object Similarity {
     WHERE rank <= $TOPK ORDER BY query_id, rank"""
   }
 
+  // ---- s12: IVF + PQ composed (IVFADC) --------------------------------
+  /** Residual table behind s12: each vector minus its assigned coarse
+    * centroid (vector cast to double first — exact IEEE widening and
+    * subtraction, so both engines agree bit-for-bit), memoized per
+    * (session, corpus) like the k-means tables. One corpus-sized
+    * vec_id-keyed hash join plus a k-row centroid broadcast.
+    */
+  def ivfResiduals(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"ivfres:$dir", "graft_ivfres")(
+      embWithNorm(s, dir)
+        .join(kmeansCells(s, dir), Seq("vec_id"))
+        .join(broadcast(kmeansCentroids(s, dir)), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(embedding, centroid, (x, c) -> cast(x as double) - c)")
+            .as("embedding")))
+
+  /** PQ codebooks trained on the RESIDUALS (not the raw vectors) —
+    * the IVFADC layout (Jégou et al. 2011 §III): within a coarse
+    * cell residuals are small and centered, so the same 4-byte code
+    * budget quantizes them far more finely than the raw space.
+    */
+  def ivfpqCodebooks(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"ivfpqcent:$dir", "graft_ivfpqcent")(
+      Pq.fit(ivfResiduals(s, dir).select(col("vec_id"), col("embedding"))))
+
+  def ivfpqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"ivfpqcode:$dir", "graft_ivfpqcode")(
+      Pq.encode(ivfResiduals(s, dir).select(col("vec_id"), col("embedding")),
+        ivfpqCodebooks(s, dir)))
+
+  /** s12: the production ANN layout — s10's trained coarse cells
+    * select WHICH vectors to score (nprobe inverted lists), s11's ADC
+    * scores them from codes alone, with the codebooks trained on
+    * residuals so ⟨q, x⟩ ≈ ⟨q, c_cell(x)⟩ + Σ_m lut[m][code_m(x)]:
+    * one per-(query, probed-cell) scalar plus the 64-entry residual
+    * LUT. The search reads ONLY the code store and the cell
+    * assignment — no float hydration; the M partial terms ride the
+    * decimal sum and the final +⟨q,c⟩ is one IEEE add, so the score
+    * is bit-identical in DuckDB, whose oracle chains the s10 k-means
+    * unroll into the s11 PQ unroll over residuals. S12IvfPqSpec holds
+    * the driver-side recount and the rank-quality gates vs s10-alone
+    * and s11-alone.
+    *
+    * Scale shape: corpus-sized work is one vec_id-keyed hash join
+    * (codes × cell assignment), a broadcast semi-filter to the probed
+    * cells (candidate set = nprobe/k of the corpus), a broadcast LUT
+    * join, and a map-side-combining (query, neighbor) partial sum —
+    * s11's plan restricted to the probe set, which is the whole point
+    * of IVF at 100 TB.
+    */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val e = embWithNorm(s, dir)
+    val cents = kmeansCentroids(s, dir)
+    val q = e.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    val probes = broadcast(q).crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(Cosine.dotSpark("eq", "centroid")) /
+        (col("nq") * expr(Cosine.normSpark("centroid"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crank") <= KMEANS_NPROBE)
+      .select(col("query_id"), col("cell"))
+    val qc = broadcast(q).join(broadcast(probes), Seq("query_id"))
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        expr(Cosine.dotSpark("eq", "centroid")).as("qc"))
+    val qs = Pq.sliced(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < NQUERIES))
+      .toDF("query_id", "m", "qsv")
+    val lut = broadcast(qs).join(broadcast(ivfpqCodebooks(s, dir)), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        expr(Cosine.dotSpark("qsv", "centroid")).as("pdot"))
+    val scores = ivfpqCodes(s, dir).toDF("neighbor_id", "m", "code")
+      .join(kmeansCells(s, dir).toDF("neighbor_id", "cell"), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cell"))
+      .agg(graft.par.dsum(col("pdot"), 9).as("rsum"))
+      .join(broadcast(qc), Seq("query_id", "cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("qc") + col("rsum")).as("cos"))
+    topkUnordered(scores, TOPK)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("adc"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Chained-unroll oracle: the s10 k-means CTEs (3 Lloyd rounds →
+    * cells + final centroids) feed a residual table, the s11 PQ CTEs
+    * re-run over those residuals (2 Lloyd rounds per subspace →
+    * codes), and the ADC sum adds the per-(query, cell) ⟨q, c⟩ scalar
+    * — every arithmetic step the same left-fold/decimal contract as
+    * its parents, so the composition stays bit-exact.
+    */
+  private lazy val s12Sql: String = {
+    import Pq.{M, SUB, K, ITERS}
+    // k-means unroll (s10's CTE structure, verbatim semantics)
+    def kmAssign(cPrev: String) = s"""
+        SELECT q.vec_id, c.cell,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            ${Cosine.dotDuck("q.embedding", "c.centroid")}
+              / (q.nrm * ${Cosine.normDuck("c.centroid")}) DESC, c.cell) AS rn
+        FROM e q CROSS JOIN $cPrev c"""
+    val kmRounds = (1 to KMEANS_ITERS).map { i =>
+      s"""a$i AS MATERIALIZED (
+      SELECT vec_id, cell FROM (${kmAssign(s"c${i - 1}")}) WHERE rn = 1),
+    u$i AS MATERIALIZED (
+      SELECT cell, list(cv ORDER BY pos) AS centroid FROM (
+        SELECT a.cell, t.i AS pos,
+          ${graft.par.dsumSql("CAST(e.embedding[t.i] AS DOUBLE)", 9)} / count(*) AS cv
+        FROM a$i a JOIN e ON e.vec_id = a.vec_id,
+          UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+        GROUP BY a.cell, t.i)
+      GROUP BY cell),
+    c$i AS MATERIALIZED (
+      SELECT p.cell, COALESCE(u.centroid, p.centroid) AS centroid
+      FROM c${i - 1} p LEFT JOIN u$i u USING (cell))"""
+    }.mkString(",\n    ")
+    // PQ unroll over residual slices (s11's CTE structure)
+    def pqAssign(cPrev: String) = s"""
+        SELECT v.vec_id, v.m, c.code,
+          row_number() OVER (PARTITION BY v.vec_id, v.m ORDER BY
+            (${Cosine.dotDuck("v.sv", "c.centroid")}
+              - 0.5 * ${Pq.n2Duck("c.centroid")}) DESC, c.code) AS rn
+        FROM sv v JOIN $cPrev c ON c.m = v.m"""
+    val pqRounds = (1 to ITERS).map { i =>
+      s"""pa$i AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (${pqAssign(s"pc${i - 1}")}) WHERE rn = 1),
+    pu$i AS MATERIALIZED (
+      SELECT m, code, list(cv ORDER BY pos) AS centroid FROM (
+        SELECT a.m, a.code, t.i AS pos,
+          ${graft.par.dsumSql("CAST(v.sv[t.i] AS DOUBLE)", 9)} / count(*) AS cv
+        FROM pa$i a JOIN sv v ON v.vec_id = a.vec_id AND v.m = a.m,
+          UNNEST(range(1, len(v.sv) + 1)) AS t(i)
+        GROUP BY a.m, a.code, t.i)
+      GROUP BY m, code),
+    pc$i AS MATERIALIZED (
+      SELECT p.m, p.code, COALESCE(u.centroid, p.centroid) AS centroid
+      FROM pc${i - 1} p LEFT JOIN pu$i u USING (m, code))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+          AS BIGINT) AS cell,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM (SELECT vec_id, embedding FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $KMEANS_K)),
+    $kmRounds,
+    cells AS MATERIALIZED (
+      SELECT vec_id, cell FROM (${kmAssign(s"c$KMEANS_ITERS")}) WHERE rn = 1),
+    res AS MATERIALIZED (
+      SELECT e.vec_id, cl.cell,
+        list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS remb
+      FROM e JOIN cells cl USING (vec_id) JOIN c$KMEANS_ITERS c ON c.cell = cl.cell),
+    sv AS MATERIALIZED (
+      SELECT r.vec_id, t.m AS m,
+        list_transform(range(t.m * $SUB + 1, t.m * $SUB + ${SUB + 1}),
+          i -> r.remb[i]) AS sv
+      FROM res r, UNNEST(range(0, $M)) AS t(m)),
+    pc0 AS MATERIALIZED (
+      SELECT v.m, s2.code, list_transform(v.sv, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM (SELECT vec_id,
+              CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                AS BIGINT) AS code
+            FROM (SELECT vec_id FROM e
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K) q2) s2
+      JOIN sv v ON v.vec_id = s2.vec_id),
+    $pqRounds,
+    codes AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (${pqAssign(s"pc$ITERS")}) WHERE rn = 1),
+    qp AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT q.vec_id, c.cell,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            ${Cosine.dotDuck("q.embedding", "c.centroid")}
+              / (q.nrm * ${Cosine.normDuck("c.centroid")}) DESC, c.cell) AS rn
+        FROM e q CROSS JOIN c$KMEANS_ITERS c WHERE q.vec_id < $NQUERIES)
+      WHERE rn <= $KMEANS_NPROBE),
+    qsl AS MATERIALIZED (
+      SELECT e.vec_id, t.m AS m,
+        list_transform(range(t.m * $SUB + 1, t.m * $SUB + ${SUB + 1}),
+          i -> e.embedding[i]) AS sv
+      FROM e, UNNEST(range(0, $M)) AS t(m)
+      WHERE e.vec_id < $NQUERIES),
+    lut AS MATERIALIZED (
+      SELECT v.vec_id AS query_id, c.m, c.code,
+        ${Cosine.dotDuck("v.sv", "c.centroid")} AS pdot
+      FROM qsl v JOIN pc$ITERS c ON c.m = v.m),
+    qcs AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, qp.cell,
+        ${Cosine.dotDuck("q.embedding", "c.centroid")} AS qc
+      FROM e q JOIN qp ON qp.vec_id = q.vec_id
+      JOIN c$KMEANS_ITERS c ON c.cell = qp.cell),
+    scores AS MATERIALIZED (
+      SELECT qp.vec_id AS query_id, cd.vec_id AS neighbor_id, cl.cell,
+        ${graft.par.dsumSql("l.pdot", 9)} AS rsum
+      FROM codes cd
+      JOIN cells cl ON cl.vec_id = cd.vec_id
+      JOIN qp ON qp.cell = cl.cell
+      JOIN lut l ON l.query_id = qp.vec_id AND l.m = cd.m AND l.code = cd.code
+      WHERE cd.vec_id <> qp.vec_id
+      GROUP BY 1, 2, 3),
+    adcs AS (
+      SELECT s2.query_id, s2.neighbor_id, q.qc + s2.rsum AS adc
+      FROM scores s2 JOIN qcs q ON q.query_id = s2.query_id AND q.cell = s2.cell),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY adc DESC, neighbor_id) AS rank
+      FROM adcs)
+    SELECT query_id, neighbor_id, adc, rank FROM ranked
+    WHERE rank <= $TOPK ORDER BY query_id, rank"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("s01_knn_bruteforce", s01, Some(s01Sql)),
+    Op("s12_ivfpq", s12, Some(s12Sql)),
     Op("s10_ivf_kmeans", s10, Some(s10Sql)),
     Op("s11_pq_adc", s11, Some(s11Sql)),
     Op("s08_quantized_knn", s08, Some(s08Sql)),

@@ -53,7 +53,6 @@ class PlanSpec extends AnyFunSuite {
     "q17_set_ops",        // crossJoin of three 1-row scalar aggregates
     "e05_funnel",         // scalar per-stage count assembly
     "s03_ivf_label",      // distance probe vs the tiny centroid table
-    "s10_ivf_kmeans",     // same probe shape vs the k=10 trained centroids
     "t06_tfidf",          // scalar corpus doc-count join
     "t07_vocab_coverage", // scalar total-token join
     "t15_rarity_score",   // same scalar total-token join as t07
@@ -61,7 +60,39 @@ class PlanSpec extends AnyFunSuite {
     "g10_adjacency_roundtrip" // dense 25x25 matrix codec, fixed size
   )
 
-  Registry.all.map(_.name).filterNot(allPairsByDesign).foreach { name =>
+  /** Ops whose ONLY permitted nested-loop is the centroid probe: a
+    * BNLJ is fine against the k-row TRAINED centroid frame (k = 10 by
+    * construction), but these ops must not be blanket-exempt — a
+    * regression that nested-loops the corpus side must still fail. The
+    * targeted assertion: exactly one BNLJ, and its build side reads
+    * the memoized k-means centroid table (graft_kmcent), nothing
+    * corpus-sized.
+    */
+  private val centroidProbeOnly = Set("s10_ivf_kmeans", "s12_ivfpq")
+
+  centroidProbeOnly.foreach { name =>
+    test(s"$name nested-loops ONLY against the k-row centroid table") {
+      import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      assert(!plan.toString.contains("CartesianProduct"), s"CartesianProduct in $name")
+      val bnljs = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+      // s12 instantiates the probe subplan twice (cell filter + qc
+      // scalar) — each BNLJ must individually build on the centroids
+      assert(bnljs.nonEmpty && bnljs.size <= 2,
+        s"$name: expected only centroid-probe BNLJs, found ${bnljs.size}")
+      bnljs.foreach { b =>
+        val build = b.buildSide match {
+          case BuildRight => b.right
+          case BuildLeft  => b.left
+        }
+        assert(build.toString.contains("graft_kmcent"),
+          s"a BNLJ build side of $name is not the trained-centroid table:\n$build")
+      }
+    }
+  }
+
+  Registry.all.map(_.name).filterNot(allPairsByDesign ++ centroidProbeOnly).foreach { name =>
     test(s"$name plans without cartesian or nested-loop joins") {
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"), s"CartesianProduct in $name")
