@@ -296,6 +296,93 @@ object StreamOps {
         col("n_contaminated").cast("double") / col("n_grams").cast("double")))
   }
 
+  /** Streaming duplicated-span EXCISION against the HISTORICAL corpus
+    * — the fourth incremental-index streaming driver, maintaining
+    * [[graft.text.WinnowIndex]]: each micro-batch of crawled documents
+    * (doc_id, text) is audited t16-style — a winnowing window is
+    * flagged when its fingerprint's holder count across (pre-batch
+    * history + this batch's fresh docs) is ≥ 2, flagged windows merge
+    * into maximal spans, and the batch's per-doc excision rows
+    * (doc_id, tokens_before, tokens_removed, tokens_after, n_spans,
+    * cleaned_text — exactly t16's columns) flow to `sink`; then the
+    * fresh docs' census delta is appended so the NEXT batch sees this
+    * one as history. Per-trigger reads are O(batch + bloom sidecars):
+    * the historical census probe is bloom-pruned per fingerprint
+    * ([[graft.text.WinnowIndex.censusBeforeFor]]) and id freshness per
+    * doc, never a corpus-lifetime scan; only the batch is shingled.
+    *
+    * Streaming semantics, stated honestly: a doc is cleaned against
+    * duplication KNOWN AT ITS ARRIVAL — an earlier doc is not
+    * re-excised when a later crawl repeats its spans (the crawlDedup
+    * rule: history is immutable). A single-batch ingest of a whole
+    * corpus therefore equals batch t16 exactly (StreamingSpec pins
+    * this), and a later batch repeating an earlier batch's span is
+    * excised on arrival.
+    *
+    * Restart-safe, AT-LEAST-ONCE to an idempotent sink — the shared
+    * journal contract: the batch's content-identity tag publishes
+    * atomically with its append; a replayed batch recomputes its
+    * fresh set from the tagged version's OWN delta
+    * ([[graft.text.WinnowIndex.idsAddedAt]]) and audits against
+    * [[graft.text.WinnowIndex.censusBefore]] of that version — every
+    * decision input is versioned — so it re-emits identical rows
+    * instead of re-appending (or auditing itself as duplication).
+    * Duplicate in-trigger doc_ids collapse first; an idle trigger
+    * appends nothing and emits nothing.
+    */
+  def spanDedupStream(docs: DataFrame, index: graft.text.WinnowIndex,
+      compactEvery: Int = 0, vacuumKeep: Int = 0)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    require(vacuumKeep == 0 || vacuumKeep >= 2,
+      s"vacuumKeep must be 0 (off) or >= 2 (replay-window slack), got $vacuumKeep")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) spanDedupBatch(index, batch.toDF(), batchId)(sink)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          index.compact(): Unit
+        if (vacuumKeep > 0) index.vacuum(vacuumKeep): Unit
+      }
+  }
+
+  /** One [[spanDedupStream]] trigger — factored out so the replay path
+    * is directly testable (StreamingSpec drives it with a repeated
+    * batchId to simulate the crash between append and sink).
+    */
+  private[graft] def spanDedupBatch(index: graft.text.WinnowIndex,
+      batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
+    val b = batch.dropDuplicates("doc_id").localCheckpoint()
+    // content-identity tag — covers TEXT, not just ids (the
+    // decontamBatch rule: a checkpoint-reset batch re-crawling the
+    // same ids with new text must not be swallowed as a replay)
+    val idRow = b.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val tag = s"spandedup_batch_${batchId}_${idRow.getLong(0)}_${idRow.getLong(1)}"
+    val v = index.versionTagged(tag).getOrElse {
+      index.append(b.select(col("doc_id"), col("text")), Some(tag))
+      index.version.get
+    }
+    // the audited set is the batch's FRESH docs — recovered from the
+    // tagged version's own delta, so first run and replay see the
+    // same set (already-ingested ids were cleaned when first seen)
+    val fresh = b.join(index.idsAddedAt(v), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val wins = graft.text.TextOps.winnowWindows(fresh).localCheckpoint()
+    val batchCensus = wins.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("bn"))
+    val hist = index.censusBeforeFor(v, batchCensus.select(col("fp")))
+      .withColumnRenamed("n_docs", "hn")
+    val flagged = batchCensus.join(hist, Seq("fp"), "left")
+      .filter(col("bn") + coalesce(col("hn"), lit(0L)) >= 2)
+      .select(col("fp"))
+    val marked = wins.join(flagged, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    val docsToks = fresh.select(col("doc_id"),
+      expr(graft.text.TextOps.toksExpr).as("toks"))
+    sink(graft.text.TextOps.exciseSpans(docsToks, marked))
+  }
+
   /** Streaming crawl dedup against the HISTORICAL corpus: each
     * micro-batch of crawled documents (doc_id, text) is appended to a
     * [[graft.dedup.MinHashIndex]] (one delta segment; the old corpus

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val toksExpr = "filter(split(text, ' '), t -> t != '')"
+  private[graft] val toksExpr = "filter(split(text, ' '), t -> t != '')"
   private val toksDuck = "list_filter(string_split(text, ' '), t -> t != '')"
 
   // Winnowing building blocks shared by t08 (per-doc fingerprint
@@ -35,6 +35,57 @@ object TextOps {
       list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(g) + 1),
         i -> CAST(ascii(substr(g, i, 1)) AS BIGINT)),
         (acc, c) -> (acc * 131 + c) % 1000000007))"""
+
+  // Window expansion shared by t14/t16/winnowWindows: each window of 4
+  // consecutive rolling hashes yields (fp = window min, pos = 1-indexed
+  // first token), covering tokens pos..pos+5.
+  private val winnowWinExpr = """transform(sequence(1, size(hs) - 3),
+      j -> named_struct('fp', array_min(slice(hs, j, 4)), 'pos', j))"""
+
+  /** One row per winnowing window — (doc_id, fp, pos) — computed
+    * directly from a (doc_id, text) frame: the BATCH-sized entry point
+    * behind [[WinnowIndex]] and the streaming span-dedup trigger.
+    * Registered queries go through the memoized [[winnowHashes]]
+    * barrier instead; here the barrier is a localCheckpoint of the
+    * per-doc hash table (same pushdown-inlining hazard, delta-sized
+    * frame).
+    */
+  def winnowWindows(docs: DataFrame): DataFrame = {
+    val hs = docs.select(col("doc_id"), col("text"))
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("k3", expr(winnowK3Expr))
+      .withColumn("hs", expr(winnowHsExpr))
+      .select(col("doc_id"), col("hs"))
+      .localCheckpoint()
+    hs.filter(expr("size(hs) >= 4"))
+      .withColumn("w", expr(winnowWinExpr))
+      .select(col("doc_id"), explode(col("w")).as("w"))
+      .select(col("doc_id"), col("w.fp").as("fp"), col("w.pos").cast("long").as("pos"))
+  }
+
+  /** t16's excision projection, factored for reuse by the streaming
+    * span dedup: `docsToks` carries (doc_id, toks), `marked` carries
+    * (doc_id, ps) — the doc's SORTED marked window starts. Docs absent
+    * from `marked` pass through untouched. Column contract =
+    * t16_span_excision minus its ORDER BY.
+    */
+  private[graft] def exciseSpans(docsToks: DataFrame, marked: DataFrame): DataFrame =
+    docsToks
+      .join(marked, Seq("doc_id"), "left")
+      .withColumn("ps", coalesce(col("ps"), expr("array()")))
+      .withColumn("kept", expr("""CASE WHEN size(toks) = 0 THEN array()
+        ELSE filter(transform(sequence(1, size(toks)),
+          i -> IF(exists(ps, p -> i >= p AND i <= p + 5), NULL, element_at(toks, i))),
+          x -> x IS NOT NULL) END"""))
+      .withColumn("n_spans", expr("""CASE WHEN size(ps) = 0 THEN CAST(0 AS BIGINT)
+        ELSE aggregate(sequence(1, size(ps)), cast(0 as bigint), (acc, i) ->
+          acc + IF(i = 1 OR element_at(ps, i) - element_at(ps, i - 1) > 6, 1, 0)) END"""))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("tokens_before"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("tokens_removed"),
+        size(col("kept")).cast("long").as("tokens_after"),
+        col("n_spans"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
 
   // BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
   private val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -790,8 +841,7 @@ object TextOps {
   private def t14(s: SparkSession, dir: String): DataFrame = {
     val perDoc = winnowHashes(s, dir)
       .filter(expr("size(hs) >= 4"))
-      .withColumn("w", expr("""transform(sequence(1, size(hs) - 3),
-          j -> named_struct('fp', array_min(slice(hs, j, 4)), 'pos', j))"""))
+      .withColumn("w", expr(winnowWinExpr))
       .select(col("doc_id"), explode(col("w")).as("w"))
       .select(col("doc_id"), col("w.fp").as("fp"), col("w.pos").cast("long").as("pos"))
       .groupBy(col("doc_id"), col("fp"))
@@ -840,8 +890,7 @@ object TextOps {
     val src = winnowHashes(s, dir)
     val perDocFp = src
       .filter(expr("size(hs) >= 4"))
-      .withColumn("w", expr("""transform(sequence(1, size(hs) - 3),
-          j -> named_struct('fp', array_min(slice(hs, j, 4)), 'pos', j))"""))
+      .withColumn("w", expr(winnowWinExpr))
       .select(col("doc_id"), explode(col("w")).as("w"))
       .select(col("doc_id"), col("w.fp").as("fp"), col("w.pos").cast("long").as("pos"))
       .groupBy(col("doc_id"), col("fp"))
@@ -853,22 +902,7 @@ object TextOps {
       .join(census.filter(col("n_dup_docs") >= 2).hint("SHUFFLE_HASH"), Seq("fp"))
       .groupBy(col("doc_id"))
       .agg(array_sort(flatten(collect_list(col("ps")))).as("ps"))
-    src.select(col("doc_id"), col("toks"))
-      .join(marked, Seq("doc_id"), "left")
-      .withColumn("ps", coalesce(col("ps"), expr("array()")))
-      .withColumn("kept", expr("""CASE WHEN size(toks) = 0 THEN array()
-        ELSE filter(transform(sequence(1, size(toks)),
-          i -> IF(exists(ps, p -> i >= p AND i <= p + 5), NULL, element_at(toks, i))),
-          x -> x IS NOT NULL) END"""))
-      .withColumn("n_spans", expr("""CASE WHEN size(ps) = 0 THEN CAST(0 AS BIGINT)
-        ELSE aggregate(sequence(1, size(ps)), cast(0 as bigint), (acc, i) ->
-          acc + IF(i = 1 OR element_at(ps, i) - element_at(ps, i - 1) > 6, 1, 0)) END"""))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("tokens_before"),
-        (size(col("toks")) - size(col("kept"))).cast("long").as("tokens_removed"),
-        size(col("kept")).cast("long").as("tokens_after"),
-        col("n_spans"),
-        concat_ws(" ", col("kept")).as("cleaned_text"))
+    exciseSpans(src.select(col("doc_id"), col("toks")), marked)
       .orderBy(col("doc_id"))
   }
 
