@@ -335,8 +335,13 @@ object Multimodal {
     graft.util.MatStore.table(s, s"dhash:$dir", "graft_dhash")(
       withFingerprint(Tables(s, dir, "documents")))
 
-  private def m04(s: SparkSession, dir: String): DataFrame = {
-    val fp = fingerprintTable(s, dir)
+  /** dHash near-dup census over any (doc_id, fp) table — m04's
+    * banding pipeline factored for reuse by m05: 16-bit quadrant
+    * blocking (4 bands — a ≤3-bit hamming pair must agree exactly on
+    * some band, pigeonhole), hamming ≤ 3 confirm, per-doc neighbor
+    * count.
+    */
+  private def neardupCensus(fp: DataFrame): DataFrame = {
     val keyed = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         expr(s"shiftright(fp, ${16 * i}) & 65535")): _*)).as(Seq("qidx", "qval")))
@@ -354,6 +359,9 @@ object Multimodal {
         coalesce(col("n_near"), lit(0L)).as("n_near"))
       .orderBy(col("doc_id"))
   }
+
+  private def m04(s: SparkSession, dir: String): DataFrame =
+    neardupCensus(fingerprintTable(s, dir))
 
   private val m04Sql: String = {
     def cellDuck(i: Int): String =
@@ -380,9 +388,111 @@ object Multimodal {
     GROUP BY f.doc_id, f.fp ORDER BY f.doc_id"""
   }
 
+  // ---- m05: near-dup census over REAL PGM payloads --------------------
+  /** Deterministic synthetic PGM (P5) image per document — the corpus
+    * that makes [[PgmGridDecoder]] a first-class QUERY input rather
+    * than spec-only plumbing. Every group of 4 doc_ids shares one
+    * underlying random image (pixel (y, x) = first md5 byte of
+    * "pgm:<group>:<y>:<x>"); within the group, doc k (k = id mod 4)
+    * perturbs its first k row-major pixels (noise keyed by doc_id) —
+    * so groups are dHash near-dup families with small, deterministic
+    * fingerprint distances. EVEN ids render at the 18x16 base
+    * resolution, ODD ids at 36x32 via 2x2 pixel replication — the
+    * box-averaged grid is resolution-invariant by construction, so
+    * the decoder's integer downscale is exercised on two genuinely
+    * different byte layouts per group while the oracle recomputes ONE
+    * canonical grid from the base pixel formula in SQL.
+    */
+  private[graft] def pgmPayload(docId: Long): Array[Byte] = {
+    val scale = if (docId % 2 == 0) 1 else 2
+    val (w, h) = (18 * scale, 16 * scale)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def px(y: Int, x: Int): Int = {
+      val s = if (y * 18 + x < docId % 4) s"pgm:noise:$docId:$y:$x"
+        else s"pgm:${docId / 4}:$y:$x"
+      md.reset()
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+    }
+    val header = s"P5\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val raster = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster(y * w + x) = px(y / scale, x / scale).toByte
+        x += 1
+      }
+      y += 1
+    }
+    header ++ raster
+  }
+
+  /** The (doc_id, fp) table of the PGM corpus, decoded by the REAL
+    * [[PgmGridDecoder]] through [[fingerprintWith]] (partition-
+    * parallel JVM decode — payloads never visit the driver), memoized
+    * like [[fingerprintTable]] (three consumers in the m05 plan).
+    */
+  def pgmFingerprintTable(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"pgmfp:$dir", "graft_pgmfp") {
+      import s.implicits._
+      fingerprintWith(
+        Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map(id => (id, pgmPayload(id))),
+        PgmGridDecoder)
+    }
+
+  /** m05: m04's near-dup census with the fingerprints coming from the
+    * real PGM decode path (P5 header parse + box-averaged integer
+    * downscale) instead of the SQL stub — closing the loop the r14
+    * GridDecoder boundary opened: the decoder output is now
+    * oracle-checked per document, with the oracle recomputing the
+    * 8x9 grid from the deterministic pixel formula in SQL (the fixed
+    * 2x2 integer box means) and every group's two byte layouts
+    * (base vs 2x-replicated raster) landing on the same grid.
+    */
+  private def m05(s: SparkSession, dir: String): DataFrame =
+    neardupCensus(pgmFingerprintTable(s, dir))
+
+  private val m05Sql: String = {
+    def nib(h: String, i: Int): String =
+      s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    val fpBits = (0 until 64).map { b =>
+      val (i, j) = (b / 8, b % 8)
+      s"CASE WHEN g[${9 * i + j + 1}] < g[${9 * i + j + 2}] THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""
+    WITH pxs AS MATERIALIZED (
+      SELECT d.doc_id, t.p AS p,
+        CASE WHEN t.p < d.doc_id % 4
+          THEN md5('pgm:noise:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+            CAST(t.p // 18 AS VARCHAR) || ':' || CAST(t.p % 18 AS VARCHAR))
+          ELSE md5('pgm:' || CAST(d.doc_id // 4 AS VARCHAR) || ':' ||
+            CAST(t.p // 18 AS VARCHAR) || ':' || CAST(t.p % 18 AS VARCHAR))
+        END AS h
+      FROM (SELECT doc_id FROM documents) d, UNNEST(range(0, 288)) AS t(p)),
+    vals AS (
+      SELECT doc_id, p, ${nib("h", 1)} * 16 + ${nib("h", 2)} AS v FROM pxs),
+    cells AS (
+      SELECT doc_id, ((p // 18) // 2) * 9 + ((p % 18) // 2) AS ci,
+        CAST(SUM(v) // 4 AS INTEGER) AS c
+      FROM vals GROUP BY 1, 2),
+    grids AS (SELECT doc_id, list(c ORDER BY ci) AS g FROM cells GROUP BY doc_id),
+    fps AS MATERIALIZED (
+      SELECT doc_id, CAST($fpBits AS BIGINT) AS fp FROM grids),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fps a JOIN fps b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.fp, b.fp)) <= 3),
+    sym AS (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+    SELECT f.doc_id, f.fp, count(s.doc_id) AS n_near
+    FROM fps f LEFT JOIN sym s ON s.doc_id = f.doc_id
+    GROUP BY f.doc_id, f.fp ORDER BY f.doc_id"""
+  }
+
   val ops: Seq[Op] = Seq(
     Op("m01_binary_meta", m01, Some(m01Sql)),
     Op("m02_media_stats", m02, Some(m02Sql)),
     Op("m03_frame_sample", m03, Some(m03Sql)),
-    Op("m04_media_neardup", m04, Some(m04Sql)))
+    Op("m04_media_neardup", m04, Some(m04Sql)),
+    Op("m05_pgm_neardup", m05, Some(m05Sql)))
 }

@@ -115,6 +115,39 @@ class R15OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).max >= 5, "paths too shallow to exercise the unfold")
   }
 
+  test("m05: real PGM decode is resolution-invariant and finds the planted near-dup groups") {
+    val fp = mm.Multimodal.pgmFingerprintTable(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the group base doc (k=0, even: 18x16) and its k=2 sibling (even
+    // at the SAME resolution) vs the k=1/k=3 siblings (odd: 36x32) —
+    // each group mixes both byte layouts; the noise-free pair of
+    // grids from DIFFERENT resolutions exists across groups g where
+    // 4g is even and 4g+1 has 1 noise pixel, so invariance is pinned
+    // directly on the decoder instead
+    val basePayload = mm.Multimodal.pgmPayload(0L)         // 18x16
+    val upPayload = mm.Multimodal.pgmPayload(1L)           // 36x32, 1 noise px
+    val baseGrid = mm.Multimodal.PgmGridDecoder.grid(basePayload)
+    val upGrid = mm.Multimodal.PgmGridDecoder.grid(upPayload)
+    // doc 1 differs from doc 0 only in noise pixel (0,0) -> only cell 0
+    // may move; the other 71 box means must be bit-identical across
+    // the two resolutions
+    assert(baseGrid.drop(1).toSeq == upGrid.drop(1).toSeq,
+      "2x pixel replication changed a box mean — the decoder's integer downscale is not resolution-invariant")
+    // group structure: within a group fingerprints are hamming-close
+    val groups = fp.keys.groupBy(_ / 4).values.filter(_.size == 4)
+    assert(groups.nonEmpty)
+    val intra = groups.flatMap { g =>
+      val ids = g.toSeq.sorted
+      for (a <- ids; b <- ids if a < b)
+        yield java.lang.Long.bitCount(fp(a) ^ fp(b))
+    }.toSeq
+    assert(intra.max <= 6,
+      s"planted near-dup groups drifted too far apart (max hamming ${intra.max})")
+    val out = SparkEntry.queries("m05_pgm_neardup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.sum > 0, "no near-dups found — the planted groups were missed")
+  }
+
   test("t16 interval arithmetic is self-consistent with t14's detection") {
     // every doc t14 flags loses tokens in t16; docs t14 never flags
     // lose none
