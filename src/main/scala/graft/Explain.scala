@@ -31,7 +31,20 @@ object Explain {
       df.collect()
       val simple = df.queryExecution.executedPlan.toString
       val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(simple).map(_.group(1)).toSet.size
-      println(s"[audit] $n codegen_spans=$spans")
+      // worst per-node duplication of one canonicalized HOF subtree —
+      // the t14 pushdown-inlining signature (HofInliningSpec is the
+      // hard gate; this surfaces the number in plan audits)
+      var hofDup = 0
+      df.queryExecution.sparkPlan.foreach { node =>
+        val hofs = node.expressions.flatMap(_.collect {
+          case h: org.apache.spark.sql.catalyst.expressions.HigherOrderFunction => h
+        })
+        if (hofs.nonEmpty) {
+          val d = hofs.groupBy(_.canonicalized).values.map(_.size).max
+          if (d > hofDup) hofDup = d
+        }
+      }
+      println(s"[audit] $n codegen_spans=$spans hof_dup=$hofDup")
     }
     spark.stop()
   }

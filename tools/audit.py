@@ -15,8 +15,8 @@ def main(path):
     text = open(path).read()
     # split on the ====== op ====== headers Explain prints
     parts = re.split(r"^========== (\S+) ==========$", text, flags=re.M)
-    print("| op | scans | read cols/scan | pushed scans | BHJ | SMJ | WGL | codegen spans |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("| op | scans | read cols/scan | pushed scans | BHJ | SMJ | WGL | codegen spans | hof dup |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for i in range(1, len(parts), 2):
         op, body = parts[i], parts[i + 1]
         scans = len(re.findall(r"^\(\d+\) Scan parquet", body, re.M))
@@ -41,8 +41,13 @@ def main(path):
         wgl = len(re.findall(r"^\(\d+\) WindowGroupLimit", body, re.M))
         spans = re.search(r"\[audit\] \S+ codegen_spans=(\d+)", body)
         spans = spans.group(1) if spans else "?"
+        # worst per-node duplication of one HOF subtree (t14 hazard
+        # signature; >2 means a heavy chain got inlined — see
+        # HofInliningSpec, the hard gate)
+        hof = re.search(r"hof_dup=(\d+)", body)
+        hof = hof.group(1) if hof else "?"
         cols = ",".join(widths) if widths else "—"
-        print(f"| {op} | {scans} | {cols} | {pushed} | {bhj} | {smj} | {wgl} | {spans} |")
+        print(f"| {op} | {scans} | {cols} | {pushed} | {bhj} | {smj} | {wgl} | {spans} | {hof} |")
 
 
 if __name__ == "__main__":
