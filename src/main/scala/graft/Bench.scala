@@ -158,6 +158,62 @@ object Bench {
     if (good.size < 2) 1.0 else good.max / math.max(good.min, 1e-9)
   }
 
+  /** Deterministic per-query execution counters — the HOST-INDEPENDENT
+    * bench signal: five takes of bit-identical code spread 2.9× in
+    * wall time on this burst-prone host (r14's SCC forensics), but
+    * shuffle record counts, bytes, and job/stage/task counts are
+    * functions of the plan and the data alone. They're captured on the
+    * first WARM rep (steady state — rep 0 includes one-time MatStore
+    * index builds) and land in bench.json beside the walls;
+    * tools/bench_diff.py compares them FIRST and treats a wall delta
+    * with identical counters as host noise, not regression.
+    */
+  private final class CounterListener
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val shufRowsW = new AtomicLong; val shufBytesW = new AtomicLong
+    val shufRowsR = new AtomicLong
+    val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shufRowsW.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit
+        shufBytesW.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        shufRowsR.addAndGet(m.shuffleReadMetrics.recordsRead): Unit
+        tasks.incrementAndGet(): Unit
+      }
+    }
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet(): Unit
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      stages.incrementAndGet(): Unit
+    def reset(): Unit =
+      Seq(shufRowsW, shufBytesW, shufRowsR, jobs, stages, tasks).foreach(_.set(0))
+    def snapshot(): Seq[(String, Long)] = Seq(
+      "shuffle_rows_w" -> shufRowsW.get, "shuffle_bytes_w" -> shufBytesW.get,
+      "shuffle_rows_r" -> shufRowsR.get, "jobs" -> jobs.get,
+      "stages" -> stages.get, "tasks" -> tasks.get)
+    /** The listener bus is async — poll until two consecutive reads
+      * agree (≤ 2 s) so a lagging task-end event can't shear the
+      * numbers.
+      */
+    def stableSnapshot(): Seq[(String, Long)] = {
+      var prev = snapshot()
+      var i = 0
+      while (i < 40) {
+        Thread.sleep(50)
+        val cur = snapshot()
+        if (cur == prev) return cur
+        prev = cur
+        i += 1
+      }
+      prev
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional first arg: comma-separated query subset, mirroring
@@ -185,6 +241,8 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val counters = new CounterListener
+    spark.sparkContext.addSparkListener(counters)
     val loadStart = loadavg()
     val tStart = java.time.Instant.now().toString
     val probePre = hostProbeSec()
@@ -219,16 +277,29 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // deterministic counters come from the first WARM rep (rep 0
+      // carries one-time MatStore builds); a 1-rep run uses rep 0
+      val counterRep = if (reps >= 2) 1 else 0
+      var qCounters: Seq[(String, Long)] = Seq.empty
       def runRep(idx: Int): Rep = {
         val la = loadavg()
         val c0 = cpuTicks()
+        if (idx == counterRep) counters.reset()
         val t0 = System.nanoTime()
         // A failed operator reports -1, not its elapsed time — a broken
         // query must not look like a fast success in the bench JSON.
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        // Action = toRdd.count(): materialize the operator's OWN plan
+        // row-by-row without shipping results to the driver. df.count()
+        // is NOT that — Catalyst replans Aggregate(count) and prunes
+        // every column/join the count doesn't need (measured: t16's
+        // whole excision stage — 39k shuffled rows — collapsed to 8
+        // rows under count()), so walls timed a fraction of some
+        // operators. Counters and walls now measure the real plan.
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
           case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false
         }
         val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (idx == counterRep && ok) qCounters = counters.stableSnapshot()
         val c1 = cpuTicks()
         val fg = foreignShare(c0, c1)
         val io = iowaitShare(c0, c1)
@@ -269,7 +340,8 @@ object Bench {
       // reported anyway but the artifact says not to trust it.
       val contended = suspicious &&
         (warm(clean).size < 2 || spread(warm(clean).map(_.dt)) > 3.0)
-      (name, dt, all.map(_.dt), all.map(r => (r.load, r.foreign, r.iow)), contended)
+      (name, dt, all.map(_.dt), all.map(r => (r.load, r.foreign, r.iow)), contended,
+        qCounters)
     }
     val loadEnd = loadavg()
     val tEnd = java.time.Instant.now().toString
@@ -277,7 +349,7 @@ object Bench {
     val membwPost = membwProbeSec()
     val hostFactor = ((probePre + probePost) / 2.0) / HostProbeReferenceSec
     val membwFactor = ((membwPre + membwPost) / 2.0) / MembwProbeReferenceSec
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-rep times, in execution order. Rep 1 is the COLD run: for the
     // operators backed by MatStore's session-level memoization (shared
@@ -286,24 +358,30 @@ object Bench {
     // therefore measures steady-state session cost, cold_value measures
     // first-touch cost — both are real, so both are reported instead of
     // letting the median silently hide the builds.
-    val qreps = results.map { case (k, _, ts, _, _) =>
+    val qreps = results.map { case (k, _, ts, _, _, _) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Per-rep host-noise evidence, aligned with queries_reps: the
     // pre-rep loadavg (corroboration) and the foreign CPU share across
     // the rep (the decision signal) — the trail for which specific
     // timings a host burst touched.
-    val qloads = results.map { case (k, _, _, ev, _) =>
+    val qloads = results.map { case (k, _, _, ev, _, _) =>
       "\"" + k + "\":" + ev.map(e => "\"" + e._1.split("\\s+").headOption.getOrElse("") + "\"")
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val qforeign = results.map { case (k, _, _, ev, _) =>
+    val qforeign = results.map { case (k, _, _, ev, _, _) =>
       "\"" + k + "\":" + ev.map(e => f"${e._2}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val qiowait = results.map { case (k, _, _, ev, _) =>
+    val qiowait = results.map { case (k, _, _, ev, _, _) =>
       "\"" + k + "\":" + ev.map(e => f"${e._3}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val contendedKeys = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
+    val contendedKeys = results.collect { case (k, _, _, _, true, _) => "\"" + k + "\"" }
+    // per-query deterministic counters (first warm rep) — the signal
+    // bench_diff.py compares FIRST; empty object when the query failed
+    val qcounters = results.map { case (k, _, _, _, _, cs) =>
+      "\"" + k + "\":" + cs.map { case (n, v) => "\"" + n + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._3.head).filter(_ >= 0).sum
     val note = "rep 1 is cold (includes one-time MatStore index builds " +
@@ -323,13 +401,17 @@ object Bench {
       "blind to. Divide warm medians by host_factor before cross-round " +
       "comparison, and distrust the whole take when the untouched-query " +
       "band disagrees with BOTH factors by >1.2x (tools/bench_diff.py " +
-      "flags this)"
+      "flags this); queries_counters are deterministic per-query " +
+      "execution counters (shuffle rows/bytes, jobs/stages/tasks) from " +
+      "the first WARM rep — host-independent: compare THESE first " +
+      "across rounds (bench_diff.py does); identical counters with a " +
+      "wall delta means host noise, not a code change"
     val subsetField = only.fold("")(s =>
       "\"subset\":" + s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val env =
       s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"iowait_threshold":$iowaitThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"host_probe_sec":[$probePre,$probePost],"host_factor":$hostFactor,"membw_probe_sec":[$membwPre,$membwPost],"membw_factor":$membwFactor,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"queries_iowait":$qiowait,"note":"$note",$env,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"queries_iowait":$qiowait,"queries_counters":$qcounters,"note":"$note",$env,"sf":"$sfDir"}"""
     // Long per-query line first; persist a copy where truncation can't
     // reach it; SHORT summary line LAST — the harness captures a
     // bounded TAIL of stdout, so whatever must survive goes at the end.

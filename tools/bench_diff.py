@@ -50,7 +50,34 @@ def main():
     if mw_ratio is not None:
         print(f"membw_factor: old {mw_old:.3f}, new {mw_new:.3f} "
               f"(memory-bandwidth drift {mw_ratio:.3f})")
-    regressed, improved, skipped = [], [], []
+    # Counters FIRST (the r15 rule): deterministic per-query execution
+    # counters (shuffle rows/bytes, jobs/stages/tasks) are functions of
+    # the plan and data, not the host. A wall regression with IDENTICAL
+    # counters is host noise — report it but don't fail the diff; a
+    # counter change is a structural plan/data change regardless of
+    # walls, and is always surfaced.
+    oc = old.get("queries_counters", {})
+    nc = new.get("queries_counters", {})
+
+    def counters_verdict(q):
+        """'same' / 'changed' / None (either side lacks counters)"""
+        a, b = oc.get(q), nc.get(q)
+        if not a or not b:
+            return None
+        return "same" if a == b else "changed"
+
+    counter_changed = [q for q in shared if counters_verdict(q) == "changed"
+                       and q not in contended]
+    if counter_changed:
+        print("COUNTERS CHANGED (structural plan/data change, host-independent):")
+        for q in counter_changed:
+            a, b = oc[q], nc[q]
+            delta = {k: (a.get(k), b.get(k)) for k in sorted(set(a) | set(b))
+                     if a.get(k) != b.get(k)}
+            print(f"  {q}: " + ", ".join(
+                f"{k} {v[0]} -> {v[1]}" for k, v in delta.items()))
+
+    regressed, improved, skipped, noise = [], [], [], []
     for q in shared:
         o, n = old["queries"][q], new["queries"][q]
         if q in contended or o <= 0 or n <= 0:
@@ -58,7 +85,12 @@ def main():
             continue
         r = (n / o) / norm if norm else n / o
         if r > args.threshold:
-            regressed.append((r, q, o, n))
+            # identical counters = same plan over same data: the wall
+            # delta is the host's, not the code's
+            if counters_verdict(q) == "same":
+                noise.append((r, q, o, n))
+            else:
+                regressed.append((r, q, o, n))
         elif r < 1 / args.threshold:
             improved.append((r, q, o, n))
 
@@ -77,6 +109,8 @@ def main():
     if skipped:
         print("  excluded:", ", ".join(skipped))
     for title, rows in (("REGRESSED", sorted(regressed, reverse=True)),
+                        ("slower walls, IDENTICAL counters (host noise, not code)",
+                         sorted(noise, reverse=True)),
                         ("improved", sorted(improved))):
         if not rows:
             continue
