@@ -203,9 +203,18 @@ object Profile {
       val names = Tables(spark, sfDir, "supplier")
         .select(col("s_name")).distinct().localCheckpoint()
       t("names.distinct")(names.count())
+      val hist = names.groupBy(length(col("s_name"))).count().collect().toSeq
       println("  name length histogram: " +
-        names.groupBy(length(col("s_name"))).count().collect().toSeq
-          .map(r => s"len=${r.get(0)}:${r.getLong(1)}").sorted.mkString(" "))
+        hist.map(r => s"len=${r.get(0)}:${r.getLong(1)}").sorted.mkString(" "))
+      // the bucketed twin below joins on the ORIGINAL string's length,
+      // so an insert/delete pair (lengths differ) can never meet in its
+      // join — its count is only comparable to fuzzyKeyPairs on a
+      // FIXED-WIDTH corpus. Say so loudly when the histogram says the
+      // comparison would be apples-to-oranges.
+      if (hist.size > 1)
+        println("  NOTE: variable-length corpus — the length-bucketed " +
+          "count below is a LOWER BOUND, not an equivalent of d16 " +
+          "(cross-length edit pairs never meet its (len, variant) join)")
       t("d16.shipped (join on v)")(
         dedup.Dedup.fuzzyKeyPairs(names, "s_name", 2).count())
       // bucketed twin: same neighborhood, join key (length(s_name), v)

@@ -644,6 +644,9 @@ object Traversals {
     Op("g23_dfs_terminal_from_hub", g23, Some(g23Sql)),
     Op("g07_reachability", g07, Some(g07Sql)),
     Op("g24_scc", g24, Some(g24Sql)),
+    // g25 deliberately reuses g24's oracle: FW-BW must produce the
+    // identical SCC partition as the closure-based exact form — the
+    // shared SQL IS the contract (SURVEY §2 records the same)
     Op("g25_scc_fwbw", g25, Some(g24Sql)),
     Op("g08_shortest_path_weighted", g08, Some(g08Sql)),
     Op("g26_sssp", g26, Some(g26Sql)),
