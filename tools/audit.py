@@ -15,8 +15,8 @@ def main(path):
     text = open(path).read()
     # split on the ====== op ====== headers Explain prints
     parts = re.split(r"^========== (\S+) ==========$", text, flags=re.M)
-    print("| op | scans | read cols/scan | pushed scans | BHJ | SMJ | WGL | codegen spans | hof dup |")
-    print("|---|---|---|---|---|---|---|---|---|")
+    print("| op | scans | read cols/scan | pushed scans | BHJ | SHJ | SMJ | WGL | codegen spans | hof dup |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for i in range(1, len(parts), 2):
         op, body = parts[i], parts[i + 1]
         scans = len(re.findall(r"^\(\d+\) Scan parquet", body, re.M))
@@ -37,6 +37,7 @@ def main(path):
         pushed = len([m for m in re.finditer(r"PushedFilters: \[(.*?)\]", body)
                       if m.group(1).strip()])
         bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", body, re.M))
+        shj = len(re.findall(r"^\(\d+\) ShuffledHashJoin", body, re.M))
         smj = len(re.findall(r"^\(\d+\) SortMergeJoin", body, re.M))
         wgl = len(re.findall(r"^\(\d+\) WindowGroupLimit", body, re.M))
         spans = re.search(r"\[audit\] \S+ codegen_spans=(\d+)", body)
@@ -47,7 +48,7 @@ def main(path):
         hof = re.search(r"hof_dup=(\d+)", body)
         hof = hof.group(1) if hof else "?"
         cols = ",".join(widths) if widths else "—"
-        print(f"| {op} | {scans} | {cols} | {pushed} | {bhj} | {smj} | {wgl} | {spans} | {hof} |")
+        print(f"| {op} | {scans} | {cols} | {pushed} | {bhj} | {shj} | {smj} | {wgl} | {spans} | {hof} |")
 
 
 if __name__ == "__main__":
