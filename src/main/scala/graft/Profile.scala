@@ -191,6 +191,31 @@ object Profile {
       return
     }
 
+    if (args.length > 1 && args(1) == "winnow") {
+      // WinnowIndex O(batch) evidence: build on 90% of the corpus,
+      // append the last 10% as a daily-crawl batch, compare walls and
+      // confirm the appended census equals a full rebuild.
+      // Usage: graft.Profile <sfDir> winnow
+      import org.apache.spark.sql.functions._
+      val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 10 =!= 0).localCheckpoint()
+      val batch = docs.filter(col("doc_id") % 10 === 0).localCheckpoint()
+      println(s"  base=${base.count()} docs, batch=${batch.count()} docs")
+      val idx = new text.WinnowIndex(spark,
+        java.nio.file.Files.createTempDirectory("graft_winidx_prof").toString)
+      t("build(90%)")(idx.build(base))
+      t("append(10%)")(idx.append(batch))
+      t("census")(idx.census().count())
+      val rebuilt = new text.WinnowIndex(spark,
+        java.nio.file.Files.createTempDirectory("graft_winidx_prof_rb").toString)
+      t("rebuild(100%)")(rebuilt.build(docs))
+      val a = idx.census().orderBy(col("fp"))
+      val b = rebuilt.census().orderBy(col("fp"))
+      println(s"  append==rebuild: ${a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty}")
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "fuzzy") {
       // d16 candidate-volume insurance probe (r13 VERDICT #7): the
       // suggested (length bucket, variant) blocking key vs the shipped
