@@ -228,12 +228,24 @@ object Dedup {
         i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
     ELSE array(text) END"""
 
+  /** The (doc_id, sorted distinct 3-shingle array) table, materialized
+    * once per (session, corpus) — the winnowHashes rule applied to the
+    * d04/d18 shingle sets: each consumer joins this table TWICE (both
+    * pair sides), and without the barrier the interpreted
+    * filter/split/transform/sort chain re-evaluates over the raw text
+    * on every side of every consumer (measured: d04 5.4 s → 0.7 s at
+    * sf0.1 once the joins bind to a stored column).
+    */
+  private def sh3Table(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"sh3:$dir", "graft_sh3")(
+      Tables(s, dir, "documents")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .withColumn("toks", expr("filter(split(text, ' '), t -> t != '')"))
+        .select(col("doc_id"), expr(sh3Spark).as("sh3")))
+
   private def d04(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
     val cand = candidatesTable(s, dir)
-    val sh = docs
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t != '')"))
-      .select(col("doc_id"), expr(sh3Spark).as("sh3"))
+    val sh = sh3Table(s, dir)
     val a = sh.select(col("doc_id").as("doc_a"), col("sh3").as("sha"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh3").as("shb"))
     cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
@@ -286,13 +298,10 @@ object Dedup {
     * bands.
     */
   private def d18(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
     val cand = candidatesTable(s, dir)
     val both = cand.select(col("doc_a"), col("doc_b"))
       .unionAll(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val sh = docs
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t != '')"))
-      .select(col("doc_id"), expr(sh3Spark).as("sh3"))
+    val sh = sh3Table(s, dir)
     both
       .join(sh.select(col("doc_id").as("doc_a"), col("sh3").as("sha")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh3").as("shb")), Seq("doc_b"))
