@@ -220,13 +220,43 @@ object Dedup {
       count(*) OVER (PARTITION BY simhash) AS bucket_n
     FROM fps ORDER BY doc_id"""
 
-  // ---- d04: exact 3-token-shingle Jaccard on LSH candidates ---------
-  // sorted so pairwise intersection is a codegen'd two-pointer merge
+  // ---- d04: 3-token-shingle Jaccard on LSH candidates ---------------
+  // HASHED shingle sets (r15, the Broder '97 form): each 3-gram maps
+  // to a 60-bit md5-prefix BIGINT before anything stores or ships it.
+  // Exactness contract: both engines hash identically, so n_inter /
+  // jaccard / containment are bit-equal cross-engine (a 60-bit
+  // collision collapses the same element in both). The compaction is
+  // load-bearing at scale: the candidate-pair stream hydrates BOTH
+  // docs' sets through two exchanges, and at sf3 the string form
+  // (~2 KB/doc) filled the spill volume — 8 B/element longs cut that
+  // ~4x and make the two-pointer verify a long compare. Sorted so the
+  // pairwise intersection is a codegen'd two-pointer merge.
   private val sh3Spark: String = """
     CASE WHEN size(toks) >= 3 THEN
       array_sort(array_distinct(transform(sequence(1, size(toks) - 2),
-        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-    ELSE array(text) END"""
+        i -> cast(conv(substring(md5(cast(concat_ws(' ', element_at(toks, i),
+               element_at(toks, i + 1), element_at(toks, i + 2)) as binary)),
+             1, 15), 16, 10) as bigint))))
+    ELSE array(cast(conv(substring(md5(cast(text as binary)), 1, 15), 16, 10)
+           as bigint)) END"""
+
+  /** DuckDB twin of the 60-bit shingle hash (the h32 fold at 15
+    * nibbles — DuckDB has no hex-parse cast, and the oracle side is
+    * not the hot path).
+    */
+  private def h60Duck(e: String): String = s"""
+    list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, 16),
+        nib -> CAST(strpos('0123456789abcdef', substr(md5($e), nib, 1)) - 1 AS BIGINT)),
+      (acc, c) -> acc * 16 + c)"""
+
+  private def sh3Duck: String = s"""
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_sort(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> ${h60Duck("toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]")})))
+        ELSE [${h60Duck("text")}] END AS sh3
+      FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
+            FROM documents)"""
 
   /** The (doc_id, sorted distinct 3-shingle array) table, materialized
     * once per (session, corpus) — the winnowHashes rule applied to the
@@ -237,7 +267,7 @@ object Dedup {
     * sf0.1 once the joins bind to a stored column).
     */
   private def sh3Table(s: SparkSession, dir: String): DataFrame =
-    graft.util.MatStore.table(s, s"sh3:$dir", "graft_sh3")(
+    graft.util.MatStore.table(s, s"sh3h:$dir", "graft_sh3h")(
       Tables(s, dir, "documents")
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .withColumn("toks", expr("filter(split(text, ' '), t -> t != '')"))
@@ -248,7 +278,15 @@ object Dedup {
     val sh = sh3Table(s, dir)
     val a = sh.select(col("doc_id").as("doc_a"), col("sh3").as("sha"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh3").as("shb"))
-    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+    // SHUFFLE_HASH with the doc-count-sized shingle table as build
+    // side, BOTH hops: once the arrays exceed the broadcast envelope
+    // the unhinted plan is a sort-merge join whose SECOND hop SORTS
+    // the pair stream already carrying the first doc's shingle array —
+    // measured at sf3: ~125M candidate pairs x ~2 KB array payload
+    // filled the 79 GB spill volume and killed the query; the hash
+    // join streams the pair side untouched
+    cand.join(a.hint("SHUFFLE_HASH"), Seq("doc_a"))
+      .join(b.hint("SHUFFLE_HASH"), Seq("doc_b"))
       .withColumn("n_inter",
         graft.functions.SortedIntersectCount.sortedIntersectCount(col("sha"), col("shb")))
       .withColumn("n_union",
@@ -260,14 +298,7 @@ object Dedup {
 
   private val d04Sql = s"""
     WITH $mhCteDuck, $bandsCteDuck, $candCteDuck,
-    sh AS (
-      SELECT doc_id,
-        CASE WHEN len(toks) >= 3 THEN
-          list_distinct(list_transform(range(1, len(toks) - 1),
-            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-        ELSE [text] END AS sh3
-      FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
-            FROM documents))
+    sh AS ($sh3Duck)
     SELECT c.doc_a, c.doc_b,
       CAST(len(list_intersect(x.sh3, y.sh3)) AS BIGINT) AS n_inter,
       CAST(len(x.sh3) + len(y.sh3) - len(list_intersect(x.sh3, y.sh3)) AS BIGINT) AS n_union,
@@ -303,8 +334,13 @@ object Dedup {
       .unionAll(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val sh = sh3Table(s, dir)
     both
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh3").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh3").as("shb")), Seq("doc_b"))
+      // same two-hop SHUFFLE_HASH rule as d04 — d18's pair stream is
+      // 2x d04's (both directions), so the SMJ sort-of-wide-pairs
+      // hazard is twice as large here
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh3").as("sha"))
+        .hint("SHUFFLE_HASH"), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh3").as("shb"))
+        .hint("SHUFFLE_HASH"), Seq("doc_b"))
       .withColumn("n_inter",
         graft.functions.SortedIntersectCount.sortedIntersectCount(col("sha"), col("shb")))
       .select(col("doc_a"), col("doc_b"),
@@ -319,14 +355,7 @@ object Dedup {
     bothdirs AS (
       SELECT doc_a, doc_b FROM cand
       UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM cand),
-    sh AS (
-      SELECT doc_id,
-        CASE WHEN len(toks) >= 3 THEN
-          list_distinct(list_transform(range(1, len(toks) - 1),
-            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-        ELSE [text] END AS sh3
-      FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t != '') AS toks
-            FROM documents))
+    sh AS ($sh3Duck)
     SELECT c.doc_a, c.doc_b,
       CAST(len(x.sh3) AS BIGINT) AS n_a,
       CAST(len(list_intersect(x.sh3, y.sh3)) AS BIGINT) AS n_inter,
