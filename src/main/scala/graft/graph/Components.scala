@@ -458,7 +458,11 @@ object Components {
       // the color class this round updates: odd rounds the even
       // (customer) nodes, even rounds the odd (supplier) nodes
       val side = if (r % 2 == 1) 0L else 1L
+      // Only the updating side's winners survive the projection below,
+      // so tally only edges whose src is on that side — halves the
+      // join probe and both aggregates each round.
       val tally = symW
+        .where(col("src") % 2 === lit(side))
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(sum(col("w")).as("sw"))

@@ -760,6 +760,119 @@ object TextOps {
     FROM tok JOIN counts USING (term) CROSS JOIN tot
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- t17: PII detection + redaction ---------------------------------
+  // Deterministic regex classes over ASCII text; both engines compile
+  // these with identical semantics (no backrefs/lookaround, so Java
+  // regex and RE2 agree; \b is the ASCII word boundary in both).
+  private[graft] val piiEmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private[graft] val piiPhoneRe = """\b\d{2}-\d{3}-\d{3}-\d{4}\b"""
+  private[graft] val piiIpRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private[graft] val piiIdRe = """\b[A-Z]{2}\d{2}[A-Z0-9]{10}\b"""
+
+  /** t17: PII detection census + redaction — the standard curation
+    * stage every production pretraining pipeline runs before training
+    * (scrub contact info / network identifiers / account ids). The
+    * synthetic corpus is PII-free word soup, so the operator first
+    * ENRICHES each doc deterministically from `doc_id` arithmetic —
+    * up to four PII tokens (email, TPC-H-style phone, IPv4, IBAN-ish
+    * account id) spliced at token position `doc_id % (n_tok + 1)`,
+    * with per-class presence varying by residue so some docs carry
+    * zero PII — then detects (per-class match census via
+    * `regexp_extract_all`) and redacts (chained global
+    * `regexp_replace` to typed placeholders). Both engines compute
+    * the identical enrichment, so the oracle checks the REAL
+    * detection/redaction semantics end to end, mid-document.
+    *
+    * Scale shape: pure per-row codegen'd string projection — no
+    * exchange at all except the output ORDER BY; scans at parquet
+    * speed at any corpus size (t01's envelope). The regex classes are
+    * mutually exclusive on any text (lowercase email vs dashed digit
+    * groups vs dotted digit quads vs uppercase-prefixed ids), so the
+    * replace chain is order-independent; the order is fixed anyway.
+    */
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val enriched = Tables(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("k", (col("doc_id") % (col("n_tok") + 1)).cast("int"))
+      .withColumn("email", when(col("doc_id") % 3 =!= 0,
+        concat(lit("user"), idS, lit("@ex"),
+          (col("doc_id") % 10).cast("string"), lit(".example.com"))))
+      .withColumn("phone", when(col("doc_id") % 4 =!= 1,
+        concat((col("doc_id") % 90 + 10).cast("string"), lit("-"),
+          (col("doc_id") * 3 % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") * 7 % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") * 9 % 9000 + 1000).cast("string"))))
+      .withColumn("ip", when(col("doc_id") % 5 === 2,
+        concat(lit("10."), (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") * 3 % 256).cast("string"), lit("."),
+          (col("doc_id") * 7 % 256).cast("string"))))
+      .withColumn("acct", when(col("doc_id") % 7 === 3,
+        concat(lit("DE"), (col("doc_id") % 90 + 10).cast("string"), lit("ACCT"),
+          (col("doc_id") % 900000 + 100000).cast("string"))))
+      .withColumn("etext", concat_ws(" ",
+        expr("concat(slice(toks, 1, k), " +
+          "filter(array(email, phone, ip, acct), x -> x IS NOT NULL), " +
+          "slice(toks, k + 1, n_tok - k))")))
+    enriched
+      .withColumn("n_email",
+        size(regexp_extract_all(col("etext"), lit(piiEmailRe), lit(0))).cast("long"))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("etext"), lit(piiPhoneRe), lit(0))).cast("long"))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(col("etext"), lit(piiIpRe), lit(0))).cast("long"))
+      .withColumn("n_id",
+        size(regexp_extract_all(col("etext"), lit(piiIdRe), lit(0))).cast("long"))
+      .select(col("doc_id"), col("source"),
+        col("n_email"), col("n_phone"), col("n_ipv4"), col("n_id"),
+        (col("n_email") + col("n_phone") + col("n_ipv4") + col("n_id"))
+          .as("n_pii"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("etext"),
+          piiEmailRe, "<EMAIL>"), piiPhoneRe, "<PHONE>"),
+          piiIpRe, "<IP>"), piiIdRe, "<ID>").as("redacted_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val t17Sql: String = s"""
+    WITH base AS (
+      SELECT doc_id, source, $toksDuck AS toks FROM documents),
+    enr AS (
+      SELECT doc_id, source, toks,
+        CAST(doc_id % (len(toks) + 1) AS BIGINT) AS k,
+        CASE WHEN doc_id % 3 <> 0 THEN 'user' || CAST(doc_id AS VARCHAR)
+          || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' END AS email,
+        CASE WHEN doc_id % 4 <> 1 THEN CAST(doc_id % 90 + 10 AS VARCHAR)
+          || '-' || CAST(doc_id * 3 % 900 + 100 AS VARCHAR)
+          || '-' || CAST(doc_id * 7 % 900 + 100 AS VARCHAR)
+          || '-' || CAST(doc_id * 9 % 9000 + 1000 AS VARCHAR) END AS phone,
+        CASE WHEN doc_id % 5 = 2 THEN '10.' || CAST(doc_id % 256 AS VARCHAR)
+          || '.' || CAST(doc_id * 3 % 256 AS VARCHAR)
+          || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) END AS ip,
+        CASE WHEN doc_id % 7 = 3 THEN 'DE' || CAST(doc_id % 90 + 10 AS VARCHAR)
+          || 'ACCT' || CAST(doc_id % 900000 + 100000 AS VARCHAR) END AS acct
+      FROM base),
+    etx AS (
+      SELECT doc_id, source,
+        array_to_string(toks[1:k]
+          || list_filter([email, phone, ip, acct], x -> x IS NOT NULL)
+          || toks[k+1:], ' ') AS etext
+      FROM enr)
+    SELECT doc_id, source,
+      CAST(len(regexp_extract_all(etext, '$piiEmailRe')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(etext, '$piiPhoneRe')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(etext, '$piiIpRe')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(etext, '$piiIdRe')) AS BIGINT) AS n_id,
+      CAST(len(regexp_extract_all(etext, '$piiEmailRe'))
+        + len(regexp_extract_all(etext, '$piiPhoneRe'))
+        + len(regexp_extract_all(etext, '$piiIpRe'))
+        + len(regexp_extract_all(etext, '$piiIdRe')) AS BIGINT) AS n_pii,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(etext,
+        '$piiEmailRe', '<EMAIL>', 'g'), '$piiPhoneRe', '<PHONE>', 'g'),
+        '$piiIpRe', '<IP>', 'g'), '$piiIdRe', '<ID>', 'g') AS redacted_text
+    FROM etx ORDER BY doc_id"""
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -780,7 +893,8 @@ object TextOps {
     Op("t13_weighted_sample", t13, Some(t13Sql)),
     Op("t14_dup_spans", t14, Some(t14Sql)),
     Op("t15_rarity_score", t15, Some(t15Sql)),
-    Op("t16_span_excision", t16, Some(t16Sql)))
+    Op("t16_span_excision", t16, Some(t16Sql)),
+    Op("t17_pii_redaction", t17, Some(t17Sql)))
 
   // ---- t14: corpus-wide duplicated-span removal -----------------------
   /** The Lee et al. 2022 "Deduplicating Training Data Makes Language
