@@ -1440,7 +1440,9 @@ object Similarity {
     * s11's plan restricted to the probe set, which is the whole point
     * of IVF at 100 TB.
     */
-  private def s12(s: SparkSession, dir: String): DataFrame = {
+  /** s12's ADC score table (query_id, neighbor_id, cos) — factored so
+    * s13's rerank consumes the same shortlist machinery. */
+  private[graft] def ivfadcScores(s: SparkSession, dir: String): DataFrame = {
     val e = embWithNorm(s, dir)
     val cents = kmeansCentroids(s, dir)
     val q = e.filter(col("vec_id") < NQUERIES)
@@ -1472,9 +1474,72 @@ object Similarity {
       .join(broadcast(qc), Seq("query_id", "cell"))
       .select(col("query_id"), col("neighbor_id"),
         (col("qc") + col("rsum")).as("cos"))
-    topkUnordered(scores, TOPK)
+    scores
+  }
+
+  private def s12(s: SparkSession, dir: String): DataFrame =
+    topkUnordered(ivfadcScores(s, dir), TOPK)
       .select(col("query_id"), col("neighbor_id"), col("cos").as("adc"),
         col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
+  // ---- s13: IVFADC shortlist + int8 rerank (two-stage serving) -------
+  /** How many ADC candidates per query survive into the rerank. */
+  private[graft] val RERANK_R = 15
+
+
+  /** s13: the standard two-stage ANN serving path — s12's ADC pass
+    * (which reads ONLY the 4 B/vec code store + cell assignment)
+    * produces a top-R shortlist per query, and the shortlist alone is
+    * re-scored exactly against the int8 store (72 B/vec, s09's
+    * hydration machinery). ADC scores are quantization-noisy; the
+    * rerank recovers the ordering at the cost of hydrating R vectors
+    * per query instead of a corpus scan — the trade IVFADC serving is
+    * built on (Jégou et al. 2011 §IV's IVFADC+R refinement).
+    *
+    * Scale shape: stage 1 is s12's plan verbatim; stage 2's exchanges
+    * are bounded by R × queries rows — the shortlist broadcasts
+    * against the bucketed int8 store (exchange-free probe) and the
+    * NQUERIES-row query side broadcasts back. No corpus-sized float
+    * hydration anywhere (spec-pinned); the int8 rerank score is the
+    * exact integer arithmetic of s08/s09, bit-identical in DuckDB.
+    */
+  /** Stage 2 of s13 pre-checkpoint — (query_id, neighbor_id, cos) with
+    * cos the exact int8 rerank score over the ADC top-R shortlist.
+    * Factored package-private so the plan pins (int8 store never
+    * shuffled/sorted; zero added float scans) assert THIS plan —
+    * s13's registered form checkpoints the 3-row-per-query summary,
+    * which truncates the visible plan.
+    */
+  private[graft] def ivfadcRerankScored(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = topkUnordered(ivfadcScores(s, dir), RERANK_R)
+      .select(col("query_id"), col("neighbor_id"))
+    val qvecs = bucketedQuantVecs(s, dir)
+    val cand = qvecs
+      .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("qv").as("qb"), col("qn2").as("qb2"))
+    val qside = qvecs.filter(col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn2").as("qa2"))
+    cand.join(broadcast(qside), Seq("query_id"))
+      .withColumn("cos", qcosExpr)
+  }
+
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    // n×3-row summary consumed twice — s08's qtop pin trade
+    val qtop = topkUnordered(ivfadcRerankScored(s, dir), 3)
+      .withColumnRenamed("cos", "qcos")
+      .localCheckpoint()
+    val exact = knnGraphTable(s, dir)
+      .select(col("query_id").as("qe_id"), col("neighbor_id").as("ne_id"))
+    val rec = qtop
+      .join(broadcast(exact),
+        col("query_id") === col("qe_id") && col("neighbor_id") === col("ne_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("qe_id")).cast("double") / lit(3.0)).as("recall_at_3"))
+    qtop.join(broadcast(rec), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qcos"), col("rank"),
+        col("recall_at_3"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1485,7 +1550,7 @@ object Similarity {
     * — every arithmetic step the same left-fold/decimal contract as
     * its parents, so the composition stays bit-exact.
     */
-  private lazy val s12Sql: String = {
+  private lazy val ivfadcCtes: String = {
     import Pq.{M, SUB, K, ITERS}
     // k-means unroll (s10's CTE structure, verbatim semantics)
     def kmAssign(cPrev: String) = s"""
@@ -1531,8 +1596,7 @@ object Similarity {
       SELECT p.m, p.code, COALESCE(u.centroid, p.centroid) AS centroid
       FROM pc${i - 1} p LEFT JOIN pu$i u USING (m, code))"""
     }.mkString(",\n    ")
-    s"""
-    WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
       SELECT vec_id, embedding, ${Cosine.normDuck("embedding")} AS nrm
       FROM embeddings),
     c0 AS MATERIALIZED (
@@ -1599,18 +1663,64 @@ object Similarity {
       GROUP BY 1, 2, 3),
     adcs AS (
       SELECT s2.query_id, s2.neighbor_id, q.qc + s2.rsum AS adc
-      FROM scores s2 JOIN qcs q ON q.query_id = s2.query_id AND q.cell = s2.cell),
+      FROM scores s2 JOIN qcs q ON q.query_id = s2.query_id AND q.cell = s2.cell)"""
+  }
+
+  private lazy val s12Sql: String = s"""
+    WITH $ivfadcCtes,
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY adc DESC, neighbor_id) AS rank
       FROM adcs)
     SELECT query_id, neighbor_id, adc, rank FROM ranked
     WHERE rank <= $TOPK ORDER BY query_id, rank"""
-  }
+
+  /** s13's oracle: the full IVFADC unroll feeding a top-R shortlist,
+    * re-scored by the int8 quantization CTEs (s08/s09's bit-parity
+    * twins), recall@3 vs the exact float graph riding along.
+    */
+  private lazy val s13Sql: String = s"""
+    WITH $ivfadcCtes,
+    $quantCtesDuck,
+    adcranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY adc DESC, neighbor_id) AS rank
+      FROM adcs),
+    short AS (
+      SELECT query_id, neighbor_id FROM adcranked WHERE rank <= $RERANK_R),
+    qpairs AS (
+      SELECT sh.query_id, sh.neighbor_id, $qcosDuck AS qcos
+      FROM short sh
+      JOIN qn q ON q.vec_id = sh.query_id
+      JOIN qn c ON c.vec_id = sh.neighbor_id),
+    qranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY qcos DESC, neighbor_id) AS rank
+      FROM qpairs),
+    qtop AS (SELECT query_id, neighbor_id, qcos, rank FROM qranked WHERE rank <= 3),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            ${Cosine.dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+              DESC, c.vec_id) AS rnk
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < $NQUERIES)
+      WHERE rnk <= 3),
+    rec AS (
+      SELECT t.query_id,
+        CAST(count(e2.query_id) AS DOUBLE) / CAST(3 AS DOUBLE) AS recall_at_3
+      FROM qtop t LEFT JOIN exact e2
+        ON e2.query_id = t.query_id AND e2.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id)
+    SELECT t.query_id, t.neighbor_id, t.qcos, t.rank, r.recall_at_3
+    FROM qtop t JOIN rec r ON r.query_id = t.query_id
+    ORDER BY t.query_id, t.rank"""
 
   val ops: Seq[Op] = Seq(
     Op("s01_knn_bruteforce", s01, Some(s01Sql)),
     Op("s12_ivfpq", s12, Some(s12Sql)),
+    Op("s13_ivfadc_rerank", s13, Some(s13Sql)),
     Op("s10_ivf_kmeans", s10, Some(s10Sql)),
     Op("s11_pq_adc", s11, Some(s11Sql)),
     Op("s08_quantized_knn", s08, Some(s08Sql)),

@@ -68,6 +68,9 @@ class PlanSpec extends AnyFunSuite {
     * the memoized k-means centroid table (graft_kmcent), nothing
     * corpus-sized.
     */
+  // s13 composes s12's probe but checkpoints its per-query summary, so
+  // its FINAL plan is truncated — the general no-BNLJ test covers it;
+  // R16OpsSpec pins the pre-checkpoint rerank plan explicitly.
   private val centroidProbeOnly = Set("s10_ivf_kmeans", "s12_ivfpq")
 
   centroidProbeOnly.foreach { name =>

@@ -73,4 +73,117 @@ class R16OpsSpec extends AnyFunSuite {
         s"doc ${r._1}: zero-PII doc must pass through verbatim")
     }
   }
+
+  test("s13 rerank scores equal a driver-side int8 recount; the rerank " +
+      "never degrades s12's picks and recovers >=0.8 of the float-exact " +
+      "ordering within its shortlist") {
+    lazy val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quant(a: Array[Float]): Array[Long] = {
+      val maxabs = a.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+      if (maxabs == 0.0) a.map(_ => 0L)
+      else a.map(x =>
+        functions.Int8Ops.roundHalfUpToByte(x.toDouble * 127.0 / maxabs).toLong)
+    }
+    def qcos(a: Long, b: Long): Double = {
+      val (qa, qb) = (quant(vecs(a)), quant(vecs(b)))
+      val (n2a, n2b) = (qa.map(x => x * x).sum, qb.map(x => x * x).sum)
+      if (n2a > 0 && n2b > 0)
+        qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble /
+          math.sqrt((n2a * n2b).toDouble)
+      else -2.0
+    }
+    val rows = SparkEntry.queries("s13_ivfadc_rerank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // rerank fidelity: every emitted score IS the exact int8 cosine
+    rows.foreach { case (q, n, s, _, _) =>
+      assert(s == qcos(q, n), s"qcos of ($q, $n)")
+    }
+    // accuracy, two gates. (a) UNCONDITIONAL: the reranked top-3 must
+    // match the exact graph at least as well as s12's raw ADC top-3 —
+    // on this near-uniform corpus ABSOLUTE recall through an IVF
+    // shortlist is bounded by the probed fraction (s10's documented
+    // context), so the s09-style 0.8 floor applies to the
+    // SHORTLIST-CONDITIONAL gate (b): among the R candidates the
+    // shortlist actually contains, the int8 rerank must recover the
+    // float-exact ordering — the claim a rerank stage exists for.
+    def cosT(a: Long, b: Long): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      d(vecs(a), vecs(b)) / math.sqrt(d(vecs(a), vecs(a)) * d(vecs(b), vecs(b)))
+    }
+    val queries = rows.map(_._1).distinct.sorted
+    val exact = queries.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cosT(q, n), n)).take(3).map(q -> _)
+    }.toSet
+    val s13Picks = rows.map(r => (r._1, r._2)).toSet
+    val s12Picks = SparkEntry.queries("s12_ivfpq")(spark, dir)
+      .filter("rank <= 3").select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall13 = s13Picks.intersect(exact).size.toDouble / exact.size
+    val recall12 = s12Picks.intersect(exact).size.toDouble / exact.size
+    info(f"s13 recall@3 $recall13%.2f vs s12-top3 $recall12%.2f")
+    assert(recall13 >= recall12, "the int8 rerank degraded s12's raw ADC picks")
+    // (b): float-exact top-3 among the R-shortlist vs s13's picks
+    val shortlist = sim.Similarity.ivfadcScores(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._3, t._2)).take(sim.Similarity.RERANK_R).map(_._2).toSet)
+      .toMap
+    val condExact = queries.flatMap { q =>
+      shortlist(q).toSeq.sortBy(n => (-cosT(q, n), n)).take(3).map(q -> _)
+    }.toSet
+    val condRecall = s13Picks.intersect(condExact).size.toDouble / condExact.size
+    info(f"s13 shortlist-conditional recall@3 $condRecall%.2f")
+    assert(condRecall >= 0.8,
+      f"int8 rerank recovers only $condRecall%.2f of the float-exact " +
+        "ordering within its own shortlist")
+    val emitted = rows.map(_._5)
+    assert(emitted.forall(r => r >= 0.0 && r <= 1.0))
+    assert(math.abs(emitted.sum / emitted.size - recall13) < 1e-9,
+      "recall_at_3 column disagrees with the driver recount")
+  }
+
+  test("s13's rerank never shuffles or sorts the int8 store, and adds no " +
+      "float-embedding scan beyond s12's machinery plus the recall witness") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // the registered s13 checkpoints its summary (plan truncates), so
+    // pin the factored pre-checkpoint stage-2 plan
+    val plan = sim.Similarity.ivfadcRerankScored(spark, dir)
+      .queryExecution.sparkPlan
+    // the bucketed int8 store must only ever be the STREAMED side of a
+    // broadcast join — candidates (R x queries rows) broadcast against
+    // it; a plan that exchanges/sorts the store would hydrate the
+    // corpus through the rerank
+    var sawQvecJoin = false
+    plan.foreach {
+      case j: SortMergeJoinExec =>
+        assert(!j.toString.contains("graft_annqvec"),
+          s"int8 store inside a sort-merge join:\n$j")
+      case j: ShuffledHashJoinExec =>
+        assert(!j.toString.contains("graft_annqvec"),
+          s"int8 store inside a shuffled hash join:\n$j")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.toString.contains("graft_annqvec") =>
+        sawQvecJoin = true
+      case _ =>
+    }
+    assert(sawQvecJoin, "rerank plan lost the broadcast probe of the int8 store")
+    def nEmbScans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case s if s.nodeName.contains("Scan") &&
+          s.toString.contains("embeddings.parquet") &&
+          s.toString.contains("embedding") => s
+      }.size
+    val stage1Plan = sim.Similarity.ivfadcScores(spark, dir)
+      .queryExecution.sparkPlan
+    // the rerank stage must add ZERO float-embedding scans over its
+    // own shortlist machinery — it reads only the int8 store
+    assert(nEmbScans(plan) == nEmbScans(stage1Plan),
+      s"the rerank stage hydrates float embeddings: " +
+        s"${nEmbScans(plan)} vs stage-1 ${nEmbScans(stage1Plan)}")
+  }
 }
