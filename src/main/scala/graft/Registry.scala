@@ -10,6 +10,6 @@ object Registry {
       graph.Triangles.ops ++ graph.PageRank.ops ++ graph.AdjacencyCodec.ops ++
       graph.ReachSketch.ops ++
       ops.Olap.ops ++ ops.Events.ops ++
-      dedup.Dedup.ops ++ sim.Similarity.ops ++ text.TextOps.ops ++
+      dedup.Dedup.ops ++ sim.Similarity.ops ++ text.TextOps.ops ++ text.Bpe.ops ++
       mm.Multimodal.ops
 }

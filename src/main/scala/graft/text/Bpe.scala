@@ -1,0 +1,221 @@
+package graft.text
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary learning (t18) and corpus encoding
+  * (t19) — the learned-subword tokenizer a pretraining pipeline runs
+  * where t01/t11's whitespace tokens stand in (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units").
+  *
+  * Representation: each word becomes a symbol string where every
+  * symbol owns a leading space and a trailing `;` terminator, and the
+  * last character of the word carries the end-of-word marker —
+  * `"the" -> " t; h; e</w>;"`. That makes the BPE merge rule a plain
+  * string replace: merging pair `(a, b)` is
+  * `replace(ws, " a; b;", " ab;")`, whose global left-to-right
+  * non-overlapping semantics (identical in Spark and DuckDB) IS the
+  * left-to-right merge order BPE specifies. BOTH boundaries of each
+  * needle symbol are anchored — the space marks its start and the
+  * terminator its end — so a needle can never match a longer symbol's
+  * prefix (the " i n" vs " i n</w>" hazard a separator-only encoding
+  * has) and the replacement never consumes the next symbol's leading
+  * space. `;` never occurs inside a symbol (corpus tokens are
+  * whitespace-split text; guarded at training).
+  *
+  * Training is the g09 unrollable-fixed-iterations shape: each of the
+  * fixed [[Bpe.MERGES]] rounds is one adjacent-pair census (a
+  * map-side-combining groupBy with the deterministic
+  * max-count/smallest-pair tie-break) plus one projection rewrite, so
+  * the DuckDB oracle chains the rounds as CTEs and the result is
+  * bit-exact.
+  *
+  * Scale shape: the only corpus-sized stage is the one word census
+  * (explode + map-side-combining groupBy on the word key). Every merge
+  * round runs on the VOCABULARY table (distinct words + counts —
+  * orders of magnitude smaller than the corpus, Heaps'-law bounded),
+  * and the per-round winner is a 1-row scalar probe, so driver state
+  * is MERGES scalars. t19's encode is a per-row codegen projection
+  * over the corpus (chars -> symbols -> MERGES chained replaces), no
+  * exchange but the output ORDER BY. The merge-rounds = sequential-
+  * passes cost is inherent to BPE (each round's census depends on the
+  * previous round's rewrite); with a vocabulary-sized working set the
+  * rounds are sub-second each at any corpus scale.
+  */
+object Bpe {
+  /** Fixed merge budget — the oracle unrolls exactly this many CTEs. */
+  private[graft] val MERGES = 8
+
+  // "t; h; e</w>" (un-wrapped core): chars joined by '; ', last char
+  // suffixed with the end-of-word marker; callers wrap as
+  // ' ' || core || ';' (word) or join cores with '; ' (doc stream).
+  private val symCore =
+    """array_join(transform(sequence(1, length(word)),
+      i -> IF(i = length(word), concat(substring(word, i, 1), '</w>'),
+              substring(word, i, 1))), '; ')"""
+  private val symCoreDuck =
+    """array_to_string(list_transform(range(1, len(word) + 1),
+      i -> CASE WHEN i = len(word) THEN substr(word, i, 1) || '</w>'
+           ELSE substr(word, i, 1) END), '; ')"""
+
+  // symbol array back out of a ws string: strip the leading space and
+  // trailing terminator, split on the '; ' separator
+  private val symsOfWs = "split(substring(ws, 2, length(ws) - 2), '; ')"
+  private val symsOfWsDuck = "str_split(substr(ws, 2, len(ws) - 2), '; ')"
+
+  // adjacent symbol pairs of a ws string, as "a b" strings; the guard
+  // matters: Spark's sequence(1, 0) DESCENDS to [1, 0] and
+  // element_at(_, 0) is an ANSI error, so single-symbol words must
+  // short-circuit to an empty pair list
+  private val pairsExpr =
+    """CASE WHEN size(syms) >= 2 THEN
+      transform(sequence(1, size(syms) - 1),
+        i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))
+    ELSE array() END"""
+
+  /** The learned merge table — (pair, merged, count) in rank order —
+    * memoized per corpus dir like the MatStore index tables (same
+    * retention contract: don't overwrite a corpus mid-session). Each
+    * round's winner is collected as a bounded scalar; the vocabulary
+    * iterates through a localCheckpoint so round r's census reads
+    * round r-1's rewrite, not a re-derivation from parquet.
+    */
+  private val memo =
+    new scala.collection.concurrent.TrieMap[String, Seq[(String, String, Long)]]
+
+  private[graft] def merges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    memo.getOrElseUpdate(dir, {
+      val vocab = Tables(s, dir, "documents")
+        .select(explode(expr(TextOps.toksExpr)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("ws", concat(lit(" "), expr(symCore), lit(";")))
+        .select(col("ws"), col("cnt"))
+        .localCheckpoint()
+      var cur = vocab
+      val out = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to MERGES) {
+        val w = cur
+          .withColumn("syms", expr(symsOfWs))
+          .select(col("cnt"), explode(expr(pairsExpr)).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pair"))
+          .limit(1).collect()(0)
+        val pair = w.getString(0)
+        // symbols are corpus characters plus the </w> marker; a quote
+        // would break the expr interpolation, a ';' the terminator
+        require(!pair.contains("'") && !pair.contains(";"),
+          s"unmergeable symbol pair: $pair")
+        val merged = pair.replace(" ", "")
+        val needle = " " + pair.replace(" ", "; ") + ";"
+        out += ((pair, merged, w.getLong(1)))
+        cur = cur.withColumn("ws", expr(s"replace(ws, '$needle', ' $merged;')"))
+          .localCheckpoint()
+      }
+      out.result()
+    })
+
+  // ---- t18: learn the BPE merge table --------------------------------
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    merges(s, dir).zipWithIndex
+      .map { case ((p, m, c), i) => ((i + 1).toLong, p, m, c) }
+      .toDF("rank", "pair", "merged", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  private lazy val t18Sql: String = {
+    val v0 = s"""v0 AS MATERIALIZED (
+      SELECT ' ' || $symCoreDuck || ';' AS ws, cnt FROM (
+        SELECT t.word AS word, count(*) AS cnt
+        FROM documents, UNNEST(${TextOps.toksDuck}) AS t(word)
+        GROUP BY t.word))"""
+    val rounds = (1 to MERGES).map { i =>
+      s"""s$i AS (SELECT $symsOfWsDuck AS syms, cnt FROM v${i - 1}),
+    p$i AS MATERIALIZED (
+      SELECT pr.pair AS pair, CAST(SUM(t.cnt) AS BIGINT) AS c
+      FROM s$i t, UNNEST(list_transform(range(1, len(t.syms)),
+        j -> t.syms[j] || ' ' || t.syms[j + 1])) AS pr(pair)
+      GROUP BY pr.pair),
+    b$i AS MATERIALIZED (
+      SELECT CAST($i AS BIGINT) AS rank, pair, replace(pair, ' ', '') AS merged,
+        c AS cnt
+      FROM p$i ORDER BY c DESC, pair LIMIT 1),
+    v$i AS MATERIALIZED (
+      SELECT replace(ws, ' ' || replace((SELECT pair FROM b$i), ' ', '; ') || ';',
+        ' ' || (SELECT merged FROM b$i) || ';') AS ws, cnt
+      FROM v${i - 1})"""
+    }.mkString(",\n    ")
+    val union = (1 to MERGES).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    s"""
+    WITH $v0,
+    $rounds
+    SELECT * FROM ($union) ORDER BY rank"""
+  }
+
+  // ---- t19: encode the corpus with the learned merges ----------------
+  /** Per-doc subword census: the document's symbol stream (every word
+    * char-expanded with its end-of-word marker) pushed through the
+    * MERGES learned replaces; n_subword is the resulting symbol count
+    * — the token count t11's packing would consume from a learned
+    * tokenizer. compression = n_subword / n_char_syms measures what
+    * the merges bought.
+    */
+  private def t19(s: SparkSession, dir: String): DataFrame = {
+    val ms = merges(s, dir)
+    val encExpr = ms.foldLeft("ws") { case (acc, (pair, merged, _)) =>
+      s"replace($acc, ' ${pair.replace(" ", "; ")};', ' $merged;')"
+    }
+    Tables(s, dir, "documents")
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("ws", concat(lit(" "), expr(
+        """array_join(transform(toks, word -> """ + symCore + """), '; ')"""),
+        lit(";")))
+      .withColumn("enc", expr(encExpr))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        when(size(col("toks")) === 0, lit(0L))
+          .otherwise(size(split(expr("substring(ws, 2)"), " ")).cast("long"))
+          .as("n_sym"),
+        when(size(col("toks")) === 0, lit(0L))
+          .otherwise(size(expr(symsOfWs.replace("ws", "enc"))).cast("long"))
+          .as("n_subword"))
+      .withColumn("compression",
+        when(col("n_sym") === 0, lit(1.0))
+          .otherwise(col("n_subword").cast("double") / col("n_sym").cast("double")))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val t19Sql: String = {
+    // the same b1..bN scalar CTEs as t18, then per-doc encode
+    val vocabCtes = t18Sql.stripPrefix("\n    WITH ")
+      .split("\n    SELECT \\* FROM").head
+    val encExpr = (1 to MERGES).foldLeft("ws") { (acc, i) =>
+      s"replace($acc, ' ' || replace((SELECT pair FROM b$i), ' ', '; ') || ';', " +
+        s"' ' || (SELECT merged FROM b$i) || ';')"
+    }
+    s"""
+    WITH $vocabCtes,
+    docs AS (
+      SELECT doc_id, toks,
+        ' ' || array_to_string(list_transform(toks, word -> $symCoreDuck), '; ')
+          || ';' AS ws
+      FROM (SELECT doc_id, ${TextOps.toksDuck} AS toks FROM documents)),
+    enc AS (SELECT doc_id, toks, ws, $encExpr AS e FROM docs)
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tok,
+      CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(len(str_split(substr(ws, 2, len(ws) - 2), '; ')) AS BIGINT) END AS n_sym,
+      CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(len(str_split(substr(e, 2, len(e) - 2), '; ')) AS BIGINT) END AS n_subword,
+      CASE WHEN (CASE WHEN len(toks) = 0 THEN 0
+                 ELSE len(str_split(substr(ws, 2, len(ws) - 2), '; ')) END) = 0 THEN CAST(1.0 AS DOUBLE)
+        ELSE CAST(len(str_split(substr(e, 2, len(e) - 2), '; ')) AS DOUBLE)
+          / CAST(len(str_split(substr(ws, 2, len(ws) - 2), '; ')) AS DOUBLE) END AS compression
+    FROM enc ORDER BY doc_id"""
+  }
+
+  val ops: Seq[Op] = Seq(
+    Op("t18_bpe_vocab", t18, Some(t18Sql)),
+    Op("t19_bpe_encode", t19, Some(t19Sql)))
+}

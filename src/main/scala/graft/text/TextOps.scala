@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   private[graft] val toksExpr = "filter(split(text, ' '), t -> t != '')"
-  private val toksDuck = "list_filter(string_split(text, ' '), t -> t != '')"
+  private[graft] val toksDuck = "list_filter(string_split(text, ' '), t -> t != '')"
 
   // Winnowing building blocks shared by t08 (per-doc fingerprint
   // digest) and t14 (corpus-wide duplicated spans): 3-token shingles,

@@ -74,6 +74,66 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t18/t19 bpe equals an imperative driver-side recount " +
+      "(merge loop + per-doc encode re-derived from raw text)") {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def syms(word: String): Vector[String] =
+      word.toVector.zipWithIndex.map { case (c, i) =>
+        if (i == word.length - 1) s"$c</w>" else c.toString
+      }
+    // independent merge loop: plain maps, overlap-counting census,
+    // left-to-right non-overlapping rewrite
+    var vocab: Map[Vector[String], Long] = docs
+      .flatMap(_._2.split(" ").filter(_.nonEmpty)).groupBy(identity)
+      .map { case (w, xs) => syms(w) -> xs.length.toLong }
+    def rewrite(ss: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < ss.length) {
+        if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += ss(i); i += 1 }
+      }
+      out.result()
+    }
+    val expMerges = (1 to text.Bpe.MERGES).map { _ =>
+      val census = scala.collection.mutable.Map[(String, String), Long]()
+      for ((ss, c) <- vocab; i <- 0 until ss.length - 1)
+        census((ss(i), ss(i + 1))) = census.getOrElse((ss(i), ss(i + 1)), 0L) + c
+      val ((a, b), c) = census.minBy { case ((x, y), n) => (-n, s"$x $y") }
+      vocab = vocab.groupBy { case (ss, _) => rewrite(ss, a, b) }
+        .map { case (ss, m) => ss -> m.values.sum }
+      (s"$a $b", a + b, c)
+    }
+    val gotMerges = SparkEntry.queries("t18_bpe_vocab")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(gotMerges == expMerges,
+      s"merge tables differ:\n got $gotMerges\n exp $expMerges")
+    assert(gotMerges.map(_._1).distinct.size == text.Bpe.MERGES,
+      "duplicate merge learned — census not consuming prior rewrites")
+    // per-doc encode recount
+    val pairSeq = expMerges.map { case (p, _, _) =>
+      val Array(a, b) = p.split(" ", 2); (a, b)
+    }
+    val expEnc = docs.map { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val stream = toks.toVector.flatMap(syms)
+      val enc = pairSeq.foldLeft(stream) { case (ss, (a, b)) => rewrite(ss, a, b) }
+      (id, toks.length.toLong, stream.length.toLong, enc.length.toLong,
+        if (stream.isEmpty) 1.0 else enc.length.toDouble / stream.length.toDouble)
+    }.toSet
+    val gotEnc = SparkEntry.queries("t19_bpe_encode")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(gotEnc == expEnc,
+      s"diff sample=${(gotEnc.diff(expEnc) ++ expEnc.diff(gotEnc)).take(2)}")
+    // the merges must actually buy compression on most docs
+    val ratios = gotEnc.toSeq.map(_._5)
+    assert(ratios.sum / ratios.size < 0.95,
+      "BPE merges bought <5% compression — degenerate vocabulary")
+  }
+
   test("s13 rerank scores equal a driver-side int8 recount; the rerank " +
       "never degrades s12's picks and recovers >=0.8 of the float-exact " +
       "ordering within its shortlist") {
