@@ -212,6 +212,16 @@ object Bench {
       }
       prev
     }
+    /** Reset only after the bus has gone quiet: straggler task-end
+      * events from the PREVIOUS rep (rep 0 carries heavy one-time
+      * MatStore builds) would otherwise land after the reset and
+      * inflate the "deterministic" counters. stableSnapshot() is the
+      * quiescence wait; its value is discarded.
+      */
+    def quiesceAndReset(): Unit = {
+      stableSnapshot(): Unit
+      reset()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -284,7 +294,7 @@ object Bench {
       def runRep(idx: Int): Rep = {
         val la = loadavg()
         val c0 = cpuTicks()
-        if (idx == counterRep) counters.reset()
+        if (idx == counterRep) counters.quiesceAndReset()
         val t0 = System.nanoTime()
         // A failed operator reports -1, not its elapsed time — a broken
         // query must not look like a fast success in the bench JSON.
@@ -404,12 +414,18 @@ object Bench {
       "flags this); queries_counters are deterministic per-query " +
       "execution counters (shuffle rows/bytes, jobs/stages/tasks) from " +
       "the first WARM rep — host-independent: compare THESE first " +
-      "across rounds (bench_diff.py does); identical counters with a " +
-      "wall delta means host noise, not a code change"
+      "across rounds (bench_diff.py does); counters_rep records which " +
+      "rep they came from (0 = cold incl. MatStore builds, 1 = first " +
+      "warm) — comparing counters across takes with different " +
+      "counters_rep provenance is invalid and bench_diff skips it; " +
+      "identical counters with a wall delta means the PLAN did not " +
+      "change — attribute the delta to the host only when the host " +
+      "evidence (foreign share / host_factor / membw drift) " +
+      "corroborates, else it is a same-plan CPU regression"
     val subsetField = only.fold("")(s =>
       "\"subset\":" + s.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val env =
-      s"""$subsetField"reps":$reps,"foreign_threshold":$foreignThreshold,"iowait_threshold":$iowaitThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"host_probe_sec":[$probePre,$probePost],"host_factor":$hostFactor,"membw_probe_sec":[$membwPre,$membwPost],"membw_factor":$membwFactor,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
+      s"""$subsetField"reps":$reps,"counters_rep":${if (reps >= 2) 1 else 0},"foreign_threshold":$foreignThreshold,"iowait_threshold":$iowaitThreshold,"contended":${contendedKeys.mkString("[", ",", "]")},"host_probe_sec":[$probePre,$probePost],"host_factor":$hostFactor,"membw_probe_sec":[$membwPre,$membwPost],"membw_factor":$membwFactor,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","t_start":"$tStart","t_end":"$tEnd""""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"queries":$qs,"queries_reps":$qreps,"queries_loadavg":$qloads,"queries_foreign":$qforeign,"queries_iowait":$qiowait,"queries_counters":$qcounters,"note":"$note",$env,"sf":"$sfDir"}"""
     // Long per-query line first; persist a copy where truncation can't

@@ -58,13 +58,52 @@ def main():
     # walls, and is always surfaced.
     oc = old.get("queries_counters", {})
     nc = new.get("queries_counters", {})
+    # Counters are only comparable when both takes captured them on the
+    # same rep kind: rep 0 includes one-time MatStore index builds, rep
+    # 1 is steady state. counters_rep records the provenance (r16+);
+    # older artifacts are inferred from reps (the r15 rule: warm rep 1
+    # when reps >= 2, else the cold rep).
+    def crep(art):
+        v = art.get("counters_rep")
+        return v if v is not None else (1 if art.get("reps", 1) >= 2 else 0)
+    prov_ok = crep(old) == crep(new)
+    if not prov_ok:
+        print(f"counters_rep provenance differs (old rep {crep(old)}, new rep "
+              f"{crep(new)}: cold-vs-warm capture) — skipping counter "
+              f"comparison; walls only")
 
     def counters_verdict(q):
-        """'same' / 'changed' / None (either side lacks counters)"""
+        """'same' / 'changed' / None (either side lacks counters, or
+        cold-vs-warm provenance makes them incomparable)"""
+        if not prov_ok:
+            return None
         a, b = oc.get(q), nc.get(q)
         if not a or not b:
             return None
         return "same" if a == b else "changed"
+
+    def host_corroborates(q):
+        """Is there actual host evidence for demoting q's wall delta?
+        Same-plan CPU regressions (e.g. a codegen expression replaced by
+        an interpreted HOF) leave every counter unchanged — identical
+        counters alone must NOT auto-demote a regression to host noise."""
+        if dirty_reps(old, q) or dirty_reps(new, q):
+            return True
+        if norm is not None and max(norm, 1 / norm) > 1.15:
+            return True
+        if mw_ratio is not None and max(mw_ratio, 1 / mw_ratio) > 1.15:
+            return True
+        return False
+
+    def dirty_reps(art, q):
+        """indices of reps with foreign/iowait over the artifact's gates"""
+        ft = art.get("foreign_threshold", 0.15)
+        it = art.get("iowait_threshold", 0.30)
+        fg = art.get("queries_foreign", {}).get(q, [])
+        io = art.get("queries_iowait", {}).get(q, [])
+        bad = {i for i, v in enumerate(fg) if v > ft}
+        bad |= {i for i, v in enumerate(io) if v > it}
+        return sorted(bad)
 
     counter_changed = [q for q in shared if counters_verdict(q) == "changed"
                        and q not in contended]
@@ -78,6 +117,7 @@ def main():
                 f"{k} {v[0]} -> {v[1]}" for k, v in delta.items()))
 
     regressed, improved, skipped, noise = [], [], [], []
+    same_counter_regressed = set()
     for q in shared:
         o, n = old["queries"][q], new["queries"][q]
         if q in contended or o <= 0 or n <= 0:
@@ -85,31 +125,28 @@ def main():
             continue
         r = (n / o) / norm if norm else n / o
         if r > args.threshold:
-            # identical counters = same plan over same data: the wall
-            # delta is the host's, not the code's
-            if counters_verdict(q) == "same":
+            # identical counters = same plan over same data — but that
+            # only demotes the regression to host noise when host
+            # evidence corroborates (dirty reps, probe drift); with a
+            # quiet host it is a same-plan CPU regression (interpreted
+            # vs codegen, allocation churn) and stays REGRESSED with a
+            # "counters unchanged" annotation
+            if counters_verdict(q) == "same" and host_corroborates(q):
                 noise.append((r, q, o, n))
             else:
+                if counters_verdict(q) == "same":
+                    same_counter_regressed.add(q)
                 regressed.append((r, q, o, n))
         elif r < 1 / args.threshold:
             improved.append((r, q, o, n))
-
-    def dirty_reps(art, q):
-        """indices of reps with foreign/iowait over the artifact's gates"""
-        ft = art.get("foreign_threshold", 0.15)
-        it = art.get("iowait_threshold", 0.30)
-        fg = art.get("queries_foreign", {}).get(q, [])
-        io = art.get("queries_iowait", {}).get(q, [])
-        bad = {i for i, v in enumerate(fg) if v > ft}
-        bad |= {i for i, v in enumerate(io) if v > it}
-        return sorted(bad)
 
     print(f"shared queries: {len(shared)}  "
           f"excluded (contended/failed): {len(skipped)}")
     if skipped:
         print("  excluded:", ", ".join(skipped))
     for title, rows in (("REGRESSED", sorted(regressed, reverse=True)),
-                        ("slower walls, IDENTICAL counters (host noise, not code)",
+                        ("slower walls, IDENTICAL counters + host evidence "
+                         "(host noise, not code)",
                          sorted(noise, reverse=True)),
                         ("improved", sorted(improved))):
         if not rows:
@@ -117,6 +154,9 @@ def main():
         print(f"{title}:")
         for r, q, o, n in rows:
             marks = []
+            if q in same_counter_regressed:
+                marks.append("counters unchanged, quiet host — "
+                             "same-plan CPU regression?")
             for tag, art in (("old", old), ("new", new)):
                 d = dirty_reps(art, q)
                 if d:
