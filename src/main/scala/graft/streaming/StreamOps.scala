@@ -358,16 +358,24 @@ object StreamOps {
     val idRow = b.agg(count(lit(1)),
       bit_xor(xxhash64(col("doc_id"), col("text")))).head()
     val tag = s"spandedup_batch_${batchId}_${idRow.getLong(0)}_${idRow.getLong(1)}"
-    val v = index.versionTagged(tag).getOrElse {
-      index.append(b.select(col("doc_id"), col("text")), Some(tag))
-      index.version.get
+    // the audited set is the batch's FRESH docs; the batch is shingled
+    // exactly ONCE — the same localCheckpointed window table feeds the
+    // index append (its census delta) and the duplication audit below.
+    // On replay the fresh set is recovered from the tagged version's
+    // own delta (already-ingested ids were cleaned when first seen),
+    // so first run and replay audit the same rows.
+    val (v, fresh, wins) = index.versionTagged(tag) match {
+      case Some(v0) =>
+        val f = b.join(index.idsAddedAt(v0), Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        (v0, f, graft.text.TextOps.winnowWindows(f).localCheckpoint())
+      case None =>
+        val f = index.freshDocs(b.select(col("doc_id"), col("text")))
+          .localCheckpoint()
+        val w = graft.text.TextOps.winnowWindows(f).localCheckpoint()
+        index.appendShingled(f, w, Some(tag))
+        (index.version.get, f, w)
     }
-    // the audited set is the batch's FRESH docs — recovered from the
-    // tagged version's own delta, so first run and replay see the
-    // same set (already-ingested ids were cleaned when first seen)
-    val fresh = b.join(index.idsAddedAt(v), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val wins = graft.text.TextOps.winnowWindows(fresh).localCheckpoint()
     val batchCensus = wins.select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("bn"))
     val hist = index.censusBeforeFor(v, batchCensus.select(col("fp")))

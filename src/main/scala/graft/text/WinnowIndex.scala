@@ -160,8 +160,10 @@ final class WinnowIndex(spark: SparkSession, indexDir: String) {
   }
 
   private def censusFrom(docs: DataFrame): DataFrame =
-    TextOps.winnowWindows(docs)
-      .select(col("doc_id"), col("fp")).distinct()
+    censusFromWindows(TextOps.winnowWindows(docs))
+
+  private def censusFromWindows(wins: DataFrame): DataFrame =
+    wins.select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
 
   /** Full build from a corpus (docs: doc_id, text) — the once-per-
@@ -180,11 +182,34 @@ final class WinnowIndex(spark: SparkSession, indexDir: String) {
     * document ever double-counts.
     */
   def append(newDocs: DataFrame, tag: Option[String] = None): Unit = {
-    val v = requireVersion()
+    val fresh = freshDocs(newDocs).localCheckpoint()
+    appendShingled(fresh, TextOps.winnowWindows(fresh), tag)
+  }
+
+  /** The id-FRESH subset of `newDocs` (duplicate ids collapsed, then
+    * already-ingested ids dropped via the bloom-pruned membership
+    * probe) — [[append]]'s freshness rule, factored out so a caller
+    * that also needs the fresh docs' winnowing windows (the streaming
+    * span-dedup trigger audits against them) can shingle ONCE and
+    * hand the windows to [[appendShingled]] instead of paying the
+    * dominant per-trigger shingling cost twice.
+    */
+  def freshDocs(newDocs: DataFrame): DataFrame = {
     val b = newDocs.dropDuplicates("doc_id")
-    val fresh = b.join(knownDocs(b.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    writeDelta(censusFrom(fresh), fresh.select(col("doc_id")),
+    b.join(knownDocs(b.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+  }
+
+  /** [[append]] with the shingling already done: `windows` MUST be
+    * `TextOps.winnowWindows(fresh)` for `fresh` ==
+    * [[freshDocs]] of the batch (package-private so the invariant
+    * stays inside graft — the census is still derived here, so a
+    * caller cannot hand in a census that violates the one-vote-per-
+    * document contract, only mismatched windows).
+    */
+  private[graft] def appendShingled(fresh: DataFrame, windows: DataFrame,
+      tag: Option[String] = None): Unit = {
+    val v = requireVersion()
+    writeDelta(censusFromWindows(windows), fresh.select(col("doc_id")),
       v + 1, segmentsOf(v), tag)
   }
 
