@@ -43,7 +43,7 @@ object Similarity {
     * identical: the buffer's ordering is the SQL
     * `ORDER BY cos DESC, neighbor_id` total order the oracle uses.
     */
-  private def topkUnordered(pairs: DataFrame, k: Int): DataFrame =
+  private[sim] def topkUnordered(pairs: DataFrame, k: Int): DataFrame =
     pairs.select(col("query_id"), col("neighbor_id"), col("cos"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAggregate.topKScored(
