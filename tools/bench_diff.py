@@ -72,6 +72,19 @@ def main():
               f"{crep(new)}: cold-vs-warm capture) — skipping counter "
               f"comparison; walls only")
 
+    def counter_eq(k, va, vb):
+        """Row/job/stage/task counts are exact; BYTE counters carry
+        ~0.1% run-to-run jitter on identical plans (shuffle compression
+        block boundaries shift with thread interleaving — measured r16:
+        ±0.03-0.1% on byte-identical code), so bytes compare with a
+        0.5% relative tolerance."""
+        if va == vb:
+            return True
+        if "bytes" in k and isinstance(va, (int, float)) \
+                and isinstance(vb, (int, float)) and min(va, vb) > 0:
+            return abs(va - vb) / max(va, vb) <= 0.005
+        return False
+
     def counters_verdict(q):
         """'same' / 'changed' / None (either side lacks counters, or
         cold-vs-warm provenance makes them incomparable)"""
@@ -80,7 +93,9 @@ def main():
         a, b = oc.get(q), nc.get(q)
         if not a or not b:
             return None
-        return "same" if a == b else "changed"
+        keys = set(a) | set(b)
+        return "same" if all(counter_eq(k, a.get(k), b.get(k)) for k in keys) \
+            else "changed"
 
     def host_corroborates(q):
         """Is there actual host evidence for demoting q's wall delta?
@@ -112,7 +127,7 @@ def main():
         for q in counter_changed:
             a, b = oc[q], nc[q]
             delta = {k: (a.get(k), b.get(k)) for k in sorted(set(a) | set(b))
-                     if a.get(k) != b.get(k)}
+                     if not counter_eq(k, a.get(k), b.get(k))}
             print(f"  {q}: " + ", ".join(
                 f"{k} {v[0]} -> {v[1]}" for k, v in delta.items()))
 
