@@ -111,6 +111,31 @@ final class PqIndex(spark: SparkSession, indexDir: String) {
   /** The coarse inverted-list assignment: (vec_id, cell). */
   def cells(): DataFrame = readTable("cells")
 
+  /** The (vec_id, cell) rows first ingested at version `v` — the
+    * version's delta segment, an O(batch) read (the streaming replay
+    * path's re-emission set, the [[graft.text.WinnowIndex.idsAddedAt]]
+    * contract).
+    */
+  def cellsAddedAt(v: Long): DataFrame = {
+    require(snaps.completeVersions.contains(v), s"no complete version $v")
+    spark.read.parquet(new Path(segRoot, s"s$v/cells").toString)
+  }
+
+  /** The caller-supplied tag version `v` was published with — the
+    * streaming batch journal (the sibling indexes' replay contract).
+    */
+  def tagOf(v: Long): Option[String] = {
+    val p = new Path(snaps.versionPath(v), "tag")
+    if (fs.exists(p)) Some(snaps.readTextFile(p).trim) else None
+  }
+
+  /** Newest complete version carrying `tag` — scans all retained
+    * versions newest-first so an interleaved [[compact]] can't hide a
+    * crashed batch's journal entry.
+    */
+  def versionTagged(tag: String): Option[Long] =
+    snaps.completeVersions.sorted.reverse.find(tagOf(_).contains(tag))
+
   /** The 4 B/vec code store: (vec_id, m, code). */
   def codes(): DataFrame = readTable("codes")
 
@@ -167,7 +192,8 @@ final class PqIndex(spark: SparkSession, indexDir: String) {
     * manifest+marker last, the shared crash contract.
     */
   private def writeDelta(cellsDf: DataFrame, codesDf: DataFrame,
-      errLine: String, v: Long, prevSegments: Seq[String], k: Int): Unit = {
+      errLine: String, v: Long, prevSegments: Seq[String], k: Int,
+      tag: Option[String] = None): Unit = {
     val seg = s"s$v"
     val cellsPath = new Path(segRoot, s"$seg/cells").toString
     cellsDf.select(col("vec_id"), col("cell"))
@@ -182,6 +208,8 @@ final class PqIndex(spark: SparkSession, indexDir: String) {
       snaps.writeTextFile(new Path(snaps.versionPath(v), "segments"),
         (prevSegments :+ seg).mkString("\n"))
       snaps.writeTextFile(new Path(snaps.versionPath(v), "params"), k.toString)
+      tag.foreach(t =>
+        snaps.writeTextFile(new Path(snaps.versionPath(v), "tag"), t))
     }
   }
 
@@ -219,7 +247,7 @@ final class PqIndex(spark: SparkSession, indexDir: String) {
     * First-writer-wins per vec_id; replaying an overlapping batch
     * appends the empty delta — idempotent.
     */
-  def append(newVecs: DataFrame): Unit = {
+  def append(newVecs: DataFrame, tag: Option[String] = None): Unit = {
     val v = requireVersion()
     val k = coarseK
     val batch = newVecs.dropDuplicates("vec_id")
@@ -229,7 +257,7 @@ final class PqIndex(spark: SparkSession, indexDir: String) {
     try {
       val (cellsDf, codesDf, errLine) =
         encodeDelta(fresh, coarseCentroids(), codebooks(), k)
-      writeDelta(cellsDf, codesDf, errLine, v + 1, segmentsOf(v), k)
+      writeDelta(cellsDf, codesDf, errLine, v + 1, segmentsOf(v), k, tag)
     } finally { fresh.unpersist(): Unit }
   }
 

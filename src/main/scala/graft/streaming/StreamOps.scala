@@ -455,6 +455,66 @@ object StreamOps {
       }
   }
 
+  /** Streaming IVFADC ingest: each micro-batch of crawled embeddings
+    * (vec_id, embedding) is encoded under the [[graft.sim.PqIndex]]'s
+    * FROZEN model and appended as one delta code segment (O(batch)
+    * per-vector work: broadcast model, map-side argmax — the old
+    * corpus is never touched, let alone re-encoded), and the batch's
+    * fresh (vec_id, cell) assignments flow to `sink` — the live
+    * maintenance path for the code store the s12/s13 serving layout
+    * reads, completing the incremental-index family's streaming
+    * coverage at five. Model staleness accrues visibly: each segment
+    * carries its reconstruction-error stats, so
+    * [[graft.sim.PqIndex.reconstructionDrift]] after any trigger
+    * reports how far the crawl has drifted from the frozen codebooks.
+    *
+    * Restart-safe, AT-LEAST-ONCE to an idempotent sink — the shared
+    * journal contract of the sibling streams: the batch's
+    * content-identity tag (covers vec_id AND embedding bits, the
+    * decontamBatch rule) publishes atomically with its append, and a
+    * replayed batch re-emits the tagged version's own delta
+    * ([[graft.sim.PqIndex.cellsAddedAt]]) instead of re-appending.
+    * Duplicate in-trigger vec_ids collapse first; cross-batch repeats
+    * are first-writer-wins (empty delta, empty emission).
+    *
+    * @param compactEvery when > 0, compact after every N-th trigger,
+    *   AFTER the sink completes (the tag journal survives compaction
+    *   — versionTagged scans all retained versions).
+    * @param vacuumKeep when > 0 (must be ≥ 2 — the replay-window
+    *   slack), vacuum after every trigger.
+    */
+  def pqIngestStream(vecs: DataFrame, index: graft.sim.PqIndex,
+      compactEvery: Int = 0, vacuumKeep: Int = 0)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    require(vacuumKeep == 0 || vacuumKeep >= 2,
+      s"vacuumKeep must be 0 (off) or >= 2 (replay-window slack), got $vacuumKeep")
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) pqIngestBatch(index, batch.toDF(), batchId)(sink)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          index.compact(): Unit
+        if (vacuumKeep > 0) index.vacuum(vacuumKeep): Unit
+      }
+  }
+
+  /** One [[pqIngestStream]] trigger — factored out so the replay path
+    * is directly testable (the spec drives it with a repeated batchId
+    * to simulate the crash between append and sink).
+    */
+  private[graft] def pqIngestBatch(index: graft.sim.PqIndex,
+      batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
+    val b = batch.dropDuplicates("vec_id").localCheckpoint()
+    val idRow = b.agg(count(lit(1)),
+      bit_xor(xxhash64(col("vec_id"), col("embedding")))).head()
+    val tag = s"pqingest_batch_${batchId}_${idRow.getLong(0)}_${idRow.getLong(1)}"
+    val v = index.versionTagged(tag).getOrElse {
+      index.append(b.select(col("vec_id"), col("embedding")), Some(tag))
+      index.version.get
+    }
+    sink(index.cellsAddedAt(v))
+  }
+
   /** Continuously-maintained heavy-hitter candidates over a key
     * stream — the streaming face of t12's bounded-memory frequent
     * items: one global Misra–Gries aggregate whose ≤k-entry buffer IS

@@ -73,10 +73,16 @@ object TextOps {
     docsToks
       .join(marked, Seq("doc_id"), "left")
       .withColumn("ps", coalesce(col("ps"), expr("array()")))
+      // kept token indices via array_except (hash-set membership,
+      // left-order-preserving): O(n_tok + 6·n_marked) per doc — the
+      // doc-local scale form of the removal filter (a per-token
+      // exists() probe over the marked array is O(n_tok × n_marked),
+      // which a book-length heavily-duplicated doc would feel)
       .withColumn("kept", expr("""CASE WHEN size(toks) = 0 THEN array()
-        ELSE filter(transform(sequence(1, size(toks)),
-          i -> IF(exists(ps, p -> i >= p AND i <= p + 5), NULL, element_at(toks, i))),
-          x -> x IS NOT NULL) END"""))
+        ELSE transform(
+          array_except(sequence(1, size(toks)),
+            flatten(transform(ps, p -> sequence(p, p + 5)))),
+          i -> element_at(toks, cast(i as int))) END"""))
       .withColumn("n_spans", expr("""CASE WHEN size(ps) = 0 THEN CAST(0 AS BIGINT)
         ELSE aggregate(sequence(1, size(ps)), cast(0 as bigint), (acc, i) ->
           acc + IF(i = 1 OR element_at(ps, i) - element_at(ps, i - 1) > 6, 1, 0)) END"""))
@@ -995,10 +1001,11 @@ object TextOps {
     * The span merge is SORT-FREE at the exchange level: marked
     * positions collect into a per-doc array (winnowing-window-sized,
     * the same envelope as the hs array itself) and merge inside a
-    * per-row projection. The excision projection is O(n_tok x
-    * n_marked) per doc — fine at document sizes; a book-length doc
-    * with massive duplication would swap the exists() probe for a
-    * two-pointer walk over the same sorted array, still doc-local.
+    * per-row projection. The excision projection is O(n_tok +
+    * 6·n_marked) per doc (r16): kept indices come from array_except's
+    * hash-set membership over the flattened removal intervals, so even
+    * a book-length doc with massive duplication stays linear and
+    * doc-local.
     */
   private def t16(s: SparkSession, dir: String): DataFrame = {
     val src = winnowHashes(s, dir)

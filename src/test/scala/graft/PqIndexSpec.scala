@@ -117,6 +117,61 @@ class PqIndexSpec extends AnyFunSuite {
       s"float vectors leaked into the code store: $withFloats")
   }
 
+  test("pqIngestStream: streamed ingest equals batch appends bit-exact; emissions are the fresh deltas; replay re-emits identically without re-appending") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val day0 = vecs.filter(col("vec_id") % 5 < 3)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val batchA = rows(vecs.filter(col("vec_id") % 5 === 3))
+    // B replays part of A — cross-batch repeats must be first-writer-wins
+    val batchB = rows(vecs.filter(col("vec_id") % 5 === 4)) ++ batchA.take(10)
+
+    val idx = new PqIndex(spark,
+      java.nio.file.Files.createTempDirectory("pqidx_st").toString)
+    idx.build(day0)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Long]]
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamOps.pqIngestStream(
+      in.toDF().toDF("vec_id", "embedding"), idx) { d =>
+      emitted += d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }.start()
+    try {
+      in.addData(batchA.toSeq); q.processAllAvailable()
+      in.addData(batchB.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin: same base, same two appends
+    val twin = new PqIndex(spark,
+      java.nio.file.Files.createTempDirectory("pqidx_st_tw").toString)
+    twin.build(day0)
+    twin.append(batchA.toSeq.toDF("vec_id", "embedding"))
+    twin.append(batchB.toSeq.toDF("vec_id", "embedding"))
+    def rowSet2(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rowSet2(idx.cells()) == rowSet2(twin.cells()))
+    assert(rowSet2(idx.codes()) == rowSet2(twin.codes()))
+
+    // emissions are exactly each trigger's FRESH assignments
+    assert(emitted.size == 2)
+    assert(emitted(0).keySet == batchA.map(_._1).toSet)
+    assert(emitted(1).keySet == batchB.map(_._1).toSet -- batchA.map(_._1).toSet,
+      "replayed ids must not re-emit in a later batch")
+    val stored = idx.cells().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    emitted.foreach(_.foreach { case (id, cell) => assert(stored(id) == cell) })
+
+    // crash replay: same batchId + same content -> the tagged version
+    // is found, nothing appends, the SAME rows re-emit
+    val vBefore = idx.version.get
+    var replayed: Map[Long, Long] = Map.empty
+    graft.streaming.StreamOps.pqIngestBatch(idx,
+      batchB.toSeq.toDF("vec_id", "embedding"), 1L)(d =>
+      replayed = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(idx.version.contains(vBefore), "replay must not publish a new version")
+    assert(replayed == emitted(1), "replay must re-emit the original delta")
+  }
+
   test("reconstructionDrift rises when appended vectors leave the build distribution") {
     val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
     val base = vecs.filter(col("vec_id") % 2 === 0)
