@@ -821,23 +821,37 @@ object TextOps {
         expr("concat(slice(toks, 1, k), " +
           "filter(array(email, phone, ip, acct), x -> x IS NOT NULL), " +
           "slice(toks, k + 1, n_tok - k))")))
+    // Census by DIFFERENCE (r16): each class count = placeholder
+    // occurrences after that class's replace pass minus before it —
+    // exact by construction (every replacement inserts exactly one
+    // placeholder; no class regex can match a placeholder, whose
+    // '<'/'>' chars are outside every class alphabet, so pre-existing
+    // occurrences survive every pass untouched). This halves the
+    // regex work: the four regexp_extract_all census passes become
+    // fixed-substring occurrence counts (pure length/replace string
+    // ops, no regex), and the four regexp_replace passes — already
+    // needed for redacted_text — are shared via per-pass alias
+    // columns (Catalyst keeps non-cheap aliased expressions
+    // un-inlined, so each replace evaluates once; the r1..r4 chain is
+    // the t14-hazard-safe form).
+    def occ(name: String, tok: String) =
+      s"((length($name) - length(replace($name, '$tok', ''))) div ${tok.length})"
+    def passCount(after: String, before: String, tok: String) =
+      expr(s"CAST(${occ(after, tok)} - ${occ(before, tok)} AS BIGINT)")
     enriched
-      .withColumn("n_email",
-        size(regexp_extract_all(col("etext"), lit(piiEmailRe), lit(0))).cast("long"))
-      .withColumn("n_phone",
-        size(regexp_extract_all(col("etext"), lit(piiPhoneRe), lit(0))).cast("long"))
-      .withColumn("n_ipv4",
-        size(regexp_extract_all(col("etext"), lit(piiIpRe), lit(0))).cast("long"))
-      .withColumn("n_id",
-        size(regexp_extract_all(col("etext"), lit(piiIdRe), lit(0))).cast("long"))
+      .withColumn("r1", regexp_replace(col("etext"), piiEmailRe, "<EMAIL>"))
+      .withColumn("r2", regexp_replace(col("r1"), piiPhoneRe, "<PHONE>"))
+      .withColumn("r3", regexp_replace(col("r2"), piiIpRe, "<IP>"))
+      .withColumn("r4", regexp_replace(col("r3"), piiIdRe, "<ID>"))
+      .withColumn("n_email", passCount("r1", "etext", "<EMAIL>"))
+      .withColumn("n_phone", passCount("r2", "r1", "<PHONE>"))
+      .withColumn("n_ipv4", passCount("r3", "r2", "<IP>"))
+      .withColumn("n_id", passCount("r4", "r3", "<ID>"))
       .select(col("doc_id"), col("source"),
         col("n_email"), col("n_phone"), col("n_ipv4"), col("n_id"),
         (col("n_email") + col("n_phone") + col("n_ipv4") + col("n_id"))
           .as("n_pii"),
-        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          col("etext"),
-          piiEmailRe, "<EMAIL>"), piiPhoneRe, "<PHONE>"),
-          piiIpRe, "<IP>"), piiIdRe, "<ID>").as("redacted_text"))
+        col("r4").as("redacted_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -864,20 +878,29 @@ object TextOps {
         array_to_string(toks[1:k]
           || list_filter([email, phone, ip, acct], x -> x IS NOT NULL)
           || toks[k+1:], ' ') AS etext
-      FROM enr)
-    SELECT doc_id, source,
-      CAST(len(regexp_extract_all(etext, '$piiEmailRe')) AS BIGINT) AS n_email,
-      CAST(len(regexp_extract_all(etext, '$piiPhoneRe')) AS BIGINT) AS n_phone,
-      CAST(len(regexp_extract_all(etext, '$piiIpRe')) AS BIGINT) AS n_ipv4,
-      CAST(len(regexp_extract_all(etext, '$piiIdRe')) AS BIGINT) AS n_id,
-      CAST(len(regexp_extract_all(etext, '$piiEmailRe'))
-        + len(regexp_extract_all(etext, '$piiPhoneRe'))
-        + len(regexp_extract_all(etext, '$piiIpRe'))
-        + len(regexp_extract_all(etext, '$piiIdRe')) AS BIGINT) AS n_pii,
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(etext,
-        '$piiEmailRe', '<EMAIL>', 'g'), '$piiPhoneRe', '<PHONE>', 'g'),
-        '$piiIpRe', '<IP>', 'g'), '$piiIdRe', '<ID>', 'g') AS redacted_text
-    FROM etx ORDER BY doc_id"""
+      FROM enr),
+    -- census by difference, mirroring the Spark side: each class count
+    -- = placeholder occurrences after that class's replace pass minus
+    -- before it (exact: no class regex can match a placeholder)
+    p1 AS (SELECT *, regexp_replace(etext, '$piiEmailRe', '<EMAIL>', 'g') AS r1 FROM etx),
+    p2 AS (SELECT *, regexp_replace(r1, '$piiPhoneRe', '<PHONE>', 'g') AS r2 FROM p1),
+    p3 AS (SELECT *, regexp_replace(r2, '$piiIpRe', '<IP>', 'g') AS r3 FROM p2),
+    p4 AS (SELECT *, regexp_replace(r3, '$piiIdRe', '<ID>', 'g') AS r4 FROM p3),
+    cen AS (
+      SELECT doc_id, source, r4,
+        CAST((len(r1) - len(replace(r1, '<EMAIL>', ''))) // 7
+           - (len(etext) - len(replace(etext, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_email,
+        CAST((len(r2) - len(replace(r2, '<PHONE>', ''))) // 7
+           - (len(r1) - len(replace(r1, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phone,
+        CAST((len(r3) - len(replace(r3, '<IP>', ''))) // 4
+           - (len(r2) - len(replace(r2, '<IP>', ''))) // 4 AS BIGINT) AS n_ipv4,
+        CAST((len(r4) - len(replace(r4, '<ID>', ''))) // 4
+           - (len(r3) - len(replace(r3, '<ID>', ''))) // 4 AS BIGINT) AS n_id
+      FROM p4)
+    SELECT doc_id, source, n_email, n_phone, n_ipv4, n_id,
+      n_email + n_phone + n_ipv4 + n_id AS n_pii,
+      r4 AS redacted_text
+    FROM cen ORDER BY doc_id"""
 
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
