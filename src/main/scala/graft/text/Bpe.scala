@@ -36,12 +36,14 @@ import org.apache.spark.sql.functions._
   * round runs on the VOCABULARY table (distinct words + counts —
   * orders of magnitude smaller than the corpus, Heaps'-law bounded),
   * and the per-round winner is a 1-row scalar probe, so driver state
-  * is MERGES scalars. t19's encode is a per-row codegen projection
-  * over the corpus (chars -> symbols -> MERGES chained replaces), no
-  * exchange but the output ORDER BY. The merge-rounds = sequential-
-  * passes cost is inherent to BPE (each round's census depends on the
-  * previous round's rewrite); with a vocabulary-sized working set the
-  * rounds are sub-second each at any corpus scale.
+  * is MERGES scalars. t19's encode ALSO runs on the vocabulary (the
+  * chained replaces scan ~vocabulary bytes, never ~corpus bytes) and
+  * documents aggregate their words' precomputed subword counts —
+  * explode, word-keyed join, map-side-combining doc groupBy. The
+  * merge-rounds = sequential-passes cost is inherent to BPE (each
+  * round's census depends on the previous round's rewrite); with a
+  * vocabulary-sized working set the rounds are sub-second each at any
+  * corpus scale.
   */
 object Bpe {
   /** Fixed merge budget — the oracle unrolls exactly this many CTEs. */
@@ -154,32 +156,54 @@ object Bpe {
   }
 
   // ---- t19: encode the corpus with the learned merges ----------------
-  /** Per-doc subword census: the document's symbol stream (every word
-    * char-expanded with its end-of-word marker) pushed through the
-    * MERGES learned replaces; n_subword is the resulting symbol count
-    * — the token count t11's packing would consume from a learned
-    * tokenizer. compression = n_subword / n_char_syms measures what
-    * the merges bought.
+  /** Per-doc subword census: every word char-expanded with its
+    * end-of-word marker and pushed through the MERGES learned
+    * replaces; n_subword is the resulting symbol count — the token
+    * count t11's packing would consume from a learned tokenizer.
+    * compression = n_subword / n_char_syms measures what the merges
+    * bought.
+    *
+    * Encoding runs on the DISTINCT-WORD table, not the corpus (r16 —
+    * the same Heaps'-law lever t18's training uses): the 8 replace
+    * passes scan ~vocabulary bytes instead of ~corpus bytes, and docs
+    * aggregate their words' precomputed counts (explode → word-keyed
+    * hash join → map-side-combining doc groupBy; measured 74.6 →
+    * 21.7 s at sf3). Per-word encoding EQUALS the per-doc symbol-stream
+    * encoding exactly: a learned needle " a; b;" could only span a
+    * word boundary if symbol `a` were a word's LAST symbol, but every
+    * last symbol carries the `</w>` marker and training only ever
+    * produces pairs whose first element is marker-free (nothing
+    * follows `</w>` inside a word), so no replacement can cross a
+    * boundary — the per-doc recount spec pins this empirically.
     */
   private def t19(s: SparkSession, dir: String): DataFrame = {
     val ms = merges(s, dir)
     val encExpr = ms.foldLeft("ws") { case (acc, (pair, merged, _)) =>
       s"replace($acc, ' ${pair.replace(" ", "; ")};', ' $merged;')"
     }
-    Tables(s, dir, "documents")
-      .withColumn("toks", expr(TextOps.toksExpr))
-      .withColumn("ws", concat(lit(" "), expr(
-        """array_join(transform(toks, word -> """ + symCore + """), '; ')"""),
-        lit(";")))
+    // one exploded (doc_id, word) stream feeds the vocabulary
+    // distinct, the per-doc aggregate, and (as its row count) n_tok;
+    // the two consumers each re-split the scan — cheaper than
+    // materializing the token stream (measured both ways at sf3)
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(TextOps.toksExpr)).as("word"))
+    val words = tok.select(col("word")).distinct()
+      .withColumn("ws", concat(lit(" "), expr(symCore), lit(";")))
       .withColumn("enc", expr(encExpr))
+      .select(col("word"),
+        length(col("word")).cast("long").as("n_chsym"),
+        size(expr(symsOfWs.replace("ws", "enc"))).cast("long").as("n_sub"))
+    val perDoc = tok
+      .join(words, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok0"),
+        sum(col("n_chsym")).as("n_sym0"), sum(col("n_sub")).as("n_subword0"))
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tok"),
-        when(size(col("toks")) === 0, lit(0L))
-          .otherwise(size(split(expr("substring(ws, 2)"), " ")).cast("long"))
-          .as("n_sym"),
-        when(size(col("toks")) === 0, lit(0L))
-          .otherwise(size(expr(symsOfWs.replace("ws", "enc"))).cast("long"))
-          .as("n_subword"))
+        coalesce(col("n_tok0"), lit(0L)).as("n_tok"),
+        coalesce(col("n_sym0"), lit(0L)).as("n_sym"),
+        coalesce(col("n_subword0"), lit(0L)).as("n_subword"))
       .withColumn("compression",
         when(col("n_sym") === 0, lit(1.0))
           .otherwise(col("n_subword").cast("double") / col("n_sym").cast("double")))
@@ -196,23 +220,30 @@ object Bpe {
     }
     s"""
     WITH $vocabCtes,
-    docs AS (
-      SELECT doc_id, toks,
-        ' ' || array_to_string(list_transform(toks, word -> $symCoreDuck), '; ')
-          || ';' AS ws
-      FROM (SELECT doc_id, ${TextOps.toksDuck} AS toks FROM documents)),
-    enc AS (SELECT doc_id, toks, ws, $encExpr AS e FROM docs)
-    SELECT doc_id,
-      CAST(len(toks) AS BIGINT) AS n_tok,
-      CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
-        ELSE CAST(len(str_split(substr(ws, 2, len(ws) - 2), '; ')) AS BIGINT) END AS n_sym,
-      CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
-        ELSE CAST(len(str_split(substr(e, 2, len(e) - 2), '; ')) AS BIGINT) END AS n_subword,
-      CASE WHEN (CASE WHEN len(toks) = 0 THEN 0
-                 ELSE len(str_split(substr(ws, 2, len(ws) - 2), '; ')) END) = 0 THEN CAST(1.0 AS DOUBLE)
-        ELSE CAST(len(str_split(substr(e, 2, len(e) - 2), '; ')) AS DOUBLE)
-          / CAST(len(str_split(substr(ws, 2, len(ws) - 2), '; ')) AS DOUBLE) END AS compression
-    FROM enc ORDER BY doc_id"""
+    base AS (SELECT doc_id, ${TextOps.toksDuck} AS toks FROM documents),
+    words AS (
+      SELECT DISTINCT t.word AS word FROM base, UNNEST(toks) AS t(word)),
+    wenc AS (
+      SELECT word, $encExpr AS e FROM (
+        SELECT word, ' ' || $symCoreDuck || ';' AS ws FROM words)),
+    wcnt AS (
+      SELECT word, CAST(len(word) AS BIGINT) AS n_chsym,
+        CAST(len(str_split(substr(e, 2, len(e) - 2), '; ')) AS BIGINT) AS n_sub
+      FROM wenc),
+    agg AS (
+      SELECT tok.doc_id, SUM(w.n_chsym) AS n_sym0, SUM(w.n_sub) AS n_subword0
+      FROM (SELECT doc_id, t.word AS word FROM base, UNNEST(toks) AS t(word)) tok
+      JOIN wcnt w USING (word)
+      GROUP BY tok.doc_id)
+    SELECT b.doc_id,
+      CAST(len(b.toks) AS BIGINT) AS n_tok,
+      CAST(COALESCE(a.n_sym0, 0) AS BIGINT) AS n_sym,
+      CAST(COALESCE(a.n_subword0, 0) AS BIGINT) AS n_subword,
+      CASE WHEN COALESCE(a.n_sym0, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+        ELSE CAST(a.n_subword0 AS DOUBLE) / CAST(a.n_sym0 AS DOUBLE)
+      END AS compression
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    ORDER BY b.doc_id"""
   }
 
   val ops: Seq[Op] = Seq(
