@@ -821,37 +821,26 @@ object TextOps {
         expr("concat(slice(toks, 1, k), " +
           "filter(array(email, phone, ip, acct), x -> x IS NOT NULL), " +
           "slice(toks, k + 1, n_tok - k))")))
-    // Census by DIFFERENCE (r16): each class count = placeholder
-    // occurrences after that class's replace pass minus before it —
-    // exact by construction (every replacement inserts exactly one
-    // placeholder; no class regex can match a placeholder, whose
-    // '<'/'>' chars are outside every class alphabet, so pre-existing
-    // occurrences survive every pass untouched). This halves the
-    // regex work: the four regexp_extract_all census passes become
-    // fixed-substring occurrence counts (pure length/replace string
-    // ops, no regex), and the four regexp_replace passes — already
-    // needed for redacted_text — are shared via per-pass alias
-    // columns (Catalyst keeps non-cheap aliased expressions
-    // un-inlined, so each replace evaluates once; the r1..r4 chain is
-    // the t14-hazard-safe form).
-    def occ(name: String, tok: String) =
-      s"((length($name) - length(replace($name, '$tok', ''))) div ${tok.length})"
-    def passCount(after: String, before: String, tok: String) =
-      expr(s"CAST(${occ(after, tok)} - ${occ(before, tok)} AS BIGINT)")
+    // The four passes run as ONE codegen'd kernel call per row
+    // ([[graft.functions.PiiScan]], r16): hand-rolled linear scans
+    // replacing `regexp_replace`'s backtracking-NFA interpretation —
+    // the entire t17 wall (~10× DuckDB's RE2 on identical patterns,
+    // measured 38 s at sf3). The kernel chains the same four passes in
+    // the same order and counts replacements directly (bit-equal to
+    // the placeholder-difference census: each replacement inserts
+    // exactly one placeholder and no class can match or span one).
+    // Exact java.util.regex equivalence is fuzz-pinned in PiiScanSpec;
+    // the R16OpsSpec recount and the DuckDB oracle hash pin it
+    // end-to-end. The struct alias is non-cheap and so never inlined
+    // by CollapseProject — one kernel eval per row (plan-pinned).
     enriched
-      .withColumn("r1", regexp_replace(col("etext"), piiEmailRe, "<EMAIL>"))
-      .withColumn("r2", regexp_replace(col("r1"), piiPhoneRe, "<PHONE>"))
-      .withColumn("r3", regexp_replace(col("r2"), piiIpRe, "<IP>"))
-      .withColumn("r4", regexp_replace(col("r3"), piiIdRe, "<ID>"))
-      .withColumn("n_email", passCount("r1", "etext", "<EMAIL>"))
-      .withColumn("n_phone", passCount("r2", "r1", "<PHONE>"))
-      .withColumn("n_ipv4", passCount("r3", "r2", "<IP>"))
-      .withColumn("n_id", passCount("r4", "r3", "<ID>"))
+      .withColumn("pii", graft.functions.PiiFunctions.piiRedact(col("etext")))
       .select(col("doc_id"), col("source"),
-        col("n_email"), col("n_phone"), col("n_ipv4"), col("n_id"),
-        (col("n_email") + col("n_phone") + col("n_ipv4") + col("n_id"))
-          .as("n_pii"),
-        col("r4").as("redacted_text"))
+        col("pii.n_email").as("n_email"), col("pii.n_phone").as("n_phone"),
+        col("pii.n_ipv4").as("n_ipv4"), col("pii.n_id").as("n_id"),
+        (col("pii.n_email") + col("pii.n_phone") + col("pii.n_ipv4") +
+          col("pii.n_id")).as("n_pii"),
+        col("pii.redacted").as("redacted_text"))
       .orderBy(col("doc_id"))
   }
 
