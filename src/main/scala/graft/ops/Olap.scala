@@ -501,17 +501,21 @@ object Olap {
     GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
     ORDER BY r_name, n_name"""
 
-  /** Customer-value deciles (LTV segmentation) WITHOUT a global sort
-    * ANYWHERE in the plan: decile boundaries come from distributed
-    * exact selection ([[graft.util.OrderStats]] — iterative histogram
+  /** Customer-value deciles (LTV segmentation) with NO global sort in
+    * the scale path: past [[graft.util.OrderStats.BuiltinEnvelopeRows]]
+    * customers, decile boundaries come from distributed exact
+    * selection ([[graft.util.OrderStats]] — iterative histogram
     * refinement, every pass a fully-parallel aggregation), and each
     * customer's decile is 1 + the number of LITERAL boundaries above
     * their spend — a codegen'd compare, no join at all. A one-group
-    * `percentile_cont` would plan as a single reduce task sorting
-    * every customer (measured 5.6× growth at 10× data); an ntile(10)
-    * window is the same single-partition sort. Neither survives
-    * 100 TB; this plan's passes all shuffle on nothing wider than
-    * (rank, bucket) summaries. Decile 1 = top spenders.
+    * `percentile_cont` plans as a single reduce task sorting every
+    * customer (measured 5.6× growth at 10× data); an ntile(10) window
+    * is the same single-partition sort. Neither survives 100 TB —
+    * but UNDER the envelope that one-task sort is a few thousand rows
+    * and one job where the selection pays ~4 driver-synchronized
+    * rounds, so the boundary probe is adaptive on the measured
+    * customer count (the q11 rule; both paths percentile_cont
+    * bit-for-bit per OrderStatsSpec). Decile 1 = top spenders.
     *
     * The interpolation mirrors `percentile_cont` exactly (position
     * p·(n−1), (hi−pos)·v[lo] + (pos−lo)·v[hi], percentages parsed
@@ -524,7 +528,21 @@ object Olap {
       .agg(dsum(col("o_totalprice"), 2).as("spend"))
     val spendM = graft.util.MatStore.table(s, s"q16spend:$dir", "graft_q16") { spend }
     val ps = (1 to 9).map(k => s"0.$k".toDouble)
-    val bounds = graft.util.OrderStats.percentileCont(spendM, "spend", ps)
+    // Adaptive on the measured customer count (the q11 rule, r16):
+    // under OrderStats.BuiltinEnvelopeRows the built-in one-job
+    // aggregate computes the 9 boundaries (its single sorted buffer is
+    // safe at that scale and ~10× cheaper than the ~4 driver-
+    // synchronized selection jobs); past it the distributed selection
+    // takes over. Both are percentile_cont bit-for-bit (OrderStatsSpec),
+    // so the plan changes, never the answer — or the oracle hash.
+    val bounds: Map[Double, Double] =
+      if (spendM.count() <= graft.util.OrderStats.BuiltinEnvelopeRows) {
+        spendM.createOrReplaceTempView("spend_q16")
+        val cols = (1 to 9).map(k =>
+          s"percentile_cont(0.$k) WITHIN GROUP (ORDER BY spend) AS b$k")
+        val row = s.sql(s"SELECT ${cols.mkString(", ")} FROM spend_q16").head()
+        (1 to 9).map(k => s"0.$k".toDouble -> row.getDouble(k - 1)).toMap
+      } else graft.util.OrderStats.percentileCont(spendM, "spend", ps)
     val decile = ps.map(p => when(col("spend") < lit(bounds(p)), 1).otherwise(0))
       .reduce(_ + _)
     spendM
