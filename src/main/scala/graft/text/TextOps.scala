@@ -891,6 +891,85 @@ object TextOps {
       r4 AS redacted_text
     FROM cen ORDER BY doc_id"""
 
+  // ---- t20: bigram-conditional surprise (LM coherence score) ----------
+  /** Per-document mean bigram surprise — the CONTEXT-CONDITIONAL
+    * complement to t15's unigram rarity, and the cheap stand-in for
+    * the perplexity filter (CCNet-style) every production curation
+    * pipeline runs: for each adjacent token pair, surprise =
+    * c(w1·)/c(w1,w2) — the inverse of the empirical conditional
+    * probability P(w2|w1), with c(w1·) the corpus count of w1 as LEFT
+    * context (so the conditional distribution sums to 1 exactly).
+    * Coherent/boilerplate text rides common continuations (surprise
+    * → 1); shuffled or gibberish text pairs tokens that almost never
+    * co-occur adjacently, each contributing ≈ c(w1·) — the signal a
+    * bag-of-words score (t15 scores a permuted doc identically) is
+    * blind to. Self-scoring the training corpus needs no smoothing:
+    * every scored bigram is in the census by construction, so the
+    * ratio is a division of two positive BIGINTs.
+    *
+    * LOG-FREE by the t06/t15 rule (one correctly-rounded IEEE divide,
+    * bit-identical in both engines; Σ −log P needs a transcendental
+    * neither engine rounds correctly); the per-doc mean rides a
+    * decimal sum (§4), max_surprise is a max over identical doubles.
+    *
+    * Scale shape: t15's envelope exactly — ONE corpus-sized explode
+    * feeds a bigram-keyed map-side-combining census, the left-context
+    * census derives from the (Heaps'-bounded) bigram table, probs =
+    * census⋈census is vocabulary-sized, and the one corpus-sized
+    * exchange is the SHUFFLE_HASH join-back of the bigram stream
+    * against probs (build = probs; unhinted this would sort-merge and
+    * SORT the power-law bigram stream — the t15/d17/g27 census rule).
+    * Docs with <2 tokens have no bigrams and no row, mirrored by the
+    * oracle's inner join.
+    */
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables(s, dir, "documents")
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+           ELSE array() END""")).as("bigram"))
+    val c12 = big.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val c1 = c12
+      .groupBy(expr("split_part(bigram, ' ', 1)").as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val probs = c12
+      .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+      .join(c1.hint("SHUFFLE_HASH"), Seq("w1"))
+      .select(col("bigram"), col("c12"), col("c1"))
+    val ratio = col("c1").cast("double") / col("c12").cast("double")
+    big.join(probs.hint("SHUFFLE_HASH"), Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (graft.par.dsum(ratio, 6) / count(lit(1))).as("surprise"),
+        max(ratio).as("max_surprise"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprise"),
+        col("max_surprise"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t20Sql = s"""
+    WITH big AS MATERIALIZED (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+        ELSE [] END) AS bigram
+      FROM (SELECT doc_id, $toksDuck AS toks FROM documents)),
+    c12 AS MATERIALIZED (SELECT bigram, count(*) AS c12 FROM big GROUP BY bigram),
+    c1 AS MATERIALIZED (
+      SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+      FROM c12 GROUP BY 1),
+    probs AS MATERIALIZED (
+      SELECT bigram, c12, c1
+      FROM (SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1 FROM c12)
+      JOIN c1 USING (w1))
+    SELECT doc_id, count(*) AS n_bigrams,
+      ${graft.par.dsumSql("CAST(c1 AS DOUBLE) / CAST(c12 AS DOUBLE)", 6)}
+        / count(*) AS surprise,
+      MAX(CAST(c1 AS DOUBLE) / CAST(c12 AS DOUBLE)) AS max_surprise
+    FROM big JOIN probs USING (bigram)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   /** Public handles for pipelines composing on quality (e.g. d08). */
   def qualityScores(s: SparkSession, dir: String): DataFrame = t02(s, dir)
   def qualityScoreSql: String = t02Sql
@@ -912,7 +991,8 @@ object TextOps {
     Op("t14_dup_spans", t14, Some(t14Sql)),
     Op("t15_rarity_score", t15, Some(t15Sql)),
     Op("t16_span_excision", t16, Some(t16Sql)),
-    Op("t17_pii_redaction", t17, Some(t17Sql)))
+    Op("t17_pii_redaction", t17, Some(t17Sql)),
+    Op("t20_bigram_surprise", t20, Some(t20Sql)))
 
   // ---- t14: corpus-wide duplicated-span removal -----------------------
   /** The Lee et al. 2022 "Deduplicating Training Data Makes Language

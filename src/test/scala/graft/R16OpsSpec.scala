@@ -134,6 +134,46 @@ class R16OpsSpec extends AnyFunSuite {
       "BPE merges bought <5% compression — degenerate vocabulary")
   }
 
+  test("t20 bigram surprise equals a driver-side conditional-frequency " +
+      "recount, scores are >= 1, and the score separates (coherence " +
+      "signal a bag-of-words score cannot see)") {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String): Seq[String] = t.split(" ").filter(_.nonEmpty).toSeq
+    def bigrams(t: String): Seq[(String, String)] =
+      { val ts = toks(t); ts.zip(ts.drop(1)) }
+    val c12 = docs.flatMap(d => bigrams(d._2)).groupBy(identity)
+      .map { case (b, v) => b -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    def dsum6(vs: Seq[Double]): Double = {
+      val s = vs.map(v => new java.math.BigDecimal(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      java.lang.Double.parseDouble(s.toPlainString)
+    }
+    val got = SparkEntry.queries("t20_bigram_surprise")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val withBigrams = docs.filter(d => bigrams(d._2).nonEmpty).map(_._1).toSet
+    assert(got.keySet == withBigrams)
+    for ((id, (n, surprise, maxS)) <- got) {
+      val bs = bigrams(docs.toMap.apply(id))
+      val ratios = bs.map(b => c1(b._1).toDouble / c12(b).toDouble)
+      assert(n == bs.length.toLong, s"n_bigrams of doc $id")
+      assert(surprise == dsum6(ratios) / bs.length, s"surprise of doc $id")
+      assert(maxS == ratios.max, s"max_surprise of doc $id")
+      assert(surprise >= 1.0 && maxS >= surprise)
+    }
+    val ss = got.values.map(_._2)
+    assert(ss.max > ss.min * 1.05, "surprise is constant — no signal")
+    // the join-back of the power-law bigram stream must never plan as
+    // a sort-merge join (it would SORT the corpus token stream)
+    val plan = SparkEntry.queries("t20_bigram_surprise")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"t20 sort-merge-joins the bigram stream:\n$plan")
+  }
+
   test("s13 rerank scores equal a driver-side int8 recount; the rerank " +
       "never degrades s12's picks and recovers >=0.8 of the float-exact " +
       "ordering within its shortlist") {
