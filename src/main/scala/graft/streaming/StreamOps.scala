@@ -391,6 +391,95 @@ object StreamOps {
     sink(graft.text.TextOps.exciseSpans(docsToks, marked))
   }
 
+  /** Streaming LM coherence scoring at ingest — the SIXTH incremental-
+    * index streaming driver, maintaining [[graft.text.BigramLmIndex]]:
+    * each micro-batch of crawled documents (doc_id, text) is scored
+    * t20-style — per doc, mean/max inverse conditional bigram
+    * probability against the census as of ARRIVAL (pre-batch history
+    * plus the batch's own fresh docs, t20's self-inclusive census, so
+    * every ratio is well-defined with no smoothing) — and the batch's
+    * census delta is appended so the NEXT batch sees this one as
+    * history. Emitted rows are exactly t20's columns (doc_id,
+    * n_bigrams, surprise, max_surprise). Per-trigger reads are
+    * O(batch + bloom sidecars): both count probes are bloom-pruned
+    * partial sums ([[graft.text.BigramLmIndex.censusAtFor]]/
+    * [[graft.text.BigramLmIndex.leftsAtFor]]) and id freshness runs
+    * through per-segment id blooms; only the batch is tokenized.
+    *
+    * Streaming semantics, stated honestly: a doc is scored against the
+    * distribution KNOWN AT ITS ARRIVAL and never re-scored as later
+    * crawls shift it (the crawlDedup rule: history is immutable) — a
+    * single-batch ingest of a whole corpus therefore equals batch t20
+    * exactly (StreamingSpec pins it bit-for-bit), and the per-batch
+    * mean-surprise trajectory is the live domain-drift signal.
+    *
+    * Restart-safe, AT-LEAST-ONCE to an idempotent sink — the shared
+    * journal contract: the content-identity tag publishes atomically
+    * with the append; a replayed batch recovers its fresh set from the
+    * tagged version's own delta ([[graft.text.BigramLmIndex.idsAddedAt]])
+    * and probes the census AS OF that version — every decision input
+    * is versioned — so it re-emits identical rows instead of
+    * re-appending (counts are occurrences: an unguarded replay would
+    * double them). Duplicate in-trigger doc_ids collapse first; an
+    * idle trigger appends nothing and emits nothing. The index must be
+    * [[graft.text.BigramLmIndex.build]]-published first (an empty
+    * build is the cold-start form).
+    */
+  def lmScoreStream(docs: DataFrame, index: graft.text.BigramLmIndex,
+      compactEvery: Int = 0, vacuumKeep: Int = 0)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    require(vacuumKeep == 0 || vacuumKeep >= 2,
+      s"vacuumKeep must be 0 (off) or >= 2 (replay-window slack), got $vacuumKeep")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) lmScoreBatch(index, batch.toDF(), batchId)(sink)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          index.compact(): Unit
+        if (vacuumKeep > 0) index.vacuum(vacuumKeep): Unit
+      }
+  }
+
+  /** One [[lmScoreStream]] trigger — factored out so the replay path is
+    * directly testable (StreamingSpec drives it with a repeated batchId
+    * to simulate the crash between append and sink).
+    */
+  private[graft] def lmScoreBatch(index: graft.text.BigramLmIndex,
+      batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
+    val b = batch.dropDuplicates("doc_id").localCheckpoint()
+    val idRow = b.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id"), col("text")))).head()
+    val tag = s"lmscore_batch_${batchId}_${idRow.getLong(0)}_${idRow.getLong(1)}"
+    // the scored set is the batch's FRESH docs, tokenized exactly ONCE —
+    // the same localCheckpointed bigram stream feeds the index append
+    // (its census delta) and the scoring joins below
+    val (v, big) = index.versionTagged(tag) match {
+      case Some(v0) =>
+        val f = b.join(index.idsAddedAt(v0), Seq("doc_id"), "left_semi")
+        (v0, graft.text.TextOps.bigramStream(f).localCheckpoint())
+      case None =>
+        val f = index.freshDocs(b.select(col("doc_id"), col("text")))
+          .localCheckpoint()
+        val g = graft.text.TextOps.bigramStream(f).localCheckpoint()
+        index.appendBigrams(f, g, Some(tag))
+        (index.version.get, g)
+    }
+    val c12 = index.censusAtFor(v, big.select(col("bigram")))
+      .withColumnRenamed("c", "c12")
+    val c1 = index.leftsAtFor(v,
+        big.select(expr("split_part(bigram, ' ', 1)").as("w1")))
+      .withColumnRenamed("c", "c1")
+    val ratio = col("c1").cast("double") / col("c12").cast("double")
+    sink(big
+      .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+      .join(c12.hint("SHUFFLE_HASH"), Seq("bigram"))
+      .join(c1.hint("SHUFFLE_HASH"), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (graft.par.dsum(ratio, 6) / count(lit(1))).as("surprise"),
+        max(ratio).as("max_surprise")))
+  }
+
   /** Streaming crawl dedup against the HISTORICAL corpus: each
     * micro-batch of crawled documents (doc_id, text) is appended to a
     * [[graft.dedup.MinHashIndex]] (one delta segment; the old corpus

@@ -922,14 +922,21 @@ object TextOps {
     * Docs with <2 tokens have no bigrams and no row, mirrored by the
     * oracle's inner join.
     */
-  private def t20(s: SparkSession, dir: String): DataFrame = {
-    val big = Tables(s, dir, "documents")
-      .withColumn("toks", expr(toksExpr))
+  /** The corpus's adjacent-token-pair stream: (doc_id, bigram) with
+    * bigram = "w1 w2" (tokens cannot contain the separator — they come
+    * from a split on it). Shared by t20 and [[BigramLmIndex]] so the
+    * registered query and the incremental census can never drift.
+    */
+  private[graft] def bigramStream(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) >= 2 THEN
              transform(sequence(1, size(toks) - 1),
                i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
            ELSE array() END""")).as("bigram"))
+
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val big = bigramStream(Tables(s, dir, "documents"))
     val c12 = big.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
     val c1 = c12
       .groupBy(expr("split_part(bigram, ' ', 1)").as("w1"))
