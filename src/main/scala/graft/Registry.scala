@@ -11,5 +11,5 @@ object Registry {
       graph.ReachSketch.ops ++
       ops.Olap.ops ++ ops.Events.ops ++
       dedup.Dedup.ops ++ sim.Similarity.ops ++ text.TextOps.ops ++ text.Bpe.ops ++
-      mm.Multimodal.ops
+      text.QualityClassifier.ops ++ mm.Multimodal.ops
 }

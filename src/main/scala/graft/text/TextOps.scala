@@ -116,8 +116,8 @@ object TextOps {
   // score = 0.4*stopword_ratio + 0.4*(1 - punct_ratio) + 0.2*min(n_tok/100, 1)
   // — fixed-order double arithmetic, identical expression tree in both
   // engines.
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+  private[text] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[text] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Per-row quality columns — the fixed-order double expression tree
     * (§4 determinism) shared by t02's census and t13's sampler.
