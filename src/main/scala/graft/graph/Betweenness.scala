@@ -54,12 +54,17 @@ object Betweenness {
   private val SCALE = 1000000000L
 
   private def g29(s: SparkSession, dir: String): DataFrame = {
-    val sel = Traversals.preferredPartners(Traversals.custSuppW(s, dir))
-    val bi = sel.select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
-    // bipartite parity (even ⊕ odd) means the two directions can never
-    // collide, so no distinct is needed on the symmetric view
-    val sym = bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    // the preferred-partner selection (two corpus-pair window passes)
+    // is the expensive prelude, so the symmetric edge list materializes
+    // ONCE per (session, corpus) — the d04/d18 shared-table move; the
+    // BFS machinery below re-reads a tiny parquet
+    val sym = graft.util.MatStore.table(s, s"prefsym:$dir", "graft_prefsym") {
+      val sel = Traversals.preferredPartners(Traversals.custSuppW(s, dir))
+      val bi = sel.select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+      // bipartite parity (even ⊕ odd) means the two directions can
+      // never collide, so no distinct is needed on the symmetric view
+      bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst")))
+    }
     val gnodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
     val pivots = Hash32.withH32(gnodes, "bw", col("node"))
       .orderBy(col("h32"), col("node")).limit(PIVOTS)
@@ -70,7 +75,9 @@ object Betweenness {
     val levels = new Array[DataFrame](HOPS + 1)
     levels(0) = pivots.select(col("p"), col("p").as("node"), lit(1L).as("sigma"))
       .localCheckpoint()
-    var visited = levels(0).select(col("p"), col("node")).localCheckpoint()
+    // visited stays a plain union of the (already checkpointed) level
+    // frames — ≤HOPS-deep lineage, no per-round checkpoint job
+    var visited = levels(0).select(col("p"), col("node"))
     var deepest = 0
     var d = 0
     while (d < HOPS && !levels(d).isEmpty) {
@@ -82,7 +89,7 @@ object Betweenness {
         .withColumnRenamed("dst", "node")
         .join(visited, Seq("p", "node"), "left_anti")
         .localCheckpoint()
-      visited = visited.unionAll(nxt.select(col("p"), col("node"))).localCheckpoint()
+      visited = visited.unionAll(nxt.select(col("p"), col("node")))
       levels(d) = nxt
       deepest = d
     }
