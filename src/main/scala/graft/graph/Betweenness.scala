@@ -75,21 +75,26 @@ object Betweenness {
     val levels = new Array[DataFrame](HOPS + 1)
     levels(0) = pivots.select(col("p"), col("p").as("node"), lit(1L).as("sigma"))
       .localCheckpoint()
-    // visited stays a plain union of the (already checkpointed) level
-    // frames — ≤HOPS-deep lineage, no per-round checkpoint job
-    var visited = levels(0).select(col("p"), col("node"))
+    // the graph is UNDIRECTED, so a neighbor of a level-(d-1) node sits
+    // at level d-2, d-1, or d: the first-visit anti-join only needs the
+    // previous TWO levels, not the whole visited set — the per-round
+    // exchange stays wavefront-sized instead of growing cumulatively
+    // (the values are identical; the oracle keeps the cumulative form)
     var deepest = 0
     var d = 0
     while (d < HOPS && !levels(d).isEmpty) {
       d += 1
+      val seen =
+        if (d >= 2) levels(d - 1).select(col("p"), col("node"))
+          .unionAll(levels(d - 2).select(col("p"), col("node")))
+        else levels(d - 1).select(col("p"), col("node"))
       val nxt = levels(d - 1)
         .join(sym, col("node") === col("src"))
         .groupBy(col("p"), col("dst"))
         .agg(sum(col("sigma")).as("sigma"))
         .withColumnRenamed("dst", "node")
-        .join(visited, Seq("p", "node"), "left_anti")
+        .join(seen, Seq("p", "node"), "left_anti")
         .localCheckpoint()
-      visited = visited.unionAll(nxt.select(col("p"), col("node")))
       levels(d) = nxt
       deepest = d
     }
