@@ -489,10 +489,129 @@ object Multimodal {
     GROUP BY f.doc_id, f.fp ORDER BY f.doc_id"""
   }
 
+  // ---- m06: audio energy segmentation --------------------------------
+  /** The audio-shaped member of the family: the opaque payload read as
+    * 8-bit PCM samples (a WAV body's contract — here the document
+    * bytes stand in, the same payload-reinterpretation m01-m05 use for
+    * images), framed into fixed [[AudioStub.WIN]]-sample windows, and
+    * segmented by short-time ENERGY — the voice-activity-detection
+    * shape every audio curation pipeline runs before transcription
+    * (silence stripping / speech-segment extraction). Per window,
+    * energy = Σ (s−128)²; a window is ACTIVE iff its energy ≥ the
+    * doc's integer mean window energy (a relative threshold — no
+    * magic absolute constant), and maximal runs of active windows are
+    * the segments. Output per doc: window/active/segment counts, peak
+    * window energy, active ratio.
+    *
+    * Determinism (§4): samples, energies, totals, and the threshold
+    * are exact BIGINT math (the mean uses integer division — Spark
+    * `div` == DuckDB `//` on non-negative operands); the one double,
+    * active_ratio, is a single fixed-order division. Samples index by
+    * CHARACTER position via ascii(substring) — the t04/t08 contract
+    * both engines share on this corpus. Each HOF stage binds as its
+    * own column (the t08 inlining lesson; HofInliningSpec gates the
+    * plan). Scale shape: per-row projection, zero exchange but the
+    * output ORDER BY — t01's scan-bound envelope; a real codec swap
+    * replaces the sample expression only (the m04/m05 decoder-boundary
+    * story, [[AudioStub]] is its JVM twin for the spec recount).
+    */
+  object AudioStub {
+    /** Window width in samples; 16 gives 3-35 windows per corpus doc. */
+    val WIN = 16
+
+    /** JVM twin of the registered SQL expressions, for spec recounts:
+      * (n_windows, n_active, n_segments, peak_energy, active_ratio).
+      */
+    def segment(text: String): (Long, Long, Long, Long, Double) = {
+      val n = text.length
+      val nw = (n + WIN - 1) / WIN
+      if (nw == 0) return (0L, 0L, 0L, 0L, 0.0)
+      val en = (0 until nw).map { w =>
+        val until = math.min((w + 1) * WIN, n)
+        (w * WIN until until).map { i =>
+          val v = text.charAt(i).toLong - 128L; v * v
+        }.sum
+      }
+      val mean = en.sum / nw
+      val act = en.map(e => if (e >= mean) 1 else 0)
+      val nseg = act.indices.count(i => act(i) == 1 && (i == 0 || act(i - 1) == 0))
+      (nw.toLong, act.sum.toLong, nseg.toLong, en.max,
+        act.sum.toDouble / nw.toDouble)
+    }
+  }
+
+  private val m06EnExpr = s"""CASE WHEN length(text) = 0 THEN array()
+    ELSE transform(sequence(0, cast((length(text) + ${AudioStub.WIN - 1}) div ${AudioStub.WIN} as int) - 1,  1),
+      w -> aggregate(sequence(w * ${AudioStub.WIN} + 1, least((w + 1) * ${AudioStub.WIN}, length(text))),
+        cast(0 as bigint),
+        (acc, i) -> acc + cast(ascii(substring(text, i, 1)) - 128 as bigint)
+          * cast(ascii(substring(text, i, 1)) - 128 as bigint))) END"""
+
+  private def m06(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("en", expr(m06EnExpr))
+      .withColumn("n_windows", size(col("en")).cast("long"))
+      .withColumn("mean_e", expr(
+        "CASE WHEN n_windows = 0 THEN cast(0 as bigint) ELSE " +
+          "aggregate(en, cast(0 as bigint), (a, e) -> a + e) div n_windows END"))
+      .withColumn("act", expr("transform(en, e -> IF(e >= mean_e, 1, 0))"))
+      .select(col("doc_id"), col("n_windows"),
+        expr("aggregate(act, cast(0 as bigint), (a, x) -> a + x)").as("n_active"),
+        // a run starts at position 1 (if active) or wherever an active
+        // window follows an inactive one; i >= 2 below keeps element_at
+        // off index 0 (an ANSI error) and sequence() ascending
+        expr("""CASE WHEN size(act) = 0 THEN cast(0 as bigint)
+          ELSE cast(element_at(act, 1) as bigint) +
+            (CASE WHEN size(act) < 2 THEN cast(0 as bigint)
+             ELSE aggregate(transform(sequence(2, size(act), 1), i ->
+                 IF(element_at(act, i) = 1 AND element_at(act, i - 1) = 0, 1, 0)),
+               cast(0 as bigint), (a, x) -> a + x) END) END""").as("n_segments"),
+        expr("coalesce(array_max(en), cast(0 as bigint))").as("peak_energy"),
+        expr("""CASE WHEN n_windows = 0 THEN 0.0 ELSE
+          cast(aggregate(act, cast(0 as bigint), (a, x) -> a + x) as double)
+            / cast(n_windows as double) END""").as("active_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val m06Sql = s"""
+    WITH en0 AS (
+      SELECT doc_id,
+        CASE WHEN len(text) = 0 THEN []
+        ELSE list_transform(range(0, (len(text) + ${AudioStub.WIN - 1}) // ${AudioStub.WIN}),
+          w -> list_reduce([CAST(0 AS BIGINT)] ||
+            list_transform(range(w * ${AudioStub.WIN} + 1, least((w + 1) * ${AudioStub.WIN}, len(text)) + 1),
+              i -> CAST(ascii(substr(text, i, 1)) - 128 AS BIGINT)
+                * CAST(ascii(substr(text, i, 1)) - 128 AS BIGINT)),
+            (a, v) -> a + v)) END AS en
+      FROM documents),
+    st AS (
+      SELECT doc_id, en, CAST(len(en) AS BIGINT) AS n_windows,
+        CASE WHEN len(en) = 0 THEN CAST(0 AS BIGINT)
+          ELSE list_reduce([CAST(0 AS BIGINT)] || en, (a, e) -> a + e)
+            // CAST(len(en) AS BIGINT) END AS mean_e
+      FROM en0),
+    ac AS (
+      SELECT doc_id, en, n_windows,
+        list_transform(en, e -> CASE WHEN e >= mean_e THEN 1 ELSE 0 END) AS act
+      FROM st)
+    SELECT doc_id, n_windows,
+      CAST(list_reduce([CAST(0 AS BIGINT)] || act, (a, x) -> a + x) AS BIGINT)
+        AS n_active,
+      CASE WHEN len(act) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(act[1] AS BIGINT) + CAST(list_reduce([CAST(0 AS BIGINT)] ||
+          list_transform(range(2, len(act) + 1), i ->
+            CASE WHEN act[i] = 1 AND act[i - 1] = 0 THEN 1 ELSE 0 END),
+          (a, x) -> a + x) AS BIGINT) END AS n_segments,
+      CAST(COALESCE(list_max(en), 0) AS BIGINT) AS peak_energy,
+      CASE WHEN n_windows = 0 THEN 0.0 ELSE
+        CAST(list_reduce([CAST(0 AS BIGINT)] || act, (a, x) -> a + x) AS DOUBLE)
+          / CAST(n_windows AS DOUBLE) END AS active_ratio
+    FROM ac ORDER BY doc_id"""
+
   val ops: Seq[Op] = Seq(
     Op("m01_binary_meta", m01, Some(m01Sql)),
     Op("m02_media_stats", m02, Some(m02Sql)),
     Op("m03_frame_sample", m03, Some(m03Sql)),
     Op("m04_media_neardup", m04, Some(m04Sql)),
-    Op("m05_pgm_neardup", m05, Some(m05Sql)))
+    Op("m05_pgm_neardup", m05, Some(m05Sql)),
+    Op("m06_audio_segments", m06, Some(m06Sql)))
 }

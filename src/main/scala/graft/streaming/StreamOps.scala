@@ -480,6 +480,40 @@ object StreamOps {
         max(ratio).as("max_surprise")))
   }
 
+  /** Streaming quality filtering at ingest — t21's deployment shape:
+    * the linear quality classifier trains ONCE on the curated
+    * reference corpus ([[graft.text.QualityClassifier.weights]]) and
+    * its FROZEN weights score every crawl micro-batch on arrival,
+    * emitting t21's columns (doc_id, score, keep, weak_label) for the
+    * downstream keep/drop router — exactly how the GPT-3/CCNet-style
+    * learned filters deploy (train on reference data, apply to the
+    * crawl as it streams). Stateless by design: the weights are a
+    * 4-double broadcast, each trigger is one per-row codegen
+    * projection over the batch (no index, no shuffle beyond the
+    * batch), and scoring is trivially replay-idempotent — a re-run
+    * trigger re-emits identical rows to the at-least-once sink. The
+    * per-batch mean score over the emissions is the live
+    * quality-drift signal (the spec recounts it); retraining is a new
+    * weights array, a deliberate operator action like SignLshIndex's
+    * frozen-model contract. Duplicate in-trigger doc_ids collapse
+    * first (one decision per document).
+    */
+  def qualityScoreStream(docs: DataFrame, weights: Array[Double])(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) qualityScoreBatch(batch.toDF(), weights)(sink)
+      }
+
+  /** One [[qualityScoreStream]] trigger, factored for direct spec
+    * drive (the lmScoreBatch pattern).
+    */
+  private[graft] def qualityScoreBatch(batch: DataFrame,
+      weights: Array[Double])(sink: DataFrame => Unit): Unit =
+    sink(graft.text.QualityClassifier.scoreWith(
+      batch.dropDuplicates("doc_id"), weights))
+
   /** Streaming crawl dedup against the HISTORICAL corpus: each
     * micro-batch of crawled documents (doc_id, text) is appended to a
     * [[graft.dedup.MinHashIndex]] (one delta segment; the old corpus

@@ -65,7 +65,13 @@ object QualityClassifier {
   // The weak label y applies t02's full rule (incl. its punctuation
   // term) so the target is the rule, not a function of the features.
   private def featFrame(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    featuresOf(Tables(s, dir, "documents"))
+
+  /** The feature/weak-label projection over any (doc_id, text) frame —
+    * shared by the registered query and the streaming scorer.
+    */
+  private def featuresOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("n_stop",
@@ -111,10 +117,14 @@ object QualityClassifier {
       w
     })
 
-  // ---- t21: train, then score every document -------------------------
-  private def t21(s: SparkSession, dir: String): DataFrame = {
-    val w = weights(s, dir)
-    featFrame(s, dir)
+  /** Score any (doc_id, text) frame under FROZEN weights — t21's
+    * output columns minus its sort. This is the deployment shape: the
+    * model trains once on the curated reference corpus ([[weights]])
+    * and every crawl batch is scored at ingest
+    * ([[graft.streaming.StreamOps.qualityScoreStream]]).
+    */
+  private[graft] def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame =
+    featuresOf(docs)
       .withColumn("score",
         (lit(w(0)) + (lit(w(1)) * col("x1"))) + (lit(w(2)) * col("x2")) +
           (lit(w(3)) * col("x3")))
@@ -122,8 +132,11 @@ object QualityClassifier {
         when(col("score") >= lit(CUT), lit(1L)).otherwise(lit(0L)))
       .select(col("doc_id"), col("score"), col("keep"),
         col("y").cast("long").as("weak_label"))
+
+  // ---- t21: train, then score every document -------------------------
+  private def t21(s: SparkSession, dir: String): DataFrame =
+    scoreWith(Tables(s, dir, "documents"), weights(s, dir))
       .orderBy(col("doc_id"))
-  }
 
   // The weight literals Spark embeds are the driver's doubles; the
   // oracle re-derives the identical doubles through its own CTE chain,

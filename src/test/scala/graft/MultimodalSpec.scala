@@ -73,4 +73,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.sortBy(f => (f.id, f.frame_idx)).toSeq ==
       again.sortBy(f => (f.id, f.frame_idx)).toSeq)
   }
+
+  test("m06 audio segmentation equals the AudioStub JVM recount and " +
+      "finds real segment structure") {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val (nw, na, ns, pk, ar) = Multimodal.AudioStub.segment(t)
+      (id, nw, na, ns, pk, ar)
+    }.toSet
+    val got = SparkEntry.queries("m06_audio_segments")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected,
+      s"diff sample=${(got.diff(expected) ++ expected.diff(got)).take(2)}")
+    // non-degenerate: activity varies and multi-segment docs exist
+    assert(got.exists(_._4 >= 2), "no doc has >= 2 segments")
+    assert(got.exists(r => r._3 < r._2), "every window active everywhere")
+    got.foreach { r =>
+      assert(r._3 <= r._2 && r._4 <= r._3,
+        s"segment bounds violated: $r")
+    }
+  }
 }

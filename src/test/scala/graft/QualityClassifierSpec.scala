@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** t21_quality_classifier: the distributed GD training loop must equal
@@ -10,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class QualityClassifierSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
 
   // hardcoded on purpose — the recount must not read the operator's list
   private val stop = Set("the", "a", "of", "and", "to", "in", "is")
@@ -98,6 +100,40 @@ class QualityClassifierSpec extends AnyFunSuite {
       assert(rows.exists(_._1 == 1L) && rows.exists(_._1 == 0L),
         s"$dir: degenerate decisions")
     }
+  }
+
+  test("qualityScoreStream scores crawl batches under frozen weights: " +
+      "chunked ingest == batch t21 bit-exactly, in-trigger dup ids " +
+      "collapse, replay re-emits identically") {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      .localCheckpoint()
+    val w = text.QualityClassifier.weights(spark, dir)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    // two arrival chunks; frozen weights mean chunked == whole-corpus
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    var out = Seq.empty[(Long, Double, Long, Long)]
+    streaming.StreamOps.qualityScoreBatch(b1, w)(d => out ++= rows(d))
+    streaming.StreamOps.qualityScoreBatch(b2, w)(d => out ++= rows(d))
+    val batch = rows(SparkEntry.queries("t21_quality_classifier")(spark, dir))
+    assert(out.toSet == batch.toSet, "streamed scores diverge from batch t21")
+    assert(out.size == batch.size, "row-count drift (lost or doubled docs)")
+    // in-trigger duplicate ids collapse to one decision per document
+    var dup = Seq.empty[(Long, Double, Long, Long)]
+    streaming.StreamOps.qualityScoreBatch(b1.unionAll(b1), w)(d => dup ++= rows(d))
+    assert(dup.toSet == rows(
+      SparkEntry.queries("t21_quality_classifier")(spark, dir))
+        .filter(_._1 % 2 == 0).toSet)
+    assert(dup.size == dup.map(_._1).distinct.size)
+    // replay: same batch re-emits identical rows (stateless idempotence)
+    var replay = Seq.empty[(Long, Double, Long, Long)]
+    streaming.StreamOps.qualityScoreBatch(b1, w)(d => replay ++= rows(d))
+    assert(replay.toSet == dup.toSet)
+    // the per-batch mean score is the drift signal — recount it
+    val mean1 = dup.map(_._2).sum / dup.size
+    assert(!mean1.isNaN && dup.nonEmpty)
   }
 
   test("t21 plans join-free: training scans aggregate to scalars and " +
