@@ -540,16 +540,14 @@ object Multimodal {
     }
   }
 
-  private val m06EnExpr = s"""CASE WHEN length(text) = 0 THEN array()
-    ELSE transform(sequence(0, cast((length(text) + ${AudioStub.WIN - 1}) div ${AudioStub.WIN} as int) - 1,  1),
-      w -> aggregate(sequence(w * ${AudioStub.WIN} + 1, least((w + 1) * ${AudioStub.WIN}, length(text))),
-        cast(0 as bigint),
-        (acc, i) -> acc + cast(ascii(substring(text, i, 1)) - 128 as bigint)
-          * cast(ascii(substring(text, i, 1)) - 128 as bigint))) END"""
-
   private def m06(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .withColumn("en", expr(m06EnExpr))
+      // one codegen'd linear pass — the HOF form of this
+      // (ascii(substring(text, i, 1)) inside aggregate) re-seeks the
+      // string per character and is O(n²) per doc (measured 66 s warm
+      // at sf1 vs 2.5 s for the kernel); see AudioEnergy's scaladoc
+      .withColumn("en", graft.functions.AudioFunctions
+        .audioEnergies(col("text"), AudioStub.WIN))
       .withColumn("n_windows", size(col("en")).cast("long"))
       .withColumn("mean_e", expr(
         "CASE WHEN n_windows = 0 THEN cast(0 as bigint) ELSE " +
