@@ -158,4 +158,33 @@ class PropertySpec extends AnyFunSuite {
     assert(BloomSidecars.read(fs,
       new org.apache.hadoop.fs.Path(s"$dir/nope")) == null)
   }
+
+  test("AudioEnergies kernel equals a code-point recount on hostile " +
+      "unicode strings (and the Spark expression agrees end to end)") {
+    // the kernel iterates CODE POINTS (sample i = first code point of
+    // the i-th 1-char substring — the contract the HOF form had);
+    // astral chars (surrogate pairs) are the divergence risk vs a
+    // naive charAt walk, so generate them on purpose
+    val genStr: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.choose(32, 126),          // ascii
+      2 -> Gen.choose(0xa0, 0x2fff),     // BMP beyond latin-1
+      1 -> Gen.choose(0x10000, 0x1f9ff)  // astral (surrogate pairs)
+    )).map(_.flatMap(Character.toChars(_)).mkString)
+    val win = graft.mm.Multimodal.AudioStub.WIN
+    val strs = samples(genStr, 60) :+ "" :+ "a" :+ ("x" * (win * 3))
+    // independent recount: code points in order, window fold
+    def recount(t: String): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      cps.grouped(win).map(_.map { cp =>
+        val v = cp.toLong - 128L; v * v
+      }.sum).toSeq
+    }
+    val got = strs.toDF("text")
+      .select(graft.functions.AudioFunctions
+        .audioEnergies(col("text"), win).as("en"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    strs.zip(got).foreach { case (t, g) =>
+      assert(g == recount(t), s"kernel diverges on ${t.take(40).toList}")
+    }
+  }
 }
