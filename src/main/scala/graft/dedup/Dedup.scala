@@ -1032,7 +1032,9 @@ object Dedup {
     * neighborhoods are O(len²/2) variants per key — the documented
     * price of the wider radius, still linear in the corpus.
     */
-  private def del1Of(x: String): String =
+  // kept as the semantic reference for the kernel (PropertySpec pins
+  // kernel == this HOF form on hostile generated strings)
+  private[graft] def del1Of(x: String): String =
     s"""CASE WHEN length($x) > 0 THEN
           transform(sequence(1, length($x)),
             i -> concat(substring($x, 1, i - 1),
@@ -1046,12 +1048,14 @@ object Dedup {
   private[graft] def fuzzyKeyPairs(names: DataFrame, keyCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist 1 or 2, got $maxDist")
-    val d1 = del1Of(keyCol)
-    val nbhd =
-      if (maxDist == 1) s"array_distinct(concat(array($keyCol), $d1))"
-      else s"""array_distinct(concat(array($keyCol), $d1,
-                 flatten(transform($d1, v -> ${del1Of("v")}))))"""
-    val variants = names.select(col(keyCol), explode(expr(nbhd)).as("v"))
+    // r16: the neighborhood is a codegen'd kernel — the HOF form
+    // (del1Of chains + flatten + array_distinct, kept above as the
+    // semantic reference) interprets O(len²)-O(len³) substring seeks
+    // per key; same variant SET, first-seen order (unobservable:
+    // explode → equi-join → distinct pairs)
+    val variants = names.select(col(keyCol),
+      explode(graft.functions.StringFunctions
+        .deletionNeighborhood(col(keyCol), maxDist)).as("v"))
     variants.toDF("name_a", "v")
       .join(variants.toDF("name_b", "v"), Seq("v"))
       .filter(col("name_a") < col("name_b"))

@@ -187,4 +187,30 @@ class PropertySpec extends AnyFunSuite {
       assert(g == recount(t), s"kernel diverges on ${t.take(40).toList}")
     }
   }
+
+  test("DeletionNeighborhood kernel equals the HOF del1Of reference " +
+      "form as a SET on hostile generated strings, at both depths") {
+    val genStr: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(97, 122),
+      2 -> Gen.oneOf(Seq(32, 35, 48, 57, 0xe9, 0x4e2d))  // space,#,digits,é,中
+    )).map(_.flatMap(Character.toChars(_)).mkString).map(_.take(12))
+    val strs = (samples(genStr, 40) :+ "" :+ "aa" :+ "Supplier#000000001").distinct
+    for (maxDist <- Seq(1, 2)) {
+      val d1 = graft.dedup.Dedup.del1Of("s")
+      val nbhd =
+        if (maxDist == 1) s"array_distinct(concat(array(s), $d1))"
+        else s"""array_distinct(concat(array(s), $d1,
+                   flatten(transform($d1, v -> ${graft.dedup.Dedup.del1Of("v")}))))"""
+      val df = strs.toDF("s")
+        .select(col("s"), expr(nbhd).as("hof"),
+          graft.functions.StringFunctions
+            .deletionNeighborhood(col("s"), maxDist).as("kern"))
+        .collect()
+      df.foreach { r =>
+        val (hof, kern) = (r.getSeq[String](1).toSet, r.getSeq[String](2).toSet)
+        assert(kern == hof,
+          s"maxDist=$maxDist s=${r.getString(0)}: kernel ${kern.size} vs hof ${hof.size}")
+      }
+    }
+  }
 }
