@@ -58,13 +58,17 @@ object Betweenness {
     // is the expensive prelude, so the symmetric edge list materializes
     // ONCE per (session, corpus) — the d04/d18 shared-table move; the
     // BFS machinery below re-reads a tiny parquet
-    val sym = graft.util.MatStore.table(s, s"prefsym:$dir", "graft_prefsym") {
-      val sel = Traversals.preferredPartners(Traversals.custSuppW(s, dir))
-      val bi = sel.select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
-      // bipartite parity (even ⊕ odd) means the two directions can
-      // never collide, so no distinct is needed on the symmetric view
-      bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst")))
-    }
+    // r16: the 16 forward/backward level joins all probe this table on
+    // src — partitioned once and resident for the query (previously
+    // each level re-read the parquet and re-exchanged/broadcast it)
+    val sym = Traversals.keyedResident(
+      graft.util.MatStore.table(s, s"prefsym:$dir", "graft_prefsym") {
+        val sel = Traversals.prefSel(s, dir)
+        val bi = sel.select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+        // bipartite parity (even ⊕ odd) means the two directions can
+        // never collide, so no distinct is needed on the symmetric view
+        bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst")))
+      }, "src")
     val gnodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
     val pivots = Hash32.withH32(gnodes, "bw", col("node"))
       .orderBy(col("h32"), col("node")).limit(PIVOTS)
@@ -113,13 +117,15 @@ object Betweenness {
         col("sigma").as("bsigma"), col("delta").as("bdelta"))
       deltas(lvl) = levels(lvl)
         .join(e, col("node") === col("esrc"), "left")
-        .join(below, col("bp") === col("p") && col("bnode") === col("edst"), "left")
+        .join(below,
+          col("bp") === col("p") && col("bnode") === col("edst"), "left")
         .groupBy(col("p"), col("node"), col("sigma"))
         .agg(coalesce(sum(expr(s"sigma * ($SCALE + bdelta) div bsigma")), lit(0L))
           .as("delta"))
         .localCheckpoint()
     }
 
+    sym.unpersist(false)
     // bc excludes each pivot's own source row (level 0); a node never
     // reached by any pivot scores 0
     val n = gnodes.count().toDouble

@@ -30,7 +30,13 @@ object Components {
     */
   def labelPropagate(nodes: DataFrame, symEdges: DataFrame, maxIters: Int = 50,
       onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
-    val e = symEdges.select(col("src"), col("dst")).localCheckpoint()
+    // r16: the edge table is partitioned on the join key once and kept
+    // resident (Traversals.keyedResident — under AQE a localCheckpoint
+    // loses its partitioning and every round re-shuffled the edges);
+    // each round now exchanges only the label table (into the join,
+    // then the min-combine). The SHUFFLE_HASH hint keeps the per-round
+    // join from SORTING the resident edge table (SMJ would, per round).
+    val e = Traversals.keyedResident(symEdges.select(col("src"), col("dst")), "src")
     var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint()
     var labelSum = Long.MaxValue
     var converged = false
@@ -49,6 +55,7 @@ object Components {
       labels = next
       onRound(it, (System.nanoTime() - t0) / 1e9)
     }
+    e.unpersist(false)
     labels
   }
 
@@ -452,30 +459,42 @@ object Components {
     */
   private[graft] def lpaCommunities(nodes: DataFrame, symW: DataFrame,
       rounds: Int): DataFrame = {
+    // r16: the weighted edge list is partitioned on its JOIN key (dst)
+    // once and kept resident — the per-round side filter preserves the
+    // partitioning, so each round exchanges only the label table.
+    val e = Traversals.keyedResident(
+      symW.select(col("src"), col("dst"), col("w")), "dst")
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
     for (r <- 1 to rounds) {
       // the color class this round updates: odd rounds the even
       // (customer) nodes, even rounds the odd (supplier) nodes
       val side = if (r % 2 == 1) 0L else 1L
-      // Only the updating side's winners survive the projection below,
+      // Only the updating side's winners survive the merge below,
       // so tally only edges whose src is on that side — halves the
       // join probe and both aggregates each round.
-      val tally = symW
+      val tally = e
         .where(col("src") % 2 === lit(side))
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("node"), col("lbl"))
         .agg(sum(col("w")).as("sw"))
-      val winner = tally.groupBy(col("node"))
-        .agg(min(struct((lit(0L) - col("sw")).as("negw"), col("lbl")))
-          .as("b"))
-        .select(col("node"), col("b.lbl").as("new_lbl"))
-      labels = labels.join(winner, Seq("node"), "left")
-        .select(col("node"),
-          when(col("node") % 2 === lit(side),
-            coalesce(col("new_lbl"), col("lbl"))).otherwise(col("lbl")).as("lbl"))
+      // r16: one union + min-combine replaces the separate winner
+      // aggregate plus the left-join merge (two exchanges + a join
+      // per round → one): carried labels ride with pri=1 and tallies
+      // with pri=0, so an updating-side node takes its best tally
+      // (largest weight, then smallest label — the same
+      // min(struct(-sw, lbl)) argmax) and every other node keeps its
+      // label (it has no tally rows: the side filter above).
+      labels = labels
+        .select(col("node"), lit(1).as("pri"), lit(0L).as("negw"), col("lbl"))
+        .unionAll(tally.select(col("node"), lit(0).as("pri"),
+          (lit(0L) - col("sw")).as("negw"), col("lbl")))
+        .groupBy(col("node"))
+        .agg(min(struct(col("pri"), col("negw"), col("lbl"))).as("b"))
+        .select(col("node"), col("b.lbl").as("lbl"))
         .localCheckpoint()
     }
+    e.unpersist(false)
     labels
   }
 
@@ -490,7 +509,7 @@ object Components {
     * community's size.
     */
   private def g27(s: SparkSession, dir: String): DataFrame = {
-    val sel = Traversals.preferredPartners(Traversals.custSuppW(s, dir))
+    val sel = Traversals.prefSel(s, dir)
     val bi = sel.select((col("cust") * 2).as("src"),
       (col("supp") * 2 + 1).as("dst"), col("w"))
     val symW = bi.unionAll(

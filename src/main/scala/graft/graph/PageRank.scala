@@ -24,42 +24,57 @@ object PageRank {
   private val D = 0.85
 
   def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val outDeg = nodes.join(
-        e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .localCheckpoint()
+    // r16 iteration shape: the edge table is partitioned on the join
+    // key once and kept resident (Traversals.keyedResident), and the
+    // out-degree column RIDES IN THE ITERATED STATE instead of being
+    // re-joined every round — one union + merge aggregation per
+    // iteration (contribution rows carry a null outdeg, state rows a
+    // null contribution; max/sum ignore nulls) replaces the old
+    // ranks⋈outDeg join + contribution aggregate + nodes⋈contribs
+    // join. The decimal contribution sum is unchanged addend-for-
+    // addend, so ranks stay bit-identical to the unrolled oracle.
+    val e = Traversals.keyedResident(
+      edges.select(col("src"), col("dst")).distinct(), "src")
     val n = nodes.count().toDouble
     val dec = DecimalType(28, 15)
+    var state = nodes.join(
+        e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        (lit(1.0) / lit(n)).as("rank"))
+      .localCheckpoint()
     // With no dangling nodes the redistribution term is identically
     // +0.0 (bit-neutral on non-negative ranks), so skip its per-
     // iteration aggregate+broadcast entirely — one upfront check
     // instead of 10 broadcast jobs.
-    val hasDangling = !outDeg.filter(col("outdeg") === 0).isEmpty
-    var ranks = nodes.select(col("node"), (lit(1.0) / lit(n)).as("rank"))
+    val hasDangling = !state.filter(col("outdeg") === 0).isEmpty
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outDeg, Seq("node"))
-      val contribs = withDeg.filter(col("outdeg") > 0)
+      val carried = state.select(col("node"), col("outdeg"),
+        lit(null).cast(dec).as("c"))
+      val contribs = state.filter(col("outdeg") > 0)
         .join(e, col("node") === e("src"))
-        .groupBy(e("dst").as("node"))
-        .agg(sum((col("rank") / col("outdeg")).cast(dec)).cast("double").as("s"))
-      val base = nodes.join(contribs, Seq("node"), "left")
+        .select(e("dst").as("node"), lit(null).cast("long").as("outdeg"),
+          (col("rank") / col("outdeg")).cast(dec).as("c"))
+      val merged = carried.unionAll(contribs)
+        .groupBy(col("node"))
+        .agg(max(col("outdeg")).as("outdeg"),
+          sum(col("c")).cast("double").as("s"))
       val next =
         if (hasDangling) {
-          val dangling = withDeg.filter(col("outdeg") === 0)
+          val dangling = state.filter(col("outdeg") === 0)
             .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0)).as("dm"))
-          base.crossJoin(broadcast(dangling))
-            .select(col("node"),
+          merged.crossJoin(broadcast(dangling))
+            .select(col("node"), col("outdeg"),
               (lit(0.15) / lit(n) +
                 lit(D) * (coalesce(col("s"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
         } else {
-          base.select(col("node"),
+          merged.select(col("node"), col("outdeg"),
             (lit(0.15) / lit(n) + lit(D) * coalesce(col("s"), lit(0.0))).as("rank"))
         }
-      ranks = next.localCheckpoint()
+      state = next.localCheckpoint()
     }
-    ranks
+    e.unpersist(false)
+    state.select(col("node"), col("rank"))
   }
 
   private def g09(s: SparkSession, dir: String): DataFrame =
@@ -73,39 +88,47 @@ object PageRank {
     */
   def runPersonalized(nodes: DataFrame, edges: DataFrame, source: Int,
       iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val outDeg = nodes.join(
+    // r16 iteration shape — see [[run]]; teleport/dangling terms are
+    // the personalized (source-concentrated) variants, expression-
+    // identical to the previous per-iteration plan.
+    val e = Traversals.keyedResident(
+      edges.select(col("src"), col("dst")).distinct(), "src")
+    val dec = DecimalType(28, 15)
+    var state = nodes.join(
         e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        when(col("node") === source, lit(1.0)).otherwise(lit(0.0)).as("rank"))
       .localCheckpoint()
-    val dec = DecimalType(28, 15)
-    val hasDangling = !outDeg.filter(col("outdeg") === 0).isEmpty
-    var ranks = nodes.select(col("node"),
-      when(col("node") === source, lit(1.0)).otherwise(lit(0.0)).as("rank"))
+    val hasDangling = !state.filter(col("outdeg") === 0).isEmpty
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outDeg, Seq("node"))
-      val contribs = withDeg.filter(col("outdeg") > 0)
+      val carried = state.select(col("node"), col("outdeg"),
+        lit(null).cast(dec).as("c"))
+      val contribs = state.filter(col("outdeg") > 0)
         .join(e, col("node") === e("src"))
-        .groupBy(e("dst").as("node"))
-        .agg(sum((col("rank") / col("outdeg")).cast(dec)).cast("double").as("s"))
-      val base = nodes.join(contribs, Seq("node"), "left")
+        .select(e("dst").as("node"), lit(null).cast("long").as("outdeg"),
+          (col("rank") / col("outdeg")).cast(dec).as("c"))
+      val merged = carried.unionAll(contribs)
+        .groupBy(col("node"))
+        .agg(max(col("outdeg")).as("outdeg"),
+          sum(col("c")).cast("double").as("s"))
       val teleport = when(col("node") === source, lit(0.15)).otherwise(lit(0.0))
       val next =
         if (hasDangling) {
-          val dangling = withDeg.filter(col("outdeg") === 0)
+          val dangling = state.filter(col("outdeg") === 0)
             .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0)).as("dm"))
-          base.crossJoin(broadcast(dangling))
-            .select(col("node"),
+          merged.crossJoin(broadcast(dangling))
+            .select(col("node"), col("outdeg"),
               (teleport + lit(D) * (coalesce(col("s"), lit(0.0)) +
                 when(col("node") === source, col("dm")).otherwise(lit(0.0)))).as("rank"))
         } else {
-          base.select(col("node"),
+          merged.select(col("node"), col("outdeg"),
             (teleport + lit(D) * coalesce(col("s"), lit(0.0))).as("rank"))
         }
-      ranks = next.localCheckpoint()
+      state = next.localCheckpoint()
     }
-    ranks
+    e.unpersist(false)
+    state.select(col("node"), col("rank"))
   }
 
   private def g16(s: SparkSession, dir: String): DataFrame =

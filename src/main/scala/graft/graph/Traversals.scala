@@ -19,45 +19,107 @@ import org.apache.spark.sql.functions._
   */
 object Traversals {
 
-  /** (node, dist) for every node within `maxHops` of `source`. */
+  /** Edge table partitioned by the per-round join key ONCE and kept
+    * resident for the loop's lifetime (r16 optimization round). Two
+    * deliberate choices, both measured:
+    *   - `persist`, not `localCheckpoint`: under AQE a checkpoint's
+    *     LogicalRDD reports UnknownPartitioning, so every round's
+    *     frontier join re-exchanged the WHOLE edge table; a cached
+    *     plan keeps its HashPartitioning (AQE may not change cached
+    *     plan output partitioning), so each round exchanges only the
+    *     frontier (guide §2.4 — remove shuffles of data already
+    *     partitioned as needed).
+    *   - the partition count is the session's shuffle-partition conf
+    *     (scale-adaptive: the bench drives it from SPARK_GRAFT_CPUS,
+    *     a cluster from its own sizing), pinned explicitly so the
+    *     frontier exchange lands co-partitioned.
+    * Callers unpersist after the loop; every returned frame is
+    * checkpointed first, so nothing downstream re-reads the cache.
+    */
+  private[graph] def keyedResident(df: DataFrame, key: String): DataFrame = {
+    val sess = df.sparkSession
+    // Size-adaptive (the same runtime-statistics decision AQE makes
+    // for joins): an edge table under the broadcast threshold is
+    // cheapest re-broadcast per round — repartition+cache overhead
+    // buys nothing (measured +0.1-0.3 s per query on the 25-node
+    // nation spine) — while a larger one is partitioned on the
+    // per-round join key once and kept resident for the loop.
+    // The small path caches WITHOUT repartitioning — and deliberately
+    // not localCheckpoint: a checkpoint's LogicalRDD loses size
+    // statistics (estimated as the default huge size), which silently
+    // demotes every per-round broadcast of the edge side to a shuffled
+    // join (measured on g29: +26% wall, +0.35M shuffled rows), while a
+    // cached plan keeps its child's statistics. Returning the frame
+    // unchanged is no good either: derivations that contain an
+    // exchange (e.g. PageRank's distinct) would re-run every round
+    // (measured: g09/g16 shuffle rows 1.2k → 7.4k).
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val threshold = sess.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold > 0 && estBytes <= threshold) return df.persist()
+    val p = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    // also sorted within partitions: the cached plan's outputOrdering
+    // survives (like its partitioning), so a sort-merge round join at
+    // the wavefront peak never re-sorts the edge side; one sort at
+    // cache build, not one per round. Join strategy per round is left
+    // to AQE: small frontiers convert to broadcast at runtime (the
+    // measured local winner — a forced SHUFFLE_HASH was 2.4x slower),
+    // big frontiers stay sort-merge against the pre-sorted cache.
+    df.repartition(p, col(key)).sortWithinPartitions(key).persist()
+  }
+
+  /** (node, dist) for every node within `maxHops` of `source`.
+    *
+    * Round shape (r16): the hop number doubles as the first-visit tag
+    * — `visited ∪ candidates` under a map-side-combining `min(dist)`
+    * keeps the old row for already-visited nodes (its dist is
+    * strictly smaller) and assigns `hop` to first visits, and the
+    * next frontier is exactly `dist === hop`. One union+groupBy
+    * replaces the old distinct + anti-join + union cascade: two
+    * exchanges per hop (frontier into the join, the min-combine)
+    * instead of four, and the edge table is never re-shuffled.
+    */
   def bfsLevels(edges: DataFrame, source: Int, maxHops: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var visited = Seq((source, 0)).toDF("node", "dist")
+    val e = keyedResident(edges.select(col("src"), col("dst")), "src")
+    var visited = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
     var frontier = visited
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .withColumn("dist", lit(hop))
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), lit(hop).as("dist"))
+      visited = visited.unionAll(cand)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
-      frontier = next
+      frontier = visited.filter(col("dist") === hop)
     }
+    e.unpersist(false)
     visited
   }
 
   /** Nodes reachable from `source` (source included), frontier loop
-    * until fixpoint.
+    * until fixpoint. Same tagged round shape as [[bfsLevels]] (the
+    * first-visit hop is carried internally and dropped at return).
     */
   def reachableFrom(edges: DataFrame, source: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var visited = Seq(source).toDF("node")
+    val e = keyedResident(edges.select(col("src"), col("dst")), "src")
+    var visited = Seq((source, 0)).toDF("node", "tag").localCheckpoint()
     var frontier = visited
+    var hop = 0
     while (!frontier.isEmpty) {
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+      hop += 1
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), lit(hop).as("tag"))
+      visited = visited.unionAll(cand)
+        .groupBy(col("node")).agg(min(col("tag")).as("tag"))
         .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
-      frontier = next
+      frontier = visited.filter(col("tag") === hop)
     }
-    visited
+    e.unpersist(false)
+    visited.select(col("node"))
   }
 
   /** BFS level order from nation 0, capped at 6 hops (reference op 4). */
@@ -169,18 +231,25 @@ object Traversals {
     * root set instead).
     */
   private def closurePairs(edges: DataFrame): DataFrame = {
-    var pairs = edges.select(col("src").as("root"), col("dst").as("node")).distinct()
+    // r16 round shape: first-visit tag + union/min-combine, edge table
+    // resident and partitioned on the join key once (see keyedResident)
+    val e = keyedResident(edges.select(col("src"), col("dst")), "src")
+    var pairs = e.select(col("src").as("root"), col("dst").as("node"), lit(0).as("tag"))
+      .groupBy(col("root"), col("node")).agg(min(col("tag")).as("tag"))
       .localCheckpoint()
     var frontier = pairs
+    var hop = 0
     while (!frontier.isEmpty) {
-      val next = frontier.join(edges, frontier("node") === edges("src"))
-        .select(frontier("root"), edges("dst").as("node")).distinct()
-        .join(pairs, Seq("root", "node"), "left_anti")
+      hop += 1
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(frontier("root"), e("dst").as("node"), lit(hop).as("tag"))
+      pairs = pairs.unionAll(cand)
+        .groupBy(col("root"), col("node")).agg(min(col("tag")).as("tag"))
         .localCheckpoint()
-      pairs = pairs.unionAll(next).localCheckpoint()
-      frontier = next
+      frontier = pairs.filter(col("tag") === hop)
     }
-    pairs
+    e.unpersist(false)
+    pairs.select(col("root"), col("node"))
   }
 
   private def g07(s: SparkSession, dir: String): DataFrame = {
@@ -287,7 +356,12 @@ object Traversals {
   private val g14MaxHops = 10
 
   private def g14(s: SparkSession, dir: String): DataFrame = {
-    val sym = TradeGraph.symEdges(TradeGraph.edgesTable(s, dir)).localCheckpoint()
+    // r16 round shape: the hop is the first-visit tag — one
+    // union + min-combine per hop replaces the old groupBy + anti-join
+    // + union cascade, and the symmetric edge table stays resident and
+    // partitioned on the join key (see keyedResident)
+    val sym = keyedResident(
+      TradeGraph.symEdges(TradeGraph.edgesTable(s, dir)), "src")
     var dist = TradeGraph.nodes(s, dir)
       .select(col("node").as("root"), col("node"), lit(0).as("hop"))
       .localCheckpoint()
@@ -295,15 +369,14 @@ object Traversals {
     var round = 0
     while (!frontier.isEmpty && round < g14MaxHops) {
       round += 1
-      val next = frontier.join(sym, frontier("node") === sym("src"))
-        .select(frontier("root"), sym("dst").as("node"),
-          (frontier("hop") + 1).as("hop"))
+      val cand = frontier.join(sym, frontier("node") === sym("src"))
+        .select(frontier("root"), sym("dst").as("node"), lit(round).as("hop"))
+      dist = dist.unionAll(cand)
         .groupBy(col("root"), col("node")).agg(min(col("hop")).as("hop"))
-        .join(dist, Seq("root", "node"), "left_anti")
         .localCheckpoint()
-      dist = dist.unionAll(next).localCheckpoint()
-      frontier = next
+      frontier = dist.filter(col("hop") === round)
     }
+    sym.unpersist(false)
     dist.groupBy(col("root").as("node"))
       .agg((count(lit(1)) - 1).as("n_reachable"),
         sum(col("hop")).cast("long").as("sum_dist"))
@@ -387,27 +460,37 @@ object Traversals {
   private[graft] def ssspConverged(edges: DataFrame, source: Long): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("cost").cast("long").as("cost"))
-      .localCheckpoint()
-    var dist = Seq((source, 0L)).toDF("node", "cost").localCheckpoint()
+    // r16 round shape. The distance table carries the round each
+    // node's cost last IMPROVED (`tag`); one union + map-side-
+    // combining `min(struct(cost, tag))` merges the raw relaxation
+    // candidates into the table — a candidate wins only on a strict
+    // cost improvement (cost ties keep the old row: its tag is
+    // smaller), so `tag === round` is exactly the old `improved`
+    // frontier. Replaces the old per-round candidate groupBy +
+    // left-join-filter + anti-join + union (4 exchanges + 2
+    // checkpoints per round, with the edge table re-shuffled every
+    // round) with 2 exchanges + 1 checkpoint and a resident,
+    // pre-partitioned edge table (guide §2.3/§2.4).
+    val e = keyedResident(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("cost").cast("long").as("cost")),
+      "src")
+    var dist = Seq((source, 0L, 0)).toDF("node", "cost", "tag").localCheckpoint()
     var frontier = dist
     var rounds = 0
     while (!frontier.isEmpty) {
       rounds += 1
       val cand = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"), (frontier("cost") + e("cost")).as("cost"))
-        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-      val improved = cand.join(dist.withColumnRenamed("cost", "old"), Seq("node"), "left")
-        .filter(col("old").isNull || col("cost") < col("old"))
-        .select(col("node"), col("cost"))
-        .toDF("node", "cost").localCheckpoint()
-      dist = dist.join(improved, Seq("node"), "left_anti").unionAll(improved)
-        .toDF("node", "cost").localCheckpoint()
-      frontier = improved
+        .select(e("dst").as("node"), (frontier("cost") + e("cost")).as("cost"),
+          lit(rounds).as("tag"))
+      dist = dist.unionAll(cand)
+        .groupBy(col("node")).agg(min(struct(col("cost"), col("tag"))).as("b"))
+        .select(col("node"), col("b.cost").as("cost"), col("b.tag").as("tag"))
+        .localCheckpoint()
+      frontier = dist.filter(col("tag") === rounds)
     }
     lastSsspRounds = rounds
-    dist
+    e.unpersist(false)
+    dist.select(col("node"), col("cost"))
   }
 
   /** g26: SSSP to fixpoint on the PREFERRED-PARTNER bipartite graph —
@@ -430,10 +513,17 @@ object Traversals {
     * preferred-partner subgraph (g26, g27).
     */
   private[graph] def custSuppW(s: SparkSession, dir: String): DataFrame =
-    TradeGraph.orderFacts(s, dir)
-      .groupBy(col("custkey").cast("long").as("cust"), col("suppkey").cast("long").as("supp"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
+    // r16: materialized once per (session, corpus) — g26/g27/g28/g29
+    // all start from this fact aggregation (and g26/g28 re-probe it
+    // for the hub), so it joins the shared-index family (the d04/d18
+    // shingle-table move) instead of re-scanning the fact spine per
+    // query and per rep
+    graft.util.MatStore.table(s, s"custsuppw:$dir", "graft_custsuppw") {
+      TradeGraph.orderFacts(s, dir)
+        .groupBy(col("custkey").cast("long").as("cust"),
+          col("suppkey").cast("long").as("supp"))
+        .agg(count(lit(1)).as("w"))
+    }
 
   /** Preferred-partner selection over [[custSuppW]]: each customer's
     * top-2 suppliers and each supplier's top-2 customers by trade
@@ -451,9 +541,18 @@ object Traversals {
     topSupp.unionAll(topCust).distinct()
   }
 
+  /** [[preferredPartners]] over [[custSuppW]], materialized once per
+    * (session, corpus) — the two corpus-pair window passes are the
+    * shared prelude of g26/g27/g28/g29 (r16: previously re-run per
+    * query and per bench rep; only g29 memoized its derived edge list).
+    */
+  private[graph] def prefSel(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"prefsel:$dir", "graft_prefsel")(
+      preferredPartners(custSuppW(s, dir)))
+
   private def g26(s: SparkSession, dir: String): DataFrame = {
     val w = custSuppW(s, dir)
-    val sel = preferredPartners(w)
+    val sel = prefSel(s, dir)
     val bi = sel.select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"),
       (floor(lit(1000000.0) / col("w")) + 1).cast("long").as("cost"))
     val sym = bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
@@ -490,30 +589,35 @@ object Traversals {
   private[graft] def ssspPredsConverged(edges: DataFrame, source: Long): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("cost").cast("long").as("cost"))
+    // r16 round shape, see ssspConverged. The merge key extends to
+    // min(struct(cost, tag, pred)): a cost tie keeps the old row (its
+    // tag is strictly smaller — "a node's pred never changes after the
+    // round its final cost is achieved"), and among same-round
+    // candidates the smallest pred wins — both exactly the documented
+    // tie rules of the old min(struct(cost, pred)) + strict-< filter.
+    val e = keyedResident(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("cost").cast("long").as("cost")),
+      "src")
+    var dist = Seq((source, 0L, 0, source)).toDF("node", "cost", "tag", "pred")
       .localCheckpoint()
-    var dist = Seq((source, 0L, source)).toDF("node", "cost", "pred").localCheckpoint()
     var frontier = dist
     var rounds = 0
     while (!frontier.isEmpty) {
       rounds += 1
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), (frontier("cost") + e("cost")).as("cost"),
-          frontier("node").as("pred"))
-        .groupBy(col("node")).agg(min(struct(col("cost"), col("pred"))).as("b"))
-        .select(col("node"), col("b.cost").as("cost"), col("b.pred").as("pred"))
-      val improved = cand
-        .join(dist.select(col("node"), col("cost").as("old")), Seq("node"), "left")
-        .filter(col("old").isNull || col("cost") < col("old"))
-        .select(col("node"), col("cost"), col("pred"))
-        .toDF("node", "cost", "pred").localCheckpoint()
-      dist = dist.join(improved, Seq("node"), "left_anti").unionAll(improved)
-        .toDF("node", "cost", "pred").localCheckpoint()
-      frontier = improved
+          lit(rounds).as("tag"), frontier("node").as("pred"))
+      dist = dist.unionAll(cand)
+        .groupBy(col("node"))
+        .agg(min(struct(col("cost"), col("tag"), col("pred"))).as("b"))
+        .select(col("node"), col("b.cost").as("cost"), col("b.tag").as("tag"),
+          col("b.pred").as("pred"))
+        .localCheckpoint()
+      frontier = dist.filter(col("tag") === rounds)
     }
     lastSsspRounds = rounds
-    dist
+    e.unpersist(false)
+    dist.select(col("node"), col("cost"), col("pred"))
   }
 
   /** Unfold full routes from a (node, cost, pred) distance table by
@@ -526,8 +630,11 @@ object Traversals {
     * driver-sized; lineage is checkpoint-truncated per round.
     */
   private[graft] def unfoldPaths(dist: DataFrame, source: Long): DataFrame = {
-    val preds = dist.select(col("node").as("pn"), col("pred").as("pp"))
-      .localCheckpoint()
+    // r16: the pred map is joined once per path-depth level — resident
+    // and partitioned on its key so each level exchanges only the
+    // still-walking rows (see keyedResident)
+    val preds = keyedResident(
+      dist.select(col("node").as("pn"), col("pred").as("pp")), "pn")
     val start = dist
       .select(col("node"), col("cost"), col("node").as("cur"),
         array(col("node")).as("path"))
@@ -542,6 +649,7 @@ object Traversals {
       done ::= stepped.filter(col("cur") === lit(source))
       active = stepped.filter(col("cur") =!= lit(source))
     }
+    preds.unpersist(false)
     done.reduce(_ unionAll _)
       .select(col("node"), col("cost"),
         (size(col("path")) - 1).cast("long").as("hops"),
@@ -557,7 +665,7 @@ object Traversals {
     */
   private def g28(s: SparkSession, dir: String): DataFrame = {
     val w = custSuppW(s, dir)
-    val sel = preferredPartners(w)
+    val sel = prefSel(s, dir)
     val bi = sel.select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"),
       (floor(lit(1000000.0) / col("w")) + 1).cast("long").as("cost"))
     val sym = bi.unionAll(bi.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
