@@ -668,8 +668,11 @@ object Dedup {
         col("doc_a") < col("doc_b"))
       .filter(expr("bit_count(sha ^ shb) <= 3"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sym = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+    // r16: one explode instead of a union of two projections — the
+    // union made Catalyst DUPLICATE the whole Σ|bucket|² nibble-join
+    // subtree (one copy per branch, visible in the r16 before-plan);
+    // the exploded endpoint stream references the pair join once.
+    val sym = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     Tables(s, dir, "documents").select(col("doc_id"))
       .join(sym.groupBy(col("doc_id")).agg(count(lit(1)).as("n_near")),
         Seq("doc_id"), "left")
@@ -1048,12 +1051,31 @@ object Dedup {
   private[graft] def fuzzyKeyPairs(names: DataFrame, keyCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist 1 or 2, got $maxDist")
-    // r16: the neighborhood is a codegen'd kernel — the HOF form
+    // r16 optimization round, two measured fixes (guide §2.5/§2.2 —
+    // partition for the work, not the bytes):
+    //   - the name table is spread across the cores BEFORE the
+    //     explode: AQE's byte-based coalescing saw ~1 MB of input and
+    //     ran the whole neighborhood-explode → join → levenshtein
+    //     pipeline (Σ|block|² candidate pairs — zero-padded names
+    //     share long runs, so depth-2 blocks are large) on SIX tasks
+    //     at sf0.1 — 6.0 s of nearly serial CPU;
+    //   - the candidate verifier is the THRESHOLDED levenshtein
+    //     (banded O(k·len) DP, early exit), not the full O(len²) DP:
+    //     it returns the exact distance when ≤ maxDist and -1 above
+    //     it, so `dist` is unchanged for every surviving row.
+    // Round-robin, NOT keyed on keyCol: the upstream distinct already
+    // hash-partitions on the key, so a keyed repartition is elided as
+    // redundant by the planner and the (byte-coalesced, near-serial)
+    // layout survives — measured: the keyed form left the query on 6
+    // tasks.
+    val par = names.sparkSession.sparkContext.defaultParallelism
+    val spread = names.repartition(par)
+    // the neighborhood is a codegen'd kernel — the HOF form
     // (del1Of chains + flatten + array_distinct, kept above as the
     // semantic reference) interprets O(len²)-O(len³) substring seeks
     // per key; same variant SET, first-seen order (unobservable:
     // explode → equi-join → distinct pairs)
-    val variants = names.select(col(keyCol),
+    val variants = spread.select(col(keyCol),
       explode(graft.functions.StringFunctions
         .deletionNeighborhood(col(keyCol), maxDist)).as("v"))
     variants.toDF("name_a", "v")
@@ -1061,8 +1083,9 @@ object Dedup {
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
   }
 
   private def d14(s: SparkSession, dir: String): DataFrame =
