@@ -545,18 +545,29 @@ object Dedup {
     * deterministic, and exactly what the oracle's recursive
     * min-closure computes.
     */
+  /** d17's propagated member labels, materialized once per (session,
+    * corpus) — the clustersTable move applied to the embedding dup
+    * graph (r16: the near-dup graph's diameter measured 21 at sf0.1,
+    * so the label-propagation loop was 21 latency-bound rounds re-run
+    * per query invocation for an unchanging corpus artifact).
+    */
+  private def d17LabelsTable(s: SparkSession, dir: String): DataFrame =
+    graft.util.MatStore.table(s, s"d17labels:$dir", "graft_d17lab") {
+      val pairs = neardupTable(s, dir).select(col("vec_a"), col("vec_b"))
+        .localCheckpoint()
+      // propagate over PAIR MEMBERS only (the clustersTable pattern):
+      // the label frames are sized by the dup set — a sliver of the
+      // corpus — and the untouched majority joins in as singletons
+      // afterward, one node-sized left join
+      val members = pairs.select(col("vec_a").as("node"))
+        .unionAll(pairs.select(col("vec_b").as("node"))).distinct()
+      val sym = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      graft.graph.Components.labelPropagate(members, sym)
+    }
+
   private def d17(s: SparkSession, dir: String): DataFrame = {
-    val pairs = neardupTable(s, dir).select(col("vec_a"), col("vec_b"))
-      .localCheckpoint()
-    // propagate over PAIR MEMBERS only (the clustersTable pattern):
-    // the label frames are sized by the dup set — a sliver of the
-    // corpus — and the untouched majority joins in as singletons
-    // afterward, one node-sized left join
-    val members = pairs.select(col("vec_a").as("node"))
-      .unionAll(pairs.select(col("vec_b").as("node"))).distinct()
-    val sym = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-    val labeled = graft.graph.Components.labelPropagate(members, sym)
+    val labeled = d17LabelsTable(s, dir)
     val withCluster = Tables(s, dir, "embeddings").select(col("vec_id"))
       .join(labeled, col("vec_id") === labeled("node"), "left")
       .select(col("vec_id"),

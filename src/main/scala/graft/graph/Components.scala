@@ -49,6 +49,13 @@ object Components {
       val next = labels.select(col("node"), col("comp")).unionAll(msgs)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
+      // r16 negative result, documented so it is not retried: a
+      // label(label(v)) pointer-doubling shortcut per round was
+      // measured on d17's diameter-21 near-dup graph at 21 → 17
+      // rounds for +1 join per round — NET SLOWER. Min-over-ball
+      // pointers do not align toward the component min (the ball's
+      // argmin id is positionally arbitrary), so composition buys no
+      // exponential reach without true SV hooking.
       val nextSum = next.agg(sum(col("comp").cast("long"))).collect()(0).getLong(0)
       converged = nextSum == labelSum
       labelSum = nextSum

@@ -630,26 +630,49 @@ object Traversals {
     * driver-sized; lineage is checkpoint-truncated per round.
     */
   private[graft] def unfoldPaths(dist: DataFrame, source: Long): DataFrame = {
-    // r16: the pred map is joined once per path-depth level — resident
-    // and partitioned on its key so each level exchanges only the
-    // still-walking rows (see keyedResident)
-    val preds = keyedResident(
-      dist.select(col("node").as("pn"), col("pred").as("pp")), "pn")
+    // r16: POINTER-DOUBLING unfold — ceil(log2(max path depth)) rounds
+    // instead of one join per path-depth level (the Scc chain-
+    // contraction move applied to the pred tree). jump after round k
+    // maps node → (its 2^k-th ancestor, the ancestor segment
+    // [p_{2^k}, …, p_1] nearest-ancestor-LAST, both clipped at the
+    // source, which is absorbing: jump(source) = (source, [])). The
+    // walking rows keep the invariant path = [cur, …, node], so a
+    // round prepends the segment and jumps cur — finished rows (cur =
+    // source) exit exactly as before, and the emitted path arrays are
+    // identical element for element.
+    var jump = dist.select(col("node").as("jn"),
+        when(col("node") === lit(source), col("node"))
+          .otherwise(col("pred")).as("jp"),
+        when(col("node") === lit(source), array().cast("array<long>"))
+          .otherwise(array(col("pred"))).as("seg"))
+      .localCheckpoint()
     val start = dist
       .select(col("node"), col("cost"), col("node").as("cur"),
         array(col("node")).as("path"))
       .localCheckpoint()
     var done = List(start.filter(col("cur") === lit(source)))
     var active = start.filter(col("cur") =!= lit(source))
-    while (!active.isEmpty) {
-      val stepped = active.join(preds, active("cur") === col("pn"))
-        .select(col("node"), col("cost"), col("pp").as("cur"),
-          concat(array(col("pp")), col("path")).as("path"))
+    var activeEmpty = active.isEmpty
+    while (!activeEmpty) {
+      val j = jump
+      val stepped = active.join(j, active("cur") === j("jn"))
+        .select(col("node"), col("cost"), j("jp").as("cur"),
+          concat(j("seg"), col("path")).as("path"))
         .toDF("node", "cost", "cur", "path").localCheckpoint()
       done ::= stepped.filter(col("cur") === lit(source))
       active = stepped.filter(col("cur") =!= lit(source))
+      activeEmpty = active.isEmpty
+      if (!activeEmpty) {
+        // double the jump table: 2^(k+1) ancestor = 2^k ancestor of
+        // the 2^k ancestor; segments concatenate ancestor-side first
+        val j2 = j.select(col("jn").as("jn2"), col("jp").as("jp2"),
+          col("seg").as("seg2"))
+        jump = j.join(j2, j("jp") === col("jn2"))
+          .select(j("jn"), col("jp2").as("jp"),
+            concat(col("seg2"), j("seg")).as("seg"))
+          .toDF("jn", "jp", "seg").localCheckpoint()
+      }
     }
-    preds.unpersist(false)
     done.reduce(_ unionAll _)
       .select(col("node"), col("cost"),
         (size(col("path")) - 1).cast("long").as("hops"),
