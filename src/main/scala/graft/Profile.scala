@@ -38,7 +38,7 @@ object Profile {
       val isSampled = col("query_id") % sampleMod === 0
       val q = e.filter(col("vec_id") % sampleMod === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
-        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col("query_id"))
+        .repartition(graft.util.Par.shufflePartitions(spark), col("query_id"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))

@@ -36,5 +36,5 @@ object Tables {
   def bucketed(spark: SparkSession, dir: String, name: String, key: String): DataFrame =
     graft.util.MatStore.bucketedTable(spark, s"bktfact_${name}_$key:$dir",
       s"graft_bf_$name", key,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)(apply(spark, dir, name))
+      graft.util.Par.shufflePartitions(spark))(apply(spark, dir, name))
 }

@@ -269,7 +269,7 @@ object Dedup {
   private def sh3Table(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.table(s, s"sh3h:$dir", "graft_sh3h")(
       Tables(s, dir, "documents")
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .repartition(graft.util.Par.shufflePartitions(s))
         .withColumn("toks", expr("filter(split(text, ' '), t -> t != '')"))
         .select(col("doc_id"), expr(sh3Spark).as("sh3")))
 
@@ -330,22 +330,37 @@ object Dedup {
     */
   private def d18(s: SparkSession, dir: String): DataFrame = {
     val cand = candidatesTable(s, dir)
-    val both = cand.select(col("doc_a"), col("doc_b"))
-      .unionAll(cand.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val sh = sh3Table(s, dir)
-    both
-      // same two-hop SHUFFLE_HASH rule as d04 — d18's pair stream is
-      // 2x d04's (both directions), so the SMJ sort-of-wide-pairs
-      // hazard is twice as large here
+    // r17: hydrate each UNDIRECTED candidate once — |A∩B| is symmetric,
+    // so the two-pointer intersect runs per pair and BOTH directions
+    // are emitted afterwards from the counted row (guide §2.3: the old
+    // both-directions stream pushed every shingle array through the
+    // two-hop hydration twice — 107 MB of shuffle write, half of it
+    // recomputing the mirror of the other half). The directions come
+    // out of ONE explode, not a union of two projections — Catalyst
+    // duplicates a union's subtree per branch (the d07 r16 lesson),
+    // which would re-run the whole hydration and undo the halving.
+    // Same two-hop SHUFFLE_HASH rule as d04: the SMJ alternative sorts
+    // the array-carrying pair stream (the measured sf3 spill hazard).
+    val once = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh3").as("sha"))
         .hint("SHUFFLE_HASH"), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh3").as("shb"))
         .hint("SHUFFLE_HASH"), Seq("doc_b"))
-      .withColumn("n_inter",
-        graft.functions.SortedIntersectCount.sortedIntersectCount(col("sha"), col("shb")))
       .select(col("doc_a"), col("doc_b"),
-        size(col("sha")).cast("long").as("n_a"), col("n_inter"),
-        (col("n_inter").cast("double") / size(col("sha")).cast("double"))
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"),
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("sha"), col("shb")).as("ni"))
+    once
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b"), col("na").as("n_a"),
+          col("ni").as("n_inter")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          col("nb").as("n_a"), col("ni").as("n_inter")))).as("r"))
+      .select(col("r.doc_a").as("doc_a"), col("r.doc_b").as("doc_b"),
+        col("r.n_a").as("n_a"), col("r.n_inter").as("n_inter"),
+        (col("r.n_inter").cast("double") / col("r.n_a").cast("double"))
           .as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -673,10 +688,25 @@ object Dedup {
     val keyed = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         expr(s"shiftright(simhash, ${4 * i}) & 15")): _*)).as(Seq("nidx", "nib")))
+    // r17: SALT the bucket join (guide §2.5). The join key has only
+    // 4 x 16 = 64 distinct values, and AQE's byte-based coalescing saw
+    // ~1 MB of fingerprints and serialized the whole Σ|bucket|² pair
+    // generation + Hamming verify onto a couple of tasks (measured:
+    // 19 tasks total, 2.6 s). A deterministic salt (doc_a mod SALT) on
+    // one side, exploded on the other, fans each bucket's pair space
+    // over SALT reducers; the explicit-count repartition pins the
+    // layout AQE would otherwise coalesce away. Pair set unchanged —
+    // each (a, b) still meets exactly once, at salt = doc_a mod SALT.
+    val SALT = 8
+    val p = graft.util.Par.shufflePartitions(s)
     val a = keyed.toDF("doc_a", "sha", "nidx", "nib")
+      .withColumn("salt", pmod(col("doc_a"), lit(SALT)))
     val b = keyed.toDF("doc_b", "shb", "nidx_b", "nib_b")
-    val pairs = a.join(b, col("nidx") === col("nidx_b") && col("nib") === col("nib_b") &&
-        col("doc_a") < col("doc_b"))
+      .withColumn("salt_b", explode(array((0 until SALT).map(lit(_)): _*)))
+    val pairs = a.repartition(p, col("nidx"), col("nib"), col("salt"))
+      .join(b.repartition(p, col("nidx_b"), col("nib_b"), col("salt_b")),
+        col("nidx") === col("nidx_b") && col("nib") === col("nib_b") &&
+        col("salt") === col("salt_b") && col("doc_a") < col("doc_b"))
       .filter(expr("bit_count(sha ^ shb) <= 3"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // r16: one explode instead of a union of two projections — the

@@ -55,10 +55,17 @@ object PageRank {
         .join(e, col("node") === e("src"))
         .select(e("dst").as("node"), lit(null).cast("long").as("outdeg"),
           (col("rank") / col("outdeg")).cast(dec).as("c"))
+      // Confine the merged state to nodes of `nodes`: an edge dst
+      // absent from `nodes` has only contribution rows (null outdeg),
+      // so max(outdeg) is null exactly for unknown endpoints — without
+      // the filter they would leak into the iterated state and the
+      // final output with undefined rank semantics (r16 ADVICE). For
+      // edges ⊆ nodes (every registered caller) this drops no row.
       val merged = carried.unionAll(contribs)
         .groupBy(col("node"))
         .agg(max(col("outdeg")).as("outdeg"),
           sum(col("c")).cast("double").as("s"))
+        .filter(col("outdeg").isNotNull)
       val next =
         if (hasDangling) {
           val dangling = state.filter(col("outdeg") === 0)
@@ -108,10 +115,12 @@ object PageRank {
         .join(e, col("node") === e("src"))
         .select(e("dst").as("node"), lit(null).cast("long").as("outdeg"),
           (col("rank") / col("outdeg")).cast(dec).as("c"))
+      // same unknown-endpoint confinement as [[run]] (r16 ADVICE)
       val merged = carried.unionAll(contribs)
         .groupBy(col("node"))
         .agg(max(col("outdeg")).as("outdeg"),
           sum(col("c")).cast("double").as("s"))
+        .filter(col("outdeg").isNotNull)
       val teleport = when(col("node") === source, lit(0.15)).otherwise(lit(0.0))
       val next =
         if (hasDangling) {

@@ -55,8 +55,15 @@ object Traversals {
     // (measured: g09/g16 shuffle rows 1.2k → 7.4k).
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val threshold = sess.sessionState.conf.autoBroadcastJoinThreshold
-    if (threshold > 0 && estBytes <= threshold) return df.persist()
-    val p = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    // The persisted plan is wrapped in a no-op projection so its cache
+    // entry is keyed on a plan NO caller shares: Spark's cache manager
+    // keys by logical plan and is not reference-counted, so persisting
+    // the caller's frame as-is (often a shared MatStore read) would let
+    // this loop's end-of-loop unpersist evict a cache an overlapping
+    // operator still iterates over (r16 ADVICE).
+    if (threshold > 0 && estBytes <= threshold)
+      return df.select(df.columns.map(c => col(c)): _*).persist()
+    val p = graft.util.Par.shufflePartitions(sess)
     // also sorted within partitions: the cached plan's outputOrdering
     // survives (like its partitioning), so a sort-merge round join at
     // the wavefront peak never re-sorts the edge side; one sort at

@@ -229,7 +229,7 @@ object Similarity {
       // back to one partition — the stream side is tiny BEFORE the n²
       // expansion, which is exactly when it must stay spread out)
       val a = e.select(col("vec_id").as("query_id"), col("embedding").as("eq"), col("nrm").as("nq"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("query_id"))
+        .repartition(graft.util.Par.shufflePartitions(s), col("query_id"))
       val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ec"), col("nrm").as("nc"))
       val pairs = a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", floatDot(col("eq"), col("ec")) / (col("nq") * col("nc")))
@@ -302,7 +302,7 @@ object Similarity {
     */
   private[graft] def bucketedVecs(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.bucketedTable(s, s"annvecs:$dir", "graft_annvec",
-      "vec_id", s.conf.get("spark.sql.shuffle.partitions").toInt)(embWithNorm(s, dir))
+      "vec_id", graft.util.Par.shufflePartitions(s))(embWithNorm(s, dir))
 
   /** The candidate join + canonicalization from prepared probe and
     * index streams — the ONE pipeline behind both no-broadcast
@@ -366,7 +366,7 @@ object Similarity {
     val p2 = 1L << bits
     val sigArray = sigArrayExpr(scaledDimGroups(bits, tables))
     val masks = scaledProbeMasks(bits)
-    val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val nb = graft.util.Par.shufflePartitions(s)
     val index = graft.util.MatStore.bucketedTable(s,
         s"annsigidx${bits}x$tables:$dir", "graft_annidx", "tsig", nb) {
       bucketedVecs(s, dir)
@@ -686,7 +686,7 @@ object Similarity {
     val sigArray = sigArrayExpr(groups)
     val index = e.select(col("vec_id").as("neighbor_id"), explode(sigArray).as("ts"))
       .select(col("neighbor_id"), col("ts.t").as("nt"), col("ts.sig").as("nsig"))
-    val probes = e.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+    val probes = e.repartition(graft.util.Par.shufflePartitions(s), col("vec_id"))
       .select(col("vec_id").as("query_id"), explode(sigArray).as("ts"))
       .select(col("query_id"), col("ts.t").as("t"),
         explode(array(masks.map(lit): _*)).as("m"), col("ts.sig").as("sig"))
@@ -1043,7 +1043,7 @@ object Similarity {
     */
   private[graft] def bucketedQuantVecs(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.bucketedTable(s, s"annqvecs:$dir", "graft_annqvec",
-      "vec_id", s.conf.get("spark.sql.shuffle.partitions").toInt) {
+      "vec_id", graft.util.Par.shufflePartitions(s)) {
       quantEmb(s, dir).select(col("vec_id"), col("qv"), col("qn2"))
     }
 

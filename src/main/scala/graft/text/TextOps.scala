@@ -358,7 +358,7 @@ object TextOps {
     */
   private def t08(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .repartition(graft.util.Par.shufflePartitions(s))
       .withColumn("toks", expr(toksExpr))
       .withColumn("k3", expr(winnowK3Expr))
       .withColumn("hs", expr(winnowHsExpr))
@@ -1045,7 +1045,7 @@ object TextOps {
   private def winnowHashes(s: SparkSession, dir: String): DataFrame =
     graft.util.MatStore.table(s, s"winhs2:$dir", "graft_winhs2")(
       Tables(s, dir, "documents")
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .repartition(graft.util.Par.shufflePartitions(s))
         .withColumn("toks", expr(toksExpr))
         .withColumn("k3", expr(winnowK3Expr))
         .withColumn("hs", expr(winnowHsExpr))
