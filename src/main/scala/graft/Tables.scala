@@ -16,7 +16,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.util.Par.readParquet(spark, s"$dir/$name.parquet")
 
   /** The table as a session-bucketed catalog table, bucketed AND
     * sorted on `key` — the ingest-time layout a 100 TB deployment

@@ -156,7 +156,10 @@ object MatStore {
         }
       }
     }
-    s.read.parquet(path)
+    // schema-memoized read (Par.readParquet): the dir is write-once for
+    // this (session, key), and consumers re-read it dozens of times per
+    // run — the per-read schema-inference job was pure floor cost
+    Par.readParquet(s, path)
   }
 
   /** Cross-JVM index table (see object doc): resolve the content
@@ -223,7 +226,9 @@ object MatStore {
         }
       }
     }
-    s.read.parquet(if (sessionScoped != null) sessionScoped else target.toString)
+    // content-addressed target dirs are immutable once published, so
+    // the schema-memoized read can never serve a stale schema
+    Par.readParquet(s, if (sessionScoped != null) sessionScoped else target.toString)
   }
 
   private val tableNames = new java.util.concurrent.ConcurrentHashMap[String, String]()
