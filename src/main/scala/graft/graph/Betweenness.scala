@@ -86,20 +86,24 @@ object Betweenness {
     // (the values are identical; the oracle keeps the cumulative form)
     var deepest = 0
     var d = 0
-    while (d < HOPS && !levels(d).isEmpty) {
+    var frontierN = if (levels(0).isEmpty) 0L else 1L
+    while (d < HOPS && frontierN > 0) {
       d += 1
       val seen =
         if (d >= 2) levels(d - 1).select(col("p"), col("node"))
           .unionAll(levels(d - 2).select(col("p"), col("node")))
         else levels(d - 1).select(col("p"), col("node"))
-      val nxt = levels(d - 1)
-        .join(sym, col("node") === col("src"))
-        .groupBy(col("p"), col("dst"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .withColumnRenamed("dst", "node")
-        .join(seen, Seq("p", "node"), "left_anti")
-        .localCheckpoint()
+      // checkpoint + next-level emptiness probe fused into one job (r17)
+      val (nxt, n) = Traversals.checkpointWithCount(
+        levels(d - 1)
+          .join(sym, col("node") === col("src"))
+          .groupBy(col("p"), col("dst"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .withColumnRenamed("dst", "node")
+          .join(seen, Seq("p", "node"), "left_anti"),
+        lit(true))
       levels(d) = nxt
+      frontierN = n
       deepest = d
     }
 

@@ -48,9 +48,14 @@ object Components {
       val t0 = System.nanoTime()
       val msgs = labels.join(e, labels("node") === e("src"))
         .select(e("dst").as("node"), col("comp"))
+      // r17: LAZY checkpoint — the convergence aggregate right below
+      // computes every partition, so materialization rides the same
+      // job and each round pays one scheduler round-trip, not two
+      // (the Traversals.checkpointWithCount fusion, with the label-sum
+      // probe in place of a count)
       val next = labels.select(col("node"), col("comp")).unionAll(msgs)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // r16 negative result, documented so it is not retried: a
       // label(label(v)) pointer-doubling shortcut per round was
       // measured on d17's diameter-21 near-dup graph at 21 → 17
@@ -234,18 +239,20 @@ object Components {
     // recomputes the inner peel once per reference (3 refs: two degree
     // aggs + the semi-join source) and was measured slower; see
     // labelPropagate's note
-    var p = pairs.select(col("cust"), col("supp")).distinct().localCheckpoint()
-    var nPairs = p.count()
+    // r17: checkpoint + initial count fused into one job
+    var (p, nPairs) = Traversals.checkpointWithCount(
+      pairs.select(col("cust"), col("supp")).distinct(), lit(true))
     var changed = true
     while (changed) {
       val keepC = p.groupBy(col("cust")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("cust"))
       val keepS = p.groupBy(col("supp")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("supp"))
-      val np = p.join(keepC, Seq("cust"), "left_semi")
-        .join(keepS, Seq("supp"), "left_semi")
-        .localCheckpoint()
-      val n = np.count()
+      // r17: checkpoint + fixpoint count fused into one job
+      val (np, n) = Traversals.checkpointWithCount(
+        p.join(keepC, Seq("cust"), "left_semi")
+          .join(keepS, Seq("supp"), "left_semi"),
+        lit(true))
       changed = n != nPairs
       nPairs = n
       p = np

@@ -177,19 +177,24 @@ object Scc {
         .select(col("part"), col("pivot").as("node"), explode(array(lit(1), lit(2))).as("d"))
         .localCheckpoint()
       var frontier = visited
-      while (!frontier.isEmpty) {
+      var frontierN = 1L // pivots are nonempty whenever reach is called
+      while (frontierN > 0) {
         val dirE = dirAll
-        val next = frontier.join(dirE,
-            frontier("node") === dirE("src") && frontier("d") === dirE("d"))
-          .select(frontier("part"), dirE("dst").as("node"), frontier("d")).distinct()
-          .join(act, Seq("part", "node"), "left_semi")
-          .join(visited, Seq("part", "node", "d"), "left_anti")
-          .localCheckpoint()
+        // checkpoint + frontier probe fused into one job (r17, the
+        // Traversals.checkpointWithCount move)
+        val (next, n) = Traversals.checkpointWithCount(
+          frontier.join(dirE,
+              frontier("node") === dirE("src") && frontier("d") === dirE("d"))
+            .select(frontier("part"), dirE("dst").as("node"), frontier("d")).distinct()
+            .join(act, Seq("part", "node"), "left_semi")
+            .join(visited, Seq("part", "node", "d"), "left_anti"),
+          lit(true))
         // lazy union of checkpointed hops — the anti-join above reads
         // it as a cheap union scan; one checkpoint at return, not one
         // job per hop
         visited = visited.unionAll(next)
         frontier = next
+        frontierN = n
       }
       visited.localCheckpoint()
     }
@@ -223,12 +228,13 @@ object Scc {
           .localCheckpoint()
         // -- trim: peel sources/sinks (and edgeless nodes, which have
         // no flags row) as singleton SCCs
-        val kept = active.join(
+        // r17: checkpoint + survivor count fused into one job
+        val (kept, keptCount) = Traversals.checkpointWithCount(
+          active.join(
             flags.filter(col("outd") > 0 && col("ind") > 0).select(col("part"), col("node")),
-            Seq("part", "node"), "left_semi")
-          .localCheckpoint()
+            Seq("part", "node"), "left_semi"),
+          lit(true))
         val trimmed = active.join(kept, Seq("part", "node"), "left_anti")
-        val keptCount = kept.count()
         val trimmedCount = preTrim - keptCount
         if (trimmedCount > 0) {
           // lazy accumulate — trimmed is a cheap diff of two
@@ -250,14 +256,16 @@ object Scc {
         // the contraction still collapses it on the FIRST pass and the
         // O(log n) worst-case cap is unchanged (SccSpec pins it).
         if (trimmedCount * 20L < preTrim) {
-        val intr = flags.filter(col("ind") === 1 && col("outd") === 1 &&
-            col("succ") =!= col("node"))
-          .select(col("node"), col("succ"), col("pred"))
-          .toDF("node", "succ", "pred").localCheckpoint()
-        if (!intr.isEmpty) {
+        // r17: checkpoint + emptiness probe + size all in one job
+        val (intr, nInt) = Traversals.checkpointWithCount(
+          flags.filter(col("ind") === 1 && col("outd") === 1 &&
+              col("succ") =!= col("node"))
+            .select(col("node"), col("succ"), col("pred"))
+            .toDF("node", "succ", "pred"),
+          lit(true))
+        if (nInt > 0) {
           peeling = true
           anyChains = true
-          val nInt = intr.count()
           // jump distance 2^rounds must cover the longest chain AND
           // the min-window the longest cycle needs: both ≤ nInt
           val rounds = (64 - java.lang.Long.numberOfLeadingZeros(nInt)).toInt + 1
@@ -311,9 +319,12 @@ object Scc {
           extraE = extraE.unionAll(
               chains.select(col("head").as("src"), col("tail").as("dst")).distinct())
             .distinct().toDF("src", "dst").localCheckpoint()
-          active = active.join(isIntr, Seq("node"), "left_anti")
-            .toDF("node", "part").localCheckpoint()
-          activeCount = active.count()
+          // r17: checkpoint + live count fused into one job
+          val (act2, act2N) = Traversals.checkpointWithCount(
+            active.join(isIntr, Seq("node"), "left_anti").toDF("node", "part"),
+            lit(true))
+          active = act2
+          activeCount = act2N
         }
         }
       }
@@ -333,17 +344,20 @@ object Scc {
         // three-way split of the unlabeled remainder; scc ⊆ fw ∩ bw, so
         // a remainder node is in at most ONE of fw/bw and the branch
         // code is well-defined
-        active = active.join(scc, Seq("part", "node"), "left_anti")
-          .join(fw.withColumn("in_fw", lit(1)), Seq("part", "node"), "left")
-          .join(bw.withColumn("in_bw", lit(1)), Seq("part", "node"), "left")
-          .join(pivots, Seq("part"))
-          .select(col("node"),
-            (col("pivot") * 4 +
-              when(col("in_fw") === 1, 1)
-                .when(col("in_bw") === 1, 2)
-                .otherwise(3)).as("part"))
-          .localCheckpoint()
-        activeCount = active.count()
+        // r17: checkpoint + live count fused into one job
+        val (act3, act3N) = Traversals.checkpointWithCount(
+          active.join(scc, Seq("part", "node"), "left_anti")
+            .join(fw.withColumn("in_fw", lit(1)), Seq("part", "node"), "left")
+            .join(bw.withColumn("in_bw", lit(1)), Seq("part", "node"), "left")
+            .join(pivots, Seq("part"))
+            .select(col("node"),
+              (col("pivot") * 4 +
+                when(col("in_fw") === 1, 1)
+                  .when(col("in_bw") === 1, 2)
+                  .otherwise(3)).as("part")),
+          lit(true))
+        active = act3
+        activeCount = act3N
       }
     }
 
@@ -354,7 +368,8 @@ object Scc {
       // endpoints' own resolution; strict pass-order dependency
       // guarantees progress)
       var pending = chainAcc
-      while (!pending.isEmpty) {
+      var pendingN = if (pending.isEmpty) 0L else 1L
+      while (pendingN > 0) {
         val lh = labeled.select(col("node").as("head"), col("scc_id").as("h_scc"))
         val lt = labeled.select(col("node").as("tail"), col("scc_id").as("t_scc"))
         val resolved = pending.join(lh, Seq("head")).join(lt, Seq("tail"))
@@ -362,8 +377,13 @@ object Scc {
             when(col("h_scc") === col("t_scc"), col("h_scc")).otherwise(col("node"))
               .as("scc_id"))
           .toDF("node", "scc_id").localCheckpoint()
-        pending = pending.join(resolved.select(col("node")), Seq("node"), "left_anti")
-          .toDF("node", "head", "tail").localCheckpoint()
+        // r17: checkpoint + emptiness probe fused into one job
+        val (pend2, pend2N) = Traversals.checkpointWithCount(
+          pending.join(resolved.select(col("node")), Seq("node"), "left_anti")
+            .toDF("node", "head", "tail"),
+          lit(true))
+        pending = pend2
+        pendingN = pend2N
         labeled = labeled.unionAll(resolved)
           .toDF("node", "scc_id").localCheckpoint()
       }

@@ -74,6 +74,32 @@ object Traversals {
     df.repartition(p, col(key)).sortWithinPartitions(key).persist()
   }
 
+  /** Checkpoint `df` and count its rows matching `pred` in ONE Spark
+    * job (r17). The checkpoint is LAZY; the counting action computes
+    * every partition of the checkpointed RDD, so materialization rides
+    * the same job that answers the loop's continue-probe. Every
+    * iterative loop previously paid one eager-checkpoint job PLUS one
+    * isEmpty/convergence job — two scheduler round-trips per round
+    * where one suffices. Wall time here is per-job latency; on a
+    * cluster the same fusion removes one barrier per round, which is
+    * the iterative family's true scale cost (guide §2.2's latency
+    * channel). Semantics are unchanged: localCheckpoint(eager=false)
+    * returns the same LogicalRDD-backed frame as the eager form, and
+    * the count's full-partition pass is exactly the materialization
+    * the eager form runs internally.
+    */
+  private[graph] def checkpointWithCount(df: DataFrame,
+      pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val ck = df.localCheckpoint(eager = false)
+    // RDD-level count, NOT Dataset.count(): the SQL count plans a
+    // partial-agg + single-partition exchange, which AQE materializes
+    // as its own extra job — toRdd.count() sums per-partition counts
+    // on the driver in exactly ONE job with no exchange (the bench's
+    // own action), and computing every partition is what materializes
+    // the lazy checkpoint.
+    (ck, ck.filter(pred).queryExecution.toRdd.count())
+  }
+
   /** (node, dist) for every node within `maxHops` of `source`.
     *
     * Round shape (r16): the hop number doubles as the first-visit tag
@@ -91,14 +117,19 @@ object Traversals {
     val e = keyedResident(edges.select(col("src"), col("dst")), "src")
     var visited = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
     var frontier = visited
+    var frontierN = 1L // the source row
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierN > 0) {
       hop += 1
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), lit(hop).as("dist"))
-      visited = visited.unionAll(cand)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      // checkpoint + frontier probe fused into one job (r17)
+      val (ck, n) = checkpointWithCount(
+        visited.unionAll(cand)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")),
+        col("dist") === hop)
+      visited = ck
+      frontierN = n
       frontier = visited.filter(col("dist") === hop)
     }
     e.unpersist(false)
@@ -115,14 +146,19 @@ object Traversals {
     val e = keyedResident(edges.select(col("src"), col("dst")), "src")
     var visited = Seq((source, 0)).toDF("node", "tag").localCheckpoint()
     var frontier = visited
+    var frontierN = 1L // the source row
     var hop = 0
-    while (!frontier.isEmpty) {
+    while (frontierN > 0) {
       hop += 1
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), lit(hop).as("tag"))
-      visited = visited.unionAll(cand)
-        .groupBy(col("node")).agg(min(col("tag")).as("tag"))
-        .localCheckpoint()
+      // checkpoint + frontier probe fused into one job (r17)
+      val (ck, n) = checkpointWithCount(
+        visited.unionAll(cand)
+          .groupBy(col("node")).agg(min(col("tag")).as("tag")),
+        col("tag") === hop)
+      visited = ck
+      frontierN = n
       frontier = visited.filter(col("tag") === hop)
     }
     e.unpersist(false)
@@ -241,18 +277,23 @@ object Traversals {
     // r16 round shape: first-visit tag + union/min-combine, edge table
     // resident and partitioned on the join key once (see keyedResident)
     val e = keyedResident(edges.select(col("src"), col("dst")), "src")
-    var pairs = e.select(col("src").as("root"), col("dst").as("node"), lit(0).as("tag"))
-      .groupBy(col("root"), col("node")).agg(min(col("tag")).as("tag"))
-      .localCheckpoint()
+    // initial checkpoint + emptiness probe fused like the loop's (r17)
+    var (pairs, frontierN) = checkpointWithCount(
+      e.select(col("src").as("root"), col("dst").as("node"), lit(0).as("tag"))
+        .groupBy(col("root"), col("node")).agg(min(col("tag")).as("tag")),
+      lit(true))
     var frontier = pairs
     var hop = 0
-    while (!frontier.isEmpty) {
+    while (frontierN > 0) {
       hop += 1
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(frontier("root"), e("dst").as("node"), lit(hop).as("tag"))
-      pairs = pairs.unionAll(cand)
-        .groupBy(col("root"), col("node")).agg(min(col("tag")).as("tag"))
-        .localCheckpoint()
+      val (ck, n) = checkpointWithCount(
+        pairs.unionAll(cand)
+          .groupBy(col("root"), col("node")).agg(min(col("tag")).as("tag")),
+        col("tag") === hop)
+      pairs = ck
+      frontierN = n
       frontier = pairs.filter(col("tag") === hop)
     }
     e.unpersist(false)
@@ -483,16 +524,21 @@ object Traversals {
       "src")
     var dist = Seq((source, 0L, 0)).toDF("node", "cost", "tag").localCheckpoint()
     var frontier = dist
+    var frontierN = 1L // the source row
     var rounds = 0
-    while (!frontier.isEmpty) {
+    while (frontierN > 0) {
       rounds += 1
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), (frontier("cost") + e("cost")).as("cost"),
           lit(rounds).as("tag"))
-      dist = dist.unionAll(cand)
-        .groupBy(col("node")).agg(min(struct(col("cost"), col("tag"))).as("b"))
-        .select(col("node"), col("b.cost").as("cost"), col("b.tag").as("tag"))
-        .localCheckpoint()
+      // checkpoint + improved-frontier probe fused into one job (r17)
+      val (ck, n) = checkpointWithCount(
+        dist.unionAll(cand)
+          .groupBy(col("node")).agg(min(struct(col("cost"), col("tag"))).as("b"))
+          .select(col("node"), col("b.cost").as("cost"), col("b.tag").as("tag")),
+        col("tag") === rounds)
+      dist = ck
+      frontierN = n
       frontier = dist.filter(col("tag") === rounds)
     }
     lastSsspRounds = rounds
@@ -608,18 +654,23 @@ object Traversals {
     var dist = Seq((source, 0L, 0, source)).toDF("node", "cost", "tag", "pred")
       .localCheckpoint()
     var frontier = dist
+    var frontierN = 1L // the source row
     var rounds = 0
-    while (!frontier.isEmpty) {
+    while (frontierN > 0) {
       rounds += 1
       val cand = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node"), (frontier("cost") + e("cost")).as("cost"),
           lit(rounds).as("tag"), frontier("node").as("pred"))
-      dist = dist.unionAll(cand)
-        .groupBy(col("node"))
-        .agg(min(struct(col("cost"), col("tag"), col("pred"))).as("b"))
-        .select(col("node"), col("b.cost").as("cost"), col("b.tag").as("tag"),
-          col("b.pred").as("pred"))
-        .localCheckpoint()
+      // checkpoint + improved-frontier probe fused into one job (r17)
+      val (ck, n) = checkpointWithCount(
+        dist.unionAll(cand)
+          .groupBy(col("node"))
+          .agg(min(struct(col("cost"), col("tag"), col("pred"))).as("b"))
+          .select(col("node"), col("b.cost").as("cost"), col("b.tag").as("tag"),
+            col("b.pred").as("pred")),
+        col("tag") === rounds)
+      dist = ck
+      frontierN = n
       frontier = dist.filter(col("tag") === rounds)
     }
     lastSsspRounds = rounds
@@ -653,22 +704,26 @@ object Traversals {
         when(col("node") === lit(source), array().cast("array<long>"))
           .otherwise(array(col("pred"))).as("seg"))
       .localCheckpoint()
-    val start = dist
-      .select(col("node"), col("cost"), col("node").as("cur"),
-        array(col("node")).as("path"))
-      .localCheckpoint()
+    // checkpoint + active probe fused into one job, here and per
+    // round below (r17)
+    val (start, startActiveN) = Traversals.checkpointWithCount(
+      dist.select(col("node"), col("cost"), col("node").as("cur"),
+        array(col("node")).as("path")),
+      col("cur") =!= lit(source))
     var done = List(start.filter(col("cur") === lit(source)))
     var active = start.filter(col("cur") =!= lit(source))
-    var activeEmpty = active.isEmpty
+    var activeEmpty = startActiveN == 0
     while (!activeEmpty) {
       val j = jump
-      val stepped = active.join(j, active("cur") === j("jn"))
-        .select(col("node"), col("cost"), j("jp").as("cur"),
-          concat(j("seg"), col("path")).as("path"))
-        .toDF("node", "cost", "cur", "path").localCheckpoint()
+      val (stepped, activeN) = Traversals.checkpointWithCount(
+        active.join(j, active("cur") === j("jn"))
+          .select(col("node"), col("cost"), j("jp").as("cur"),
+            concat(j("seg"), col("path")).as("path"))
+          .toDF("node", "cost", "cur", "path"),
+        col("cur") =!= lit(source))
       done ::= stepped.filter(col("cur") === lit(source))
       active = stepped.filter(col("cur") =!= lit(source))
-      activeEmpty = active.isEmpty
+      activeEmpty = activeN == 0
       if (!activeEmpty) {
         // double the jump table: 2^(k+1) ancestor = 2^k ancestor of
         // the 2^k ancestor; segments concatenate ancestor-side first
