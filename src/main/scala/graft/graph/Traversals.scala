@@ -88,7 +88,7 @@ object Traversals {
     * the count's full-partition pass is exactly the materialization
     * the eager form runs internally.
     */
-  private[graph] def checkpointWithCount(df: DataFrame,
+  private[graft] def checkpointWithCount(df: DataFrame,
       pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
     val ck = df.localCheckpoint(eager = false)
     // RDD-level count, NOT Dataset.count(): the SQL count plans a
